@@ -1,0 +1,166 @@
+"""2-D occupancy-grid world for the particle-navigation task.
+
+Map *construction* is host-side numpy (exactly once, before jit) mirroring
+`dust/utils/obstacle.py:30-69` + `dust/utils/obstacle_map.py:13-361`:
+rectangle rasterization with ceil cell math, border walls on all four map
+edges, and the named obstacle presets. The resulting grid is baked into the
+jitted program as a constant; `get_collisions` is then a pure batched XLA
+gather — the collision hot path called inside every rollout timestep
+(`dust/utils/obstacle_map.py:64-93`).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class ObstacleMap:
+    """Occupancy grid with center origin. `map` is numpy during
+    construction; `device_map` is the jnp constant used inside jit."""
+
+    def __init__(self, map_dim, cell_size):
+        if map_dim[0] % 2 or map_dim[1] % 2:
+            raise ValueError("Map dimensions must be even.")
+        cmap_x = math.ceil(map_dim[0] / cell_size)
+        cmap_y = math.ceil(map_dim[1] / cell_size)
+        self.map = np.zeros((cmap_x, cmap_y), dtype=np.float32)
+        self.cell_size = float(cell_size)
+        self.origin_xi = int(cmap_x / 2)
+        self.origin_yi = int(cmap_y / 2)
+        self.x_dim, self.y_dim = self.map.shape
+        x_range = self.cell_size * self.x_dim
+        y_range = self.cell_size * self.y_dim
+        self.xlim = [-x_range / 2, x_range / 2]
+        self.ylim = [-y_range / 2, y_range / 2]
+        self._device_map = None
+
+    @property
+    def c_offset(self):
+        return np.array([self.origin_xi, self.origin_yi], dtype=np.float32)
+
+    @property
+    def device_map(self):
+        if self._device_map is None:
+            self._device_map = jnp.asarray(self.map)
+        return self._device_map
+
+    def get_collisions(self, x):
+        """Occupancy values at world positions x [..., 2]
+        (`dust/utils/obstacle_map.py:64-93`): floor to cell indices, clamp
+        to bounds, gather."""
+        occ = jnp.floor(x * (1.0 / self.cell_size) + self.c_offset).astype(jnp.int32)
+        xi = jnp.clip(occ[..., 0], 0, self.map.shape[0] - 1)
+        yi = jnp.clip(occ[..., 1], 0, self.map.shape[1] - 1)
+        return self.device_map[xi, yi]
+
+
+class ObstacleRectangle:
+    """Axis-aligned rectangle rasterized with the reference's ceil math
+    (`dust/utils/obstacle.py:30-69`, including the int() center snap)."""
+
+    def __init__(self, center_x=0, center_y=0, width=None, height=None):
+        self.center_x = int(center_x)
+        self.center_y = int(center_y)
+        self.width = width
+        self.height = height
+
+    def add_to_map(self, obst_map: ObstacleMap):
+        cs = obst_map.cell_size
+        w = math.ceil(self.width / cs)
+        h = math.ceil(self.height / cs)
+        c_x = math.ceil(self.center_x / cs)
+        c_y = math.ceil(self.center_y / cs)
+        x_start = c_x - math.ceil(w / 2.0) + obst_map.origin_xi
+        x_end = c_x + math.ceil(w / 2.0) + obst_map.origin_xi
+        y_start = c_y - math.ceil(h / 2.0) + obst_map.origin_yi
+        y_end = c_y + math.ceil(h / 2.0) + obst_map.origin_yi
+        # Raw numpy slicing on purpose: negative starts wrap, start > end is
+        # empty — the reference relies on these semantics for its border
+        # walls (`dust/utils/obstacle.py:64-68`), and reproducing the exact
+        # occupancy grid is required for cost parity.
+        obst_map.map[x_start:x_end, y_start:y_end] = 1.0
+        return obst_map
+
+    def collision_check(self, obst_map: ObstacleMap):
+        import copy
+
+        test = self.add_to_map(copy.deepcopy(obst_map))
+        return not np.any(test.map > 1)
+
+
+def get_obst_preset(preset_name, obst_width=2):
+    """Named obstacle layouts (`dust/utils/obstacle_map.py:101-220`)."""
+    w = obst_width
+    if preset_name == "staggered_3-2-3":
+        centers = [(-4, 4), (0, 4), (4, 4), (-6, 0), (-2, 0), (2, 0), (6, 0),
+                   (-4, -4), (0, -4), (4, -4)]
+    elif preset_name == "staggered_4-3-4-3-4":
+        centers = [(-6, 6), (-2, 6), (2, 6), (6, 6),
+                   (-4, 3), (0, 3), (4, 3),
+                   (-6, 0), (-2, 0), (2, 0), (6, 0),
+                   (-4, -3), (0, -3), (4, -3),
+                   (-6, -6), (-2, -6), (2, -6), (6, -6)]
+    elif preset_name == "grid_3x3":
+        s = 5
+        centers = [(i * s, j * s) for j in (1, 0, -1) for i in (-1, 0, 1)]
+    elif preset_name == "grid_4x4":
+        s = 4
+        centers = [(i * s / 2, j * s / 2)
+                   for j in (3, 1, -1, -3) for i in (-3, -1, 1, 3)]
+    elif preset_name == "grid_6x6":
+        s = 3
+        centers = [(i * s / 2, j * s / 2)
+                   for j in (5, 3, 1, -1, -3, -5) for i in (-5, -3, -1, 1, 3, 5)]
+    elif preset_name == "single_centred":
+        centers = [(0, 0)]
+    else:
+        raise IOError(f"Obstacle preset not supported: {preset_name}")
+    return [[cx, cy, w, w] for cx, cy in centers]
+
+
+def generate_obstacle_map(map_dim=(10, 10), obst_list=(), cell_size=1.0,
+                          map_type=None, random_gen=False, num_obst=0,
+                          rand_xy_limits=None, rand_shape=(2, 2), seed=None):
+    """Build the occupancy grid: fixed rectangles, 4 border walls, optional
+    random rectangles (`dust/utils/obstacle_map.py:249-361`)."""
+    obst_map = ObstacleMap(map_dim, cell_size)
+
+    for cx, cy, width, height in obst_list:
+        ObstacleRectangle(cx, cy, width, height).add_to_map(obst_map)
+
+    # border walls
+    for limit in obst_map.xlim:
+        ObstacleRectangle(
+            limit, 0, 4 * obst_map.cell_size, obst_map.ylim[1] - obst_map.ylim[0]
+        ).add_to_map(obst_map)
+    for limit in obst_map.ylim:
+        ObstacleRectangle(
+            0, limit, obst_map.xlim[1] - obst_map.xlim[0], 4 * obst_map.cell_size
+        ).add_to_map(obst_map)
+
+    if random_gen:
+        rng = random.Random(seed)
+        xlim, ylim = rand_xy_limits
+        width, height = rand_shape
+        added = len(list(obst_list))
+        while added < num_obst:
+            placed = False
+            for _ in range(25):
+                rect = ObstacleRectangle(
+                    rng.uniform(*xlim), rng.uniform(*ylim), width, height
+                )
+                if rect.collision_check(obst_map):
+                    rect.add_to_map(obst_map)
+                    placed = True
+                    added += 1
+                    break
+            if not placed:
+                break
+
+    if map_type not in (None, "direct"):
+        raise IOError(f'Map type "{map_type}" not recognized')
+    return obst_map
