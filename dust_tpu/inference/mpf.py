@@ -1,0 +1,125 @@
+"""MPF — moment-propagating Stein particle filter over dynamics parameters.
+
+TPU-native redesign of `dust/inference/mpf.py:12-86`: SVGD over 2-D
+parameter particles [n, dim], conditioned online on each new observation.
+The score function is the gradient of (GMM prior around the particles) +
+(Gaussian observation likelihood through a one-step model prediction) —
+`jax.grad` replaces torch autograd, the optimize loop is in-device, and
+the per-call KDEpy Silverman bandwidth (`mpf.py:72`) runs inside jit.
+
+The reference's kernel-gradient term is the autograd gradient through the
+first kernel argument, an *attraction* for SVGD, and is not divided by n
+(`mpf.py:53-56`); `reference_compat=True` reproduces that, the default
+uses the standard repulsion sign.
+
+Note on the dual loop: the reference aliases the controller's dynamics
+distribution to the MPF prior object created *before* the episode
+(`dust/utils/simulations.py:79`), so rollouts see live particle locations
+but a stale initial bandwidth. Our simulation harness passes the current
+`MPFState.prior` each step (the intended behavior).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..distributions import GMM
+from ..ops.bandwidth import bw_silverman, silvermans_rule
+from ..ops.kernels import rbf_gram_and_grad
+from .likelihoods import GaussianLikelihood, LikelihoodState
+
+
+@struct.dataclass
+class MPFState:
+    x: jax.Array              # [n, dim] parameter particles
+    opt_state: optax.OptState
+    prior: GMM                # GMM centered on particles
+    lik: LikelihoodState
+
+
+class MPF:
+    def __init__(self, likelihood: GaussianLikelihood, lr=1e-3,
+                 optimizer=None, bw_scale=1.0, n_steps=100,
+                 reference_compat=False):
+        self.likelihood = likelihood
+        self.bw_scale = float(bw_scale)
+        self.n_steps = int(n_steps)
+        self.reference_compat = bool(reference_compat)
+        self.optimizer = optimizer if optimizer is not None else optax.sgd(lr)
+
+    def init_state(self, init_particles, initial_obs, dim_a, bw=None) -> MPFState:
+        x = jnp.asarray(init_particles, jnp.float32)
+        if x.ndim != 2:
+            raise ValueError(
+                "Particles must be two dimension with batch on dim 0."
+            )
+        if bw is None:
+            # statsmodels-style Silverman at init (`mpf.py:29`)
+            bw = bw_silverman(x, self.bw_scale)
+        return MPFState(
+            x=x,
+            opt_state=self.optimizer.init(x),
+            prior=self.make_prior(x, bw),
+            lik=self.likelihood.init_state(initial_obs, dim_a),
+        )
+
+    def make_prior(self, x, bw):
+        """Uniform-mixture GMM centered on the particles with isotropic
+        (or per-dim, if bw is a vector) bw^2 covariance (`mpf.py:26-38`)."""
+        n, dim = x.shape
+        bw_vec = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(bw)), (dim,))
+        cov = jnp.diag(bw_vec.astype(jnp.float32) ** 2)
+        return GMM.from_cov(x, jnp.ones(n), cov)
+
+    def phi(self, mstate: MPFState, bw):
+        """Stein direction (`mpf.py:40-57`)."""
+        x = mstate.x
+        grad_prior = jax.grad(lambda t: jnp.sum(mstate.prior.log_prob(t)))(x)
+
+        def log_lik(t):
+            pred = self.likelihood.sample(mstate.lik, t)
+            return jnp.sum(self.likelihood.log_prob(mstate.lik, pred))
+
+        grad_lik = jax.grad(log_lik)(x)
+        score = grad_lik + grad_prior
+
+        k, grad_first = rbf_gram_and_grad(x, x, bw)
+        if self.reference_compat:
+            # `mpf.py:54-56` verbatim: +grad through the first kernel arg
+            # (an attraction) and no 1/n on it
+            return grad_first + jnp.tensordot(k, score, axes=1) / x.shape[0]
+        # standard SVGD: phi = (K @ score + repulsion) / n
+        return (jnp.tensordot(k, score, axes=1) - grad_first) / x.shape[0]
+
+    def step(self, mstate: MPFState, bw):
+        phi = self.phi(mstate, bw)
+        updates, opt_state = self.optimizer.update(-phi, mstate.opt_state,
+                                                   mstate.x)
+        x = optax.apply_updates(mstate.x, updates)
+        return mstate.replace(x=x, opt_state=opt_state), jnp.linalg.norm(phi)
+
+    def optimize(self, mstate: MPFState, action, new_obs, bw=None,
+                 n_steps=None):
+        """Condition on the newest observation and run n_steps SVGD updates
+        (`mpf.py:64-86`). Returns (new_mstate, grad_norms [n_steps], bw)."""
+        if new_obs is not None:
+            mstate = mstate.replace(
+                lik=self.likelihood.condition(mstate.lik, action, new_obs)
+            )
+        if bw is None:
+            bw = silvermans_rule(mstate.x) * self.bw_scale
+        n = self.n_steps if n_steps is None else n_steps
+
+        def body(carry, _):
+            ms, _ = carry
+            ms, gnorm = self.step(ms, bw)
+            return (ms, gnorm), gnorm
+
+        (mstate, _), grads = jax.lax.scan(
+            body, (mstate, jnp.float32(0.0)), None, length=n
+        )
+        mstate = mstate.replace(prior=self.make_prior(mstate.x, bw))
+        return mstate, grads, bw

@@ -1,0 +1,208 @@
+"""SVMPC — Stein variational MPC over control-sequence particles.
+
+TPU-native redesign of `dust/inference/svmpc.py:14-200`. Policy particles
+theta [m, horizon, ctrl_dim] follow the Stein direction of the control
+posterior: a GMM prior around the previous particles plus a cost
+pseudo-likelihood evaluated by the DISCO controller's batched rollouts.
+All mutable reference state (theta, optimizer, prior, controller plan)
+lives in explicit pytrees (`SVMPCState` + the controller's `DiscoState`)
+threaded through pure methods, so one MPC step jits into a single device
+program — including the Silverman bandwidth the reference computes on host
+via KDEpy every call (`svmpc.py:105`).
+
+Kernel paths (mirroring `svmpc.py:63-84`):
+
+* "rbf" — flat-particle RBF, the gpytorch path. The reference has two
+  quirks here, reproduced under `reference_compat=True`:
+  (1) `self.kernel.lenghtscale = bw` is a typo, so the gpytorch lengthscale
+      stays at softplus(0) = ln 2 forever (`svmpc.py:78`);
+  (2) the kernel-gradient term is the autograd gradient through the
+      *first* argument, which for SVGD is an attraction, and it is not
+      divided by m (`svmpc.py:82-83`).
+  With `reference_compat=False` (default) we use the computed bandwidth
+  and the standard repulsion (-grad, /m).
+* "message_passing" — the iid_mp per-timestep kernel with analytic
+  gradients; the reference math here is standard SVGD and is reproduced
+  as-is. (Reference `svmpc.py:67` sets `.ell` on the composite kernel,
+  a no-op — the base RBF keeps its median-trick bandwidth; same here.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..distributions import GMM
+from ..ops.bandwidth import silvermans_rule
+from ..ops.kernels import iid_mp, rbf_gram_and_grad
+
+# gpytorch RBFKernel default lengthscale: softplus(raw=0) = ln 2
+_GPYTORCH_DEFAULT_LENGTHSCALE = math.log(2.0)
+
+
+@struct.dataclass
+class SVMPCState:
+    theta: jax.Array          # [m, H, A]
+    opt_state: optax.OptState
+    prior: GMM                # over event [H, A]
+
+
+class SVMPC:
+    def __init__(
+        self,
+        likelihood,
+        kernel="rbf",
+        ctrl_dim=None,
+        indep_controls=True,
+        n_particles=None,
+        n_steps=1,
+        lr=0.1,
+        optimizer=None,
+        bw_scale=1.0,
+        roll_strategy="repeat",
+        weighted_prior=False,
+        reference_compat=False,
+    ):
+        self.likelihood = likelihood
+        self.controller = likelihood.controller
+        self.kernel = kernel
+        self.ctrl_dim = ctrl_dim if ctrl_dim is not None else self.controller.dim_a
+        self.indep_controls = bool(indep_controls)
+        self.n_particles = int(n_particles)
+        self.n_steps = int(n_steps)
+        self.bw_scale = float(bw_scale)
+        self.roll_strategy = roll_strategy
+        self.weighted_prior = bool(weighted_prior)
+        self.reference_compat = bool(reference_compat)
+        self.optimizer = optimizer if optimizer is not None else optax.sgd(lr)
+        # sigma for the analytic likelihood gradient (`svmpc.py:108-111`)
+        self.sigma = jnp.sqrt(jnp.diagonal(self.controller.a_cov))
+
+    def init_state(self, init_particles, prior: GMM) -> SVMPCState:
+        theta = jnp.asarray(init_particles, jnp.float32)
+        return SVMPCState(
+            theta=theta, opt_state=self.optimizer.init(theta), prior=prior
+        )
+
+    # -- Stein direction (`svmpc.py:32-85`) -------------------------------
+
+    def phi(self, svstate: SVMPCState, dstate, state, params_dist, key, bw,
+            noise=None):
+        """Returns (phi [m, H, A], new_dstate, costs [n_samples, m])."""
+        x = svstate.theta
+        m = x.shape[0]
+
+        grad_pri = jax.grad(lambda t: jnp.sum(svstate.prior.log_prob(t)))(x)
+
+        new_dstate, costs, actions, _, _ = self.likelihood.sample(
+            dstate, x, state, params_dist, key, noise=noise
+        )
+        # analytic likelihood gradient (`svmpc.py:46-56`): per-particle
+        # softmax cost weights over action samples x reparameterized score
+        alpha = self.likelihood.alpha
+        w = jax.nn.softmax(-costs * alpha, axis=0)          # [n_samples, m]
+        d_log_pi = (actions - x) / self.sigma**2            # [n_s, m, H, A]
+        grad_lik = jnp.sum(w[..., None, None] * d_log_pi, axis=0)
+        score = grad_lik + grad_pri                         # [m, H, A]
+
+        flat = x.reshape(m, -1)
+        if self.kernel == "message_passing":
+            k, dk = iid_mp(flat, flat, self.ctrl_dim, self.indep_controls)
+            grad = jnp.mean(k * score.reshape(1, m, -1), axis=1)
+            rep = jnp.mean(dk, axis=1)
+            phi = (grad + rep).reshape(x.shape)
+        elif self.kernel == "rbf":
+            bw_eff = (
+                jnp.asarray(_GPYTORCH_DEFAULT_LENGTHSCALE)
+                if self.reference_compat
+                else bw
+            )
+            k, grad_first = rbf_gram_and_grad(flat, flat, bw_eff)
+            if self.reference_compat:
+                grad_k = grad_first.reshape(x.shape)        # `svmpc.py:82`
+                phi = grad_k + jnp.tensordot(k, score, axes=1) / m
+            else:
+                grad_k = -grad_first.reshape(x.shape)
+                phi = (jnp.tensordot(k, score, axes=1) + grad_k) / m
+        else:
+            raise ValueError(f"Kernel type '{self.kernel}' is not valid.")
+        return phi, new_dstate, costs
+
+    def svgd_step(self, svstate, dstate, state, params_dist, key, bw,
+                  noise=None):
+        phi, new_dstate, costs = self.phi(
+            svstate, dstate, state, params_dist, key, bw, noise=noise
+        )
+        updates, opt_state = self.optimizer.update(
+            -phi, svstate.opt_state, svstate.theta
+        )
+        theta = optax.apply_updates(svstate.theta, updates)
+        return svstate.replace(theta=theta, opt_state=opt_state), new_dstate, costs
+
+    # -- optimize (`svmpc.py:97-126`) -------------------------------------
+
+    def optimize(self, svstate, dstate, state, params_dist, key, bw=None,
+                 n_steps=None):
+        """n_steps SVGD updates. Returns (svstate, dstate, costs) with the
+        last step's costs cached for the fast-path weight computation."""
+        if bw is None:
+            bw = silvermans_rule(svstate.theta)
+        n = self.n_steps if n_steps is None else n_steps
+        costs = None
+        for k in jax.random.split(key, n):
+            svstate, dstate, costs = self.svgd_step(
+                svstate, dstate, state, params_dist, k, bw
+            )
+        return svstate, dstate, costs
+
+    # -- weights / selection / roll / prior (`svmpc.py:128-200`) ----------
+
+    def get_weights(self, svstate, costs):
+        log_l = self.likelihood.log_prob(costs)             # [m]
+        log_p = svstate.prior.log_prob(svstate.theta)       # [m]
+        log_w = log_l + log_p
+        return jnp.exp(log_w - jax.nn.logsumexp(log_w))
+
+    def roll(self, svstate, key=None, steps=-1):
+        """Shift particles along the horizon (`svmpc.py:142-158`)."""
+        theta = jnp.roll(svstate.theta, steps, axis=-2)
+        if self.roll_strategy == "repeat":
+            theta = theta.at[..., -1, :].set(theta[..., -2, :])
+        elif self.roll_strategy == "resample":
+            draw = svstate.prior.sample(key, (self.n_particles,))
+            theta = theta.at[..., -1, :].set(draw[..., -1, :])
+        elif self.roll_strategy == "mean":
+            theta = theta.at[..., -1, :].set(jnp.mean(theta, axis=-2))
+        else:
+            raise ValueError(
+                f"{self.roll_strategy} is an invalid roll strategy."
+            )
+        return svstate.replace(theta=theta)
+
+    def update_prior(self, svstate, weights=None):
+        """Rebuild the GMM prior around the current particles with the
+        previous component covariance (`svmpc.py:160-170`)."""
+        if weights is None or not self.weighted_prior:
+            logits = jnp.zeros(svstate.theta.shape[0])
+        else:
+            logits = jnp.log(jnp.clip(weights, 1e-37))
+        prior = GMM(
+            locs=svstate.theta,
+            scale_tril=svstate.prior.scale_tril,
+            logits=logits,
+        )
+        return svstate.replace(prior=prior)
+
+    def forward(self, svstate, costs, key=None, steps=-1):
+        """Select the best particle, roll, refresh the prior
+        (`svmpc.py:172-200`). Returns (svstate, a_seq [H, A], weights [m])."""
+        weights = self.get_weights(svstate, costs)
+        i_star = jnp.argmax(weights)
+        a_seq = svstate.theta[i_star]
+        svstate = self.roll(svstate, key=key, steps=steps)
+        svstate = self.update_prior(svstate, weights)
+        return svstate, a_seq, weights

@@ -21,12 +21,23 @@ jax.config.update("jax_platforms", "cpu")
 # The container's sitecustomize registers a remote-TPU PJRT plugin (axon) in
 # every interpreter; initializing it dials a tunnel and can block the whole
 # test process. Tests are CPU-only by design (virtual 8-device mesh), so we
-# drop every non-CPU backend factory before any backend is initialized.
+# neuter every non-CPU backend factory before any backend is initialized.
+# (The registrations themselves must stay — jax's known-platform list feeds
+# MLIR lowering registration, e.g. checkify's TPU rule via optax.)
+import dataclasses as _dataclasses
+
 from jax._src import xla_bridge as _xla_bridge
 
-for _name in list(_xla_bridge._backend_factories):
+
+def _disabled_backend_factory(*args, **kwargs):
+    raise RuntimeError("non-CPU backends are disabled in the test suite")
+
+
+for _name, _reg in list(_xla_bridge._backend_factories.items()):
     if _name != "cpu":
-        _xla_bridge._backend_factories.pop(_name)
+        _xla_bridge._backend_factories[_name] = _dataclasses.replace(
+            _reg, factory=_disabled_backend_factory, fail_quietly=True
+        )
 
 import numpy as np
 import pytest
@@ -51,6 +62,8 @@ def reference():
         if not hasattr(np, alias):
             setattr(np, alias, target)
 
+    _install_reference_dep_shims()
+
     def _import(module_name):
         import importlib
 
@@ -67,3 +80,59 @@ def reference():
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def _install_reference_dep_shims():
+    """Minimal stand-ins for reference deps missing from this image
+    (gpytorch, KDEpy) so `dust.inference.svmpc` / `mpf` import. They
+    reproduce exactly the numerics the reference exercises:
+    gpytorch RBFKernel with its default lengthscale softplus(0) = ln 2
+    (the reference never successfully changes it — `svmpc.py:78` typo),
+    and KDEpy's 1-D Silverman rule."""
+    import math
+    import types
+
+    import torch
+
+    if "gpytorch" not in sys.modules:
+        gpytorch = types.ModuleType("gpytorch")
+        kernels = types.ModuleType("gpytorch.kernels")
+
+        class _Lazy:
+            def __init__(self, t):
+                self._t = t
+
+            def evaluate(self):
+                return self._t
+
+        class RBFKernel:
+            def __init__(self):
+                self.lengthscale = math.log(2.0)  # softplus(0)
+
+            def __call__(self, x, y):
+                d2 = torch.cdist(x, y) ** 2
+                return _Lazy(torch.exp(-d2 / (2 * self.lengthscale**2)))
+
+        kernels.RBFKernel = RBFKernel
+        gpytorch.kernels = kernels
+        sys.modules["gpytorch"] = gpytorch
+        sys.modules["gpytorch.kernels"] = kernels
+
+    if "KDEpy" not in sys.modules:
+        kdepy = types.ModuleType("KDEpy")
+        bw_selection = types.ModuleType("KDEpy.bw_selection")
+
+        def silvermans_rule(data, weights=None):
+            data = np.asarray(data).ravel()
+            sigma = np.std(data, ddof=1)
+            iqr = (
+                np.percentile(data, 75) - np.percentile(data, 25)
+            ) / 1.3489795003921634
+            if iqr > 0:
+                sigma = min(sigma, iqr)
+            return sigma * (len(data) * 3 / 4.0) ** (-0.2)
+
+        bw_selection.silvermans_rule = silvermans_rule
+        kdepy.bw_selection = bw_selection
+        sys.modules["KDEpy"] = kdepy
+        sys.modules["KDEpy.bw_selection"] = bw_selection
