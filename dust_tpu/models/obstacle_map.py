@@ -42,10 +42,17 @@ class ObstacleMap:
     def c_offset(self):
         return np.array([self.origin_xi, self.origin_yi], dtype=np.float32)
 
+    def convert_map(self):
+        """Materialize the device-side constant. Must be called outside any
+        jit trace (a constant created during tracing is a tracer and must
+        not be cached across traces)."""
+        self._device_map = jnp.asarray(self.map)
+        return self._device_map
+
     @property
     def device_map(self):
         if self._device_map is None:
-            self._device_map = jnp.asarray(self.map)
+            return jnp.asarray(self.map)  # uncached: safe under tracing
         return self._device_map
 
     def get_collisions(self, x):
@@ -163,4 +170,5 @@ def generate_obstacle_map(map_dim=(10, 10), obst_list=(), cell_size=1.0,
 
     if map_type not in (None, "direct"):
         raise IOError(f'Map type "{map_type}" not recognized')
+    obst_map.convert_map()
     return obst_map

@@ -1,0 +1,313 @@
+"""Closed-loop MPC episode harness.
+
+TPU-native redesign of `dust/utils/simulations.py:13-260`. The reference
+steps a Python loop (SVMPC optimize -> forward -> gym env.step -> MPF
+optimize) with host logging; here the *entire episode* is one
+`lax.scan`-over-steps jitted device program:
+
+* the simulator is the dynamics model itself with the episode's true
+  parameters passed as traced values (one compile serves every episode /
+  seed — this is what makes the pod-scale scenario sweep a `vmap`);
+  gym `Pendulum-v0` dynamics == `PendulumModel.step` with g=10
+  (`dust/models/pendulum.py:93-100` vs gym classic control);
+* warm-up gating, the particle task's mid-episode mass change, crash and
+  goal termination are all branchless (`lax.cond` / done-masks) per
+  SURVEY.md §7.4.3;
+* per-step logs (states, actions, costs, particles, weights, bandwidths)
+  are stacked by the scan and converted to the reference's pandas
+  DataFrame schema on host afterwards.
+
+Intended-behavior note: when MPF is active, rollout parameters are drawn
+from the *current* MPF prior each step. The reference instead keeps a
+stale alias created before the loop (`simulations.py:79` — live particle
+locations but the initial bandwidth forever).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.pendulum import PendulumModel
+
+
+class PendulumSimulation:
+    """Multi-episode pendulum harness (`run_pendulum_simulation`,
+    `dust/utils/simulations.py:13-194`)."""
+
+    def __init__(self, controller, svmpc=None, mpf=None, model=None,
+                 sim_g=10.0, sim_dt=0.05, steps=200, warm_up=1,
+                 use_svmpc=True, disco_strategy="average", mpf_bw=None,
+                 mpf_steps=None):
+        self.controller = controller
+        self.svmpc = svmpc
+        self.mpf = mpf
+        self.model = model  # internal rollout model
+        self.sim_model = PendulumModel(g=sim_g, dt=sim_dt)
+        self.steps = int(steps)
+        self.warm_up = int(warm_up)
+        self.use_svmpc = bool(use_svmpc)
+        self.disco_strategy = disco_strategy
+        self.mpf_bw = mpf_bw          # None -> per-step Silverman
+        self.mpf_steps = mpf_steps    # None -> mpf.n_steps
+
+    def episode_fn(self, static_dyn_dist):
+        """Build the jittable single-episode function
+        (key, true_params, init_obs, dstate, svstate, mstate) -> (carry,
+        logs). `true_params` is a dict of traced scalars for the simulator."""
+        ctrl, svmpc, mpf = self.controller, self.svmpc, self.mpf
+        model, use_svmpc, warm_up = self.model, self.use_svmpc, self.warm_up
+
+        def episode(key, true_params, init_obs, dstate, svstate, mstate):
+            def step_fn(carry, t):
+                key, obs, dstate, svstate, mstate = carry
+                key, k_opt, k_fwd = jax.random.split(key, 3)
+                dyn_dist = mstate.prior if mpf is not None else static_dyn_dist
+
+                if use_svmpc:
+                    svstate, dstate, costs = svmpc.optimize(
+                        svstate, dstate, obs, dyn_dist, k_opt
+                    )
+
+                    def act_fn(op):
+                        sv, c = op
+                        sv2, a_seq, w = svmpc.forward(sv, c, key=k_fwd)
+                        return sv2, a_seq[0], w
+
+                    def warm_fn(op):
+                        sv, _ = op
+                        return (
+                            sv,
+                            jnp.zeros((ctrl.dim_a,)),
+                            jnp.full((svmpc.n_particles,), jnp.nan),
+                        )
+
+                    svstate, action, weights = jax.lax.cond(
+                        t >= warm_up, act_fn, warm_fn, (svstate, costs)
+                    )
+                else:
+                    dstate, _, _, _, _, _ = ctrl.forward(
+                        dstate, obs, model, dyn_dist, k_opt
+                    )
+                    dstate, next_actions = ctrl.step(
+                        dstate, strategy=self.disco_strategy
+                    )
+                    action = next_actions.reshape(-1)
+                    weights = dstate.a_mix
+
+                obs = self.sim_model.step(obs, action[None], true_params)
+
+                if mpf is not None:
+                    mstate, _, bw = mpf.optimize(
+                        mstate, action, obs[0], bw=self.mpf_bw,
+                        n_steps=self.mpf_steps,
+                    )
+                else:
+                    bw = jnp.float32(0.0)
+
+                cost = ctrl.inst_cost_fn(obs)[0]
+                theta_log = (
+                    svstate.theta if use_svmpc
+                    else jnp.zeros((ctrl.n_pol, ctrl.hz_len, ctrl.dim_a))
+                )
+                dyn_log = mstate.x if mpf is not None else jnp.zeros((1, 1))
+                log = (obs[0], action, cost, theta_log, weights, dyn_log, bw)
+                return (key, obs, dstate, svstate, mstate), log
+
+            carry0 = (key, init_obs, dstate, svstate, mstate)
+            return jax.lax.scan(step_fn, carry0, jnp.arange(self.steps))
+
+        return episode
+
+    def run(self, key, experiment_params, init_state, init_policies,
+            policies_prior=None, dyn_dist=None, mpf_init=None,
+            episodes=None, verbose=False):
+        """Run one episode per entry of `experiment_params` (list of dicts
+        of true simulator parameters); returns the reference-schema
+        DataFrame (`simulations.py:172-193`)."""
+        import pandas as pd
+
+        episodes = len(experiment_params) if episodes is None else episodes
+        episode_fn = jax.jit(self.episode_fn(dyn_dist))
+
+        epoch_rows = []
+        init_obs = jnp.asarray(init_state, jnp.float32).reshape(1, -1)
+        for i in range(episodes):
+            key, k_ep = jax.random.split(key)
+            true = experiment_params[i]
+            true_params = {k: jnp.float32(v) for k, v in true.items()}
+            dstate = self.controller.init_state(init_policies)
+            svstate = (
+                self.svmpc.init_state(init_policies, policies_prior)
+                if self.use_svmpc else ()
+            )
+            mstate = (
+                self.mpf.init_state(
+                    mpf_init, init_obs[0], self.controller.dim_a
+                )
+                if self.mpf is not None else ()
+            )
+            _, logs = episode_fn(
+                k_ep, true_params, init_obs, dstate, svstate, mstate
+            )
+            states, actions, costs, thetas, weights, dyn_parts, bws = map(
+                np.asarray, logs
+            )
+            if verbose:
+                print(
+                    f"episode {i}: params={true} "
+                    f"final avg cost={costs[-20:].mean():.3f}"
+                )
+            df = pd.DataFrame(
+                index=list(range(self.steps)),
+                data={
+                    "Cost": costs,
+                    "Position": states[:, 0],
+                    "Speed": states[:, 1],
+                    "Actions": actions[:, 0],
+                    "Timestep": np.arange(self.steps),
+                    "Iteration": i,
+                    "DynParticles": (
+                        list(dyn_parts) if self.mpf is not None else None
+                    ),
+                    "DynBandwidths": bws,
+                    "PolParticles": thetas[..., 0, 0].tolist(),
+                    "Weights": weights.tolist(),
+                    "ExpParams": self.steps * [list(true.values())],
+                },
+            )
+            df["AvgCumCost"] = (
+                df["Cost"].cumsum(0) / (df["Timestep"] + 1)
+            ).round(2)
+            epoch_rows.append(df)
+        return pd.concat(epoch_rows, axis=0)
+
+
+def particle_episode_fn(model, controller, svmpc=None, mpf=None,
+                        dyn_dist=None, load=0.0, steps=400, warm_up=30,
+                        mpf_bw=None, mpf_steps=None, use_svmpc=True,
+                        success_dist=1.0):
+    """Build the jittable particle-navigation episode
+    (`dust/utils/simulations.py:197-260` + `demo/particle_example.py:177-242`):
+    the model doubles as the simulator, the simulator mass gains `load` at
+    steps//4, collisions terminate with infinite cost, reaching within
+    `success_dist` of the target terminates successfully. Runs the full
+    `steps` scan with a done-mask (state freezes after termination).
+
+    Returns episode(key, state0, dstate, svstate, mstate) ->
+    (final_state, done, crashed, cum_cost, logs).
+    """
+    ctrl = controller
+    base_mass = jnp.float32(model.params_dict["mass"])
+    target = model.target
+    change_at = steps // 4
+    has_map = model.with_obstacle and model.obst_map is not None
+
+    def episode(key, state0, dstate, svstate, mstate):
+        def step_fn(carry, t):
+            key, state, dstate, svstate, mstate, done, crashed, cum = carry
+            key, k_opt, k_fwd = jax.random.split(key, 3)
+            dyn_dist_t = mstate.prior if mpf is not None else dyn_dist
+
+            if use_svmpc:
+                svstate, dstate, costs = svmpc.optimize(
+                    svstate, dstate, state[None], dyn_dist_t, k_opt
+                )
+
+                def act_fn(op):
+                    sv, c = op
+                    sv2, a_seq, _ = svmpc.forward(sv, c, key=k_fwd)
+                    return sv2, a_seq[0]
+
+                def warm_fn(op):
+                    return op[0], jnp.zeros((ctrl.dim_a,))
+
+                svstate, action = jax.lax.cond(
+                    t >= warm_up, act_fn, warm_fn, (svstate, costs)
+                )
+            else:
+                dstate, _, _, _, _, _ = ctrl.forward(
+                    dstate, state[None], model, dyn_dist_t, k_opt
+                )
+                dstate, next_actions = ctrl.step(dstate, strategy="argmax")
+                action = next_actions.reshape(-1)
+
+            sim_mass = jnp.where(t >= change_at, base_mass + load, base_mass)
+            new_state = model.step(
+                state[None], action[None], {"mass": sim_mass}
+            )[0]
+            state = jnp.where(done, state, new_state)
+
+            if mpf is not None:
+                def mpf_fn(ms):
+                    ms2, _, _ = mpf.optimize(
+                        ms, action, state, bw=mpf_bw, n_steps=mpf_steps
+                    )
+                    return ms2
+
+                mstate = jax.lax.cond(
+                    (t >= warm_up) & ~done, mpf_fn, lambda ms: ms, mstate
+                )
+
+            cost = ctrl.inst_cost_fn(state[None])[0]
+            cum = jnp.where(done, cum, cum + cost)
+
+            crash_now = (
+                (model.obst_map.get_collisions(state[:2]) > 0)
+                if has_map else jnp.bool_(False)
+            )
+            success_now = jnp.linalg.norm(target - state) <= success_dist
+            crashed = crashed | (crash_now & ~done)
+            done = done | crash_now | success_now
+
+            dyn_log = mstate.x if mpf is not None else jnp.zeros((1, 1))
+            log = (state, action, cost, dyn_log, done)
+            return (key, state, dstate, svstate, mstate, done, crashed,
+                    cum), log
+
+        carry0 = (key, state0, dstate, svstate, mstate, jnp.bool_(False),
+                  jnp.bool_(False), jnp.float32(0.0))
+        carry, logs = jax.lax.scan(step_fn, carry0, jnp.arange(steps))
+        _, state, _, _, _, done, crashed, cum = carry
+        return state, done, crashed, cum, logs
+
+    return episode
+
+
+def run_particle_episode(key, model, controller, svmpc=None, svstate=None,
+                         mpf=None, mstate=None, dyn_dist=None,
+                         init_state=None, load=0.0, steps=400, warm_up=30,
+                         mpf_bw=None, mpf_steps=None, use_svmpc=True,
+                         success_dist=1.0):
+    """Run one particle episode end to end; returns a dict of outcome
+    scalars + logged arrays (trajectory truncated at termination, cum_cost
+    = inf on crash, matching `simulations.py:250-257`)."""
+    episode = jax.jit(particle_episode_fn(
+        model, controller, svmpc=svmpc, mpf=mpf, dyn_dist=dyn_dist,
+        load=load, steps=steps, warm_up=warm_up, mpf_bw=mpf_bw,
+        mpf_steps=mpf_steps, use_svmpc=use_svmpc, success_dist=success_dist,
+    ))
+    state0 = (
+        jnp.asarray(init_state, jnp.float32)
+        if init_state is not None else model.init_state
+    )
+    dstate = controller.init_state()
+    state, done, crashed, cum, logs = episode(
+        key, state0, dstate,
+        svstate if use_svmpc else (),
+        mstate if mpf is not None else (),
+    )
+    states, actions, costs, dyn_parts, dones = map(np.asarray, logs)
+    n_steps = int(dones.argmax() + 1) if bool(dones.any()) else int(steps)
+    return {
+        "cum_cost": float(np.inf) if bool(crashed) else float(cum),
+        "crashed": bool(crashed),
+        "success": bool(done) and not bool(crashed),
+        "steps": n_steps,
+        "trajectory": states[:n_steps],
+        "actions": actions[:n_steps],
+        "costs": costs[:n_steps],
+        "dyn_particles": dyn_parts[:n_steps],
+        "final_state": np.asarray(state),
+    }
