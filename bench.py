@@ -1,0 +1,151 @@
+"""Benchmark: DuSt-MPC dual-inference solves/s on one TPU chip.
+
+Headline workload = BASELINE.json config #3 at the reference demo shapes
+(`demo/pendulum_config.yaml`): per MPC solve, 1 SVMPC SVGD step over
+8 params x 128 action samples x 3 policies x horizon-30 batched rollouts
+plus selection/roll/prior refresh, then 20 MPF SVGD steps on 50 dynamics
+particles — the exact per-step work `bench/reference_bench.py` times for
+the torch reference on CPU (measured there: see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
+
+Modes timed:
+  * episode-scan (headline): the whole closed-loop episode is one device
+    program — the production path;
+  * per-step dispatch: one jitted solve per host call — the real-time
+    replanning latency view (extra field).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dust_tpu.experiments import build_pendulum_stack, load_config
+from dust_tpu.simulation import PendulumSimulation
+
+# torch CPU reference, measured by bench/reference_bench.py on this
+# machine (anomaly detection off). Override with BASELINE_SOLVES.
+REFERENCE_SOLVES_PER_S = float(os.environ.get("BASELINE_SOLVES", "4.374"))
+
+STEPS = int(os.environ.get("BENCH_STEPS", "200"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
+def build(key):
+    config = load_config(
+        os.path.join(os.path.dirname(__file__), "demo/pendulum_config.yaml")
+    )
+    stack = build_pendulum_stack(config, key, case="dust")
+    harness = PendulumSimulation(
+        controller=stack.controller,
+        svmpc=stack.svmpc,
+        mpf=stack.mpf,
+        model=stack.model,
+        steps=STEPS,
+        warm_up=0,
+        mpf_bw=stack.mpf_bw,
+        mpf_steps=stack.mpf_steps,
+    )
+    return config, stack, harness
+
+
+def bench_episode_scan(stack, harness):
+    """Whole-episode scan: STEPS MPC solves in one device program."""
+    episode = jax.jit(harness.episode_fn(stack.dynamics_prior))
+    true_params = {"length": jnp.float32(1.0), "mass": jnp.float32(1.0)}
+    init_obs = stack.init_state.reshape(1, -1)
+
+    def run(key):
+        dstate = stack.controller.init_state(stack.init_policies)
+        svstate = stack.svmpc.init_state(
+            stack.init_policies, stack.policies_prior
+        )
+        mstate = stack.mpf.init_state(stack.mpf_init, stack.init_state, 1)
+        carry, logs = episode(
+            key, true_params, init_obs, dstate, svstate, mstate
+        )
+        return logs[2]  # costs
+
+    costs = run(jax.random.key(0))
+    costs.block_until_ready()  # compile + warm
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        costs = run(jax.random.key(i + 1))
+        costs.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return STEPS / best, costs
+
+
+def bench_per_step(stack, harness):
+    """One jitted solve per host dispatch (replanning latency view)."""
+
+    @jax.jit
+    def solve(key, true_params, obs, dstate, svstate, mstate):
+        # one full solve: svmpc optimize + forward + sim step + mpf update
+        k_opt, k_fwd = jax.random.split(key)
+        svstate2, dstate2, costs = stack.svmpc.optimize(
+            svstate, dstate, obs, mstate.prior, k_opt
+        )
+        svstate2, a_seq, _ = stack.svmpc.forward(svstate2, costs, key=k_fwd)
+        action = a_seq[0]
+        obs2 = harness.sim_model.step(obs, action[None], true_params)
+        mstate2, _, _ = stack.mpf.optimize(
+            mstate, action, obs2[0], bw=stack.mpf_bw,
+            n_steps=stack.mpf_steps,
+        )
+        return obs2, dstate2, svstate2, mstate2
+
+    true_params = {"length": jnp.float32(1.0), "mass": jnp.float32(1.0)}
+    obs = stack.init_state.reshape(1, -1)
+    dstate = stack.controller.init_state(stack.init_policies)
+    svstate = stack.svmpc.init_state(stack.init_policies, stack.policies_prior)
+    mstate = stack.mpf.init_state(stack.mpf_init, stack.init_state, 1)
+
+    key = jax.random.key(0)
+    obs2, dstate, svstate, mstate = solve(
+        key, true_params, obs, dstate, svstate, mstate
+    )
+    obs2.block_until_ready()
+    n = 50
+    t0 = time.perf_counter()
+    for i in range(n):
+        key, k = jax.random.split(key)
+        obs, dstate, svstate, mstate = solve(
+            k, true_params, obs, dstate, svstate, mstate
+        )
+    obs.block_until_ready()
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    key = jax.random.key(0)
+    _, stack, harness = build(key)
+
+    scan_solves, costs = bench_episode_scan(stack, harness)
+    step_solves = bench_per_step(stack, harness)
+
+    import numpy as np
+
+    final_cost = float(np.asarray(costs)[-20:].mean())
+    result = {
+        "metric": "pendulum_dust_solves_per_s_per_chip",
+        "value": round(scan_solves, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(scan_solves / REFERENCE_SOLVES_PER_S, 2),
+        "per_step_dispatch_solves_per_s": round(step_solves, 2),
+        "reference_solves_per_s_cpu": REFERENCE_SOLVES_PER_S,
+        "episode_steps": STEPS,
+        "final_cost_sanity": round(final_cost, 3),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Sharded scenario sweeps: thousands of MPC episodes in parallel.
+
+The pod-scale analogue of the reference's sequential Optuna trials and
+multi-episode loops (`demo/pendulum_tuning.py:179-180`,
+`dust/utils/simulations.py:36`): every scenario (seed x true-parameter
+draw) runs the full closed-loop episode; `vmap` batches them into one
+device program and the scenario axis shards over the mesh. Per-scenario
+failure isolation is inherent — a NaN episode stays in its own batch lane
+(SURVEY.md §5.3) and is reported per-scenario, never poisoning the
+reduction (metrics use nan-aware reductions).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import scenario_sharding
+
+
+class ScenarioSweep:
+    """vmap + shard a `PendulumSimulation`-style episode over scenarios.
+
+    Usage:
+        sweep = ScenarioSweep(harness, dyn_dist, mesh)
+        out = sweep.run(keys [N], true_params {k: [N]}, init_obs, dstate0,
+                        svstate0, mstate0)   # N sharded over the mesh
+    """
+
+    def __init__(self, harness, static_dyn_dist=None, mesh=None,
+                 axis="scenario"):
+        self.harness = harness
+        self.mesh = mesh
+        self.axis = axis
+        episode = harness.episode_fn(static_dyn_dist)
+
+        def batched(keys, true_params, init_obs, dstate, svstate, mstate):
+            carry, logs = jax.vmap(episode)(
+                keys, true_params, init_obs, dstate, svstate, mstate
+            )
+            states, actions, costs = logs[0], logs[1], logs[2]
+            # nan-aware per-scenario isolation: a diverged episode reports
+            # nan metrics for itself only
+            cum_costs = jnp.sum(costs, axis=1)
+            avg_cum = cum_costs / costs.shape[1]
+            healthy = jnp.isfinite(cum_costs)
+            return {
+                "costs": costs,              # [N, steps]
+                "states": states,            # [N, steps, S]
+                "actions": actions,          # [N, steps, A]
+                "avg_cum_cost": avg_cum,     # [N]
+                "healthy": healthy,          # [N]
+                "mean_cost_healthy": jnp.nanmean(
+                    jnp.where(healthy, avg_cum, jnp.nan)
+                ),
+            }
+
+        if mesh is not None:
+            shard = scenario_sharding(mesh, axis)
+            replicated = NamedSharding(mesh, P())
+
+            def shard_of(tree):
+                return jax.tree_util.tree_map(lambda _: shard, tree)
+
+            self._fn = jax.jit(
+                batched,
+                in_shardings=(
+                    shard,            # keys [N]
+                    None,             # true_params dict [N]-leaves (auto)
+                    shard,            # init_obs [N, 1, S]
+                    None, None, None,  # batched state pytrees (auto)
+                ),
+                out_shardings=None,
+            )
+        else:
+            self._fn = jax.jit(batched)
+
+    def run(self, keys, true_params, init_obs, dstate, svstate, mstate):
+        if self.mesh is not None:
+            shard = scenario_sharding(self.mesh, self.axis)
+            place = lambda tree: jax.device_put(
+                tree,
+                jax.tree_util.tree_map(lambda _: shard, tree),
+            )
+            keys = jax.device_put(keys, shard)
+            true_params = place(true_params)
+            init_obs = jax.device_put(init_obs, shard)
+            dstate = place(dstate)
+            svstate = place(svstate)
+            mstate = place(mstate)
+        return self._fn(keys, true_params, init_obs, dstate, svstate, mstate)
+
+
+def broadcast_scenarios(tree, n):
+    """Tile a per-episode init pytree across a leading scenario axis."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n, *jnp.shape(x))), tree
+    )
