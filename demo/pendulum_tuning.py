@@ -1,0 +1,106 @@
+"""Pendulum hyperparameter tuning.
+
+TPU-native counterpart of the reference `demo/pendulum_tuning.py` (Optuna,
+200 sequential trials over lr / alpha / prior sigma / horizon minimizing
+mean episode cost): the same search space through `random_search`, plus a
+`--parallel-lr` mode that evaluates a whole learning-rate grid as one
+vmapped (mesh-shardable) device program.
+
+Usage:
+    python demo/pendulum_tuning.py [--trials N] [--steps N]
+    python demo/pendulum_tuning.py --parallel-lr 16
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dust_tpu.experiments import build_pendulum_stack, load_config
+from dust_tpu.simulation import PendulumSimulation
+from dust_tpu.tuning import parallel_lr_sweep, random_search
+
+SPACE = {
+    "learning_rate": (0.1, 10.0, "log"),
+    "alpha": (0.25, 4.0, "log"),
+    "prior_sigma": (0.5, 5.0),
+    "horizon": [20, 30, 40],
+}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--trials", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--parallel-lr", type=int, default=0,
+                        help="evaluate N learning rates in one program")
+    args = parser.parse_args()
+
+    config_path = Path(__file__).parent / "pendulum_config.yaml"
+    base_config = load_config(config_path)
+    true_params = {"length": 1.0, "mass": 1.0}
+
+    if args.parallel_lr:
+        # one compiled program, N lanes, each with its own lr
+        config = load_config(config_path)
+        stack = build_pendulum_stack(
+            config, jax.random.key(args.seed), case="svmpc"
+        )
+        # rebuild SVMPC with an injectable learning rate
+        stack.svmpc.optimizer = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=1.0
+        )
+        harness = PendulumSimulation(
+            controller=stack.controller, svmpc=stack.svmpc,
+            model=stack.model, steps=args.steps, warm_up=0,
+        )
+        lrs = jnp.logspace(-1, 1, args.parallel_lr)
+        costs = parallel_lr_sweep(
+            harness, stack, lrs, jax.random.key(args.seed + 1), true_params
+        )
+        for lr, c in zip(np.asarray(lrs), np.asarray(costs)):
+            print(f"lr={lr:8.3f}  avg_cum_cost={c:10.2f}")
+        best = int(np.nanargmin(np.asarray(costs)))
+        print(f"best lr: {float(lrs[best]):.3f} "
+              f"(cost {float(costs[best]):.2f})")
+        return
+
+    def objective(trial):
+        config = load_config(config_path)
+        config["exp_params"].update(
+            learning_rate=trial["learning_rate"],
+            alpha=trial["alpha"],
+            prior_sigma=trial["prior_sigma"],
+            horizon=trial["horizon"],
+        )
+        stack = build_pendulum_stack(
+            config, jax.random.key(args.seed), case="svmpc"
+        )
+        harness = PendulumSimulation(
+            controller=stack.controller, svmpc=stack.svmpc,
+            model=stack.model, steps=args.steps, warm_up=0,
+        )
+        df = harness.run(
+            jax.random.key(args.seed + 1), [true_params],
+            init_state=stack.init_state,
+            init_policies=stack.init_policies,
+            policies_prior=stack.policies_prior,
+            dyn_dist=stack.dynamics_prior,
+        )
+        return float(df["Cost"].mean())
+
+    best, value, history = random_search(
+        objective, SPACE, args.trials, seed=args.seed, verbose=True
+    )
+    print(f"\nbest: {best} -> {value:.3f}")
+
+
+if __name__ == "__main__":
+    main()

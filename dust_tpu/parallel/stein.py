@@ -1,0 +1,105 @@
+"""Particle-axis sharded SVGD: the tensor-parallel analogue.
+
+The SVGD Gram matrix [m, m] is the one quadratic object in the framework
+(SURVEY.md §5.7 — the "attention matrix" of this workload). For large
+particle counts it shards by rows: each device owns m/p particles,
+`all_gather`s the (small, [m, d]) particle and score tensors over ICI,
+and computes only its row-block of K and the fused contractions —
+blockwise-Gram compute, O(m^2/p) per device, with a single gather as the
+only collective (`dust/kernels/base_kernels.py:91-108` is the reference
+op being sharded).
+
+`ShardedMPF` applies this to the dynamics posterior: the GMM prior around
+the particles is the second O(m^2) object, handled the same way (local
+particles scored against all gathered component centers).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..distributions import GMM
+from ..inference.mpf import MPF, MPFState
+from ..ops.bandwidth import silvermans_rule
+
+
+def make_sharded_svgd_phi(mesh, axis="particle"):
+    """Returns phi(x [m, d], score [m, d], bw) with x/score sharded on
+    `axis`; output sharded the same way. Standard SVGD sign/scale."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )
+    def phi(x_local, score_local, bw):
+        x_all = jax.lax.all_gather(x_local, axis, tiled=True)       # [m, d]
+        s_all = jax.lax.all_gather(score_local, axis, tiled=True)   # [m, d]
+        m = x_all.shape[0]
+        inv = 1.0 / (bw * bw)
+        # local row-block of K: [ml, m]
+        d2 = (
+            jnp.sum(x_local**2, axis=1, keepdims=True)
+            + jnp.sum(x_all**2, axis=1)[None, :]
+            - 2.0 * jnp.dot(x_local, x_all.T,
+                            preferred_element_type=jnp.float32)
+        )
+        k = jnp.exp(-jnp.maximum(d2, 0.0) * 0.5 * inv)
+        drive = jnp.dot(k, s_all, preferred_element_type=jnp.float32)
+        kx = jnp.dot(k, x_all, preferred_element_type=jnp.float32)
+        rows = jnp.sum(k, axis=1, keepdims=True)
+        repel = (rows * x_local - kx) * inv
+        return (drive + repel) / m
+
+    return phi
+
+
+class ShardedMPF(MPF):
+    """MPF whose SVGD update shards the particle axis over a mesh.
+
+    Semantically identical to `MPF(reference_compat=False)` — verified
+    shard-vs-single-device in tests/test_sharding.py — but every [m, m]
+    object (kernel Gram, GMM-prior scoring) is computed blockwise per
+    device. Intended for the 'large particle counts' configuration
+    (BASELINE.json #4) where m reaches thousands.
+    """
+
+    def __init__(self, likelihood, mesh, axis="particle", **kwargs):
+        kwargs.pop("reference_compat", None)
+        super().__init__(likelihood, reference_compat=False, **kwargs)
+        self.mesh = mesh
+        self.axis = axis
+        self._sharding = NamedSharding(mesh, P(axis))
+        self._phi_rows = make_sharded_svgd_phi(mesh, axis)
+
+    def shard_state(self, mstate: MPFState) -> MPFState:
+        """Place the particle-axis leaves on the mesh."""
+        x = jax.device_put(mstate.x, self._sharding)
+        opt_state = jax.tree_util.tree_map(
+            lambda leaf: (
+                jax.device_put(leaf, self._sharding)
+                if hasattr(leaf, "shape") and leaf.shape[:1] == x.shape[:1]
+                else leaf
+            ),
+            mstate.opt_state,
+        )
+        return mstate.replace(x=x, opt_state=opt_state)
+
+    def phi(self, mstate: MPFState, bw):
+        x = mstate.x
+        grad_prior = jax.grad(lambda t: jnp.sum(mstate.prior.log_prob(t)))(x)
+
+        def log_lik(t):
+            pred = self.likelihood.sample(mstate.lik, t)
+            return jnp.sum(self.likelihood.log_prob(mstate.lik, pred))
+
+        grad_lik = jax.grad(log_lik)(x)
+        score = grad_lik + grad_prior
+        return self._phi_rows(x, score, jnp.asarray(bw, jnp.float32))
