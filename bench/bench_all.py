@@ -1,0 +1,220 @@
+"""Full benchmark table: every BASELINE.json config on the current device.
+
+Run: python bench/bench_all.py [--quick]
+Emits one JSON line per config; paste results into BASELINE.md.
+
+Configs:
+  pendulum_dust   — dual inference at demo shapes (headline, = bench.py)
+  pendulum_svmpc  — SV-MPC single posterior (no MPF)
+  particle_dust   — particle navigation w/ obstacles + dual inference
+  mpf_large       — dynamics posterior at large particle counts (m=2048)
+  sweep           — pod-style scenario sweep: N episodes batched on-chip
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from dust_tpu.experiments import (
+    build_particle_stack,
+    build_pendulum_stack,
+    load_config,
+)
+from dust_tpu.simulation import PendulumSimulation, particle_episode_fn
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _time_best(fn, repeats=3):
+    out = fn(0)
+    jax.block_until_ready(out)
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(i + 1)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_pendulum(case, steps, repeats):
+    config = load_config(ROOT / "demo/pendulum_config.yaml")
+    stack = build_pendulum_stack(config, jax.random.key(0), case=case)
+    harness = PendulumSimulation(
+        controller=stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
+        model=stack.model, steps=steps, warm_up=0,
+        mpf_bw=stack.mpf_bw, mpf_steps=stack.mpf_steps,
+    )
+    episode = jax.jit(harness.episode_fn(stack.dynamics_prior))
+    true_params = {"length": jnp.float32(1.0), "mass": jnp.float32(1.0)}
+    init_obs = stack.init_state.reshape(1, -1)
+    dstate = stack.controller.init_state(stack.init_policies)
+    svstate = stack.svmpc.init_state(stack.init_policies, stack.policies_prior)
+    mstate = (
+        stack.mpf.init_state(stack.mpf_init, stack.init_state, 1)
+        if stack.mpf is not None else ()
+    )
+
+    def run(i):
+        _, logs = episode(jax.random.key(i), true_params, init_obs, dstate,
+                          svstate, mstate)
+        return logs[2]
+
+    best = _time_best(run, repeats)
+    return steps / best
+
+
+def bench_particle(steps, repeats):
+    config = load_config(ROOT / "demo/particle_config.yaml")
+    stack = build_particle_stack(config, jax.random.key(0))
+    episode = jax.jit(particle_episode_fn(
+        stack.model, stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
+        dyn_dist=stack.dynamics_prior, load=stack.load, steps=steps,
+        warm_up=0, mpf_bw=stack.mpf_bw, mpf_steps=stack.mpf_steps,
+    ))
+    svstate = stack.svmpc.init_state(stack.init_policies, stack.policies_prior)
+    mstate = stack.mpf.init_state(
+        stack.mpf_init, stack.init_state, 2, bw=stack.mpf_init_bw
+    )
+    dstate = stack.controller.init_state()
+
+    def run(i):
+        out = episode(jax.random.key(i), stack.init_state, dstate, svstate,
+                      mstate)
+        return out[3]
+
+    best = _time_best(run, repeats)
+    return steps / best
+
+
+def bench_mpf_large(m, inner_steps, outer, repeats, fused=False):
+    """Dynamics posterior at large particle counts (BASELINE config #4):
+    `outer` conditioned optimize calls x `inner_steps` SVGD steps on
+    [m, 2] particles, all in one device program. `fused=True` uses the
+    streaming Pallas kernels (FusedMPF)."""
+    import optax
+
+    from dust_tpu.inference import GaussianLikelihood, MPF
+    from dust_tpu.inference.mpf import FusedMPF
+    from dust_tpu.models import PendulumModel
+
+    model = PendulumModel(uncertain_params=("length", "mass"))
+    lik = GaussianLikelihood(obs_std=0.1, model=model)
+    cls = FusedMPF if fused else MPF
+    mpf = cls(likelihood=lik, optimizer=optax.sgd(1e-3))
+    particles = jax.random.uniform(jax.random.key(0), (m, 2),
+                                   minval=0.6, maxval=1.3)
+    obs0 = jnp.array([3.0, 0.0])
+    mstate = mpf.init_state(particles, obs0, dim_a=1, bw=0.2)
+
+    @jax.jit
+    def run_outer(key, ms):
+        def body(carry, k):
+            ms = carry
+            action = jax.random.uniform(k, (1,), minval=-2.0, maxval=2.0)
+            obs = jax.random.normal(k, (2,)) * 0.1 + obs0
+            ms, _, _ = mpf.optimize(ms, action, obs, bw=0.3,
+                                    n_steps=inner_steps)
+            return ms, ()
+
+        ms, _ = jax.lax.scan(body, ms, jax.random.split(key, outer))
+        return ms.x
+
+    def run(i):
+        return run_outer(jax.random.key(i), mstate)
+
+    best = _time_best(run, repeats)
+    return outer / best  # conditioned posterior updates (solves)/s
+
+
+def bench_sweep(n_scenarios, steps, repeats):
+    """Scenario-sweep throughput: N full episodes batched on this chip."""
+    from dust_tpu.parallel.sweep import ScenarioSweep, broadcast_scenarios
+
+    config = load_config(ROOT / "demo/pendulum_config.yaml")
+    stack = build_pendulum_stack(config, jax.random.key(0), case="dust")
+    harness = PendulumSimulation(
+        controller=stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
+        model=stack.model, steps=steps, warm_up=0,
+        mpf_bw=stack.mpf_bw, mpf_steps=stack.mpf_steps,
+    )
+    sweep = ScenarioSweep(harness, stack.dynamics_prior, mesh=None)
+    n = n_scenarios
+    true_params = {
+        "length": jnp.linspace(0.7, 1.2, n),
+        "mass": jnp.linspace(1.2, 0.7, n),
+    }
+    init_obs = jnp.broadcast_to(stack.init_state.reshape(1, 1, -1), (n, 1, 2))
+    dstate = broadcast_scenarios(
+        stack.controller.init_state(stack.init_policies), n
+    )
+    svstate = broadcast_scenarios(
+        stack.svmpc.init_state(stack.init_policies, stack.policies_prior), n
+    )
+    mstate = broadcast_scenarios(
+        stack.mpf.init_state(stack.mpf_init, stack.init_state, 1), n
+    )
+
+    def run(i):
+        keys = jax.random.split(jax.random.key(i), n)
+        return sweep.run(keys, true_params, init_obs, dstate, svstate,
+                         mstate)["avg_cum_cost"]
+
+    best = _time_best(run, repeats)
+    return n * steps / best, n / best  # solves/s, episodes/s
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--only", default=None)
+    args = parser.parse_args()
+    steps = 50 if args.quick else 200
+    repeats = 2 if args.quick else 3
+    dev = str(jax.devices()[0])
+
+    runs = {
+        "pendulum_dust": lambda: bench_pendulum("dust", steps, repeats),
+        "pendulum_svmpc": lambda: bench_pendulum("svmpc", steps, repeats),
+        "particle_dust": lambda: bench_particle(steps, repeats),
+        "mpf_large_m2048": lambda: bench_mpf_large(
+            2048, 20, 20 if args.quick else 50, repeats
+        ),
+        "mpf_large_m2048_fused": lambda: bench_mpf_large(
+            2048, 20, 20 if args.quick else 50, repeats, fused=True
+        ),
+        "mpf_large_m8192_fused": lambda: bench_mpf_large(
+            8192, 20, 10 if args.quick else 20, repeats, fused=True
+        ),
+        "mpf_large_m8192": lambda: bench_mpf_large(
+            8192, 20, 10 if args.quick else 20, repeats
+        ),
+    }
+    for name, fn in runs.items():
+        if args.only and name != args.only:
+            continue
+        solves = fn()
+        print(json.dumps({"config": name,
+                          "solves_per_s": round(solves, 2),
+                          "device": dev}))
+
+    if args.only in (None, "sweep"):
+        n = 16 if args.quick else 64
+        solves, episodes = bench_sweep(n, steps, repeats)
+        print(json.dumps({
+            "config": f"sweep_n{n}",
+            "solves_per_s": round(solves, 2),
+            "episodes_per_s": round(episodes, 3),
+            "device": dev,
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,9 @@ class MPFState:
     opt_state: optax.OptState
     prior: GMM                # GMM centered on particles
     lik: LikelihoodState
+    prior_bw: jax.Array = struct.field(default=None)  # scalar prior bw
+    # (isotropic summary; vector bandwidths store their mean — consumed
+    # by the fused Pallas path, the exact GMM stays in `prior`)
 
 
 class MPF:
@@ -64,6 +67,7 @@ class MPF:
             opt_state=self.optimizer.init(x),
             prior=self.make_prior(x, bw),
             lik=self.likelihood.init_state(initial_obs, dim_a),
+            prior_bw=jnp.mean(jnp.atleast_1d(jnp.asarray(bw, jnp.float32))),
         )
 
     def make_prior(self, x, bw):
@@ -121,5 +125,42 @@ class MPF:
         (mstate, _), grads = jax.lax.scan(
             body, (mstate, jnp.float32(0.0)), None, length=n
         )
-        mstate = mstate.replace(prior=self.make_prior(mstate.x, bw))
+        mstate = mstate.replace(
+            prior=self.make_prior(mstate.x, bw),
+            prior_bw=jnp.mean(jnp.atleast_1d(jnp.asarray(bw, jnp.float32))),
+        )
         return mstate, grads, bw
+
+
+class FusedMPF(MPF):
+    """MPF whose two O(m^2) objects — the RBF Gram contraction and the
+    GMM-prior score — run as streaming Pallas kernels
+    (`dust_tpu/ops/pallas_svgd.py`, `dust_tpu/ops/pallas_gmm.py`): no
+    quadratic HBM traffic, intended for large particle counts on TPU.
+    Requires an isotropic prior bandwidth (always true for MPF priors,
+    `mpf.py:26-38`); semantics match `MPF(reference_compat=False)`.
+    """
+
+    def __init__(self, likelihood, interpret=False, **kwargs):
+        kwargs.pop("reference_compat", None)
+        super().__init__(likelihood, reference_compat=False, **kwargs)
+        self._interpret = bool(interpret)
+
+    def phi(self, mstate: MPFState, bw):
+        from ..ops.pallas_gmm import gmm_prior_score_pallas
+        from ..ops.pallas_svgd import svgd_phi_pallas
+
+        x = mstate.x
+        grad_prior = gmm_prior_score_pallas(
+            x, mstate.prior.locs, mstate.prior_bw,
+            interpret=self._interpret,
+        )
+
+        def log_lik(t):
+            pred = self.likelihood.sample(mstate.lik, t)
+            return jnp.sum(self.likelihood.log_prob(mstate.lik, pred))
+
+        grad_lik = jax.grad(log_lik)(x)
+        score = grad_lik + grad_prior
+        return svgd_phi_pallas(x, score, jnp.asarray(bw, jnp.float32),
+                               interpret=self._interpret)

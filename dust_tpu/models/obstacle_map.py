@@ -55,6 +55,31 @@ class ObstacleMap:
             return jnp.asarray(self.map)  # uncached: safe under tracing
         return self._device_map
 
+    def get_xy_grid(self):
+        """World-coordinate grid [x_dim, y_dim, 2]
+        (`dust/utils/obstacle_map.py:54-62`)."""
+        xv, yv = jnp.meshgrid(
+            jnp.linspace(self.xlim[0], self.xlim[1], self.x_dim),
+            jnp.linspace(self.ylim[0], self.ylim[1], self.y_dim),
+            indexing="ij",
+        )
+        return jnp.stack((xv, yv), axis=2)
+
+    def plot(self, save_dir=None, filename="obst_map.png"):
+        """Render the occupancy grid (`dust/utils/obstacle_map.py:46-52`)."""
+        import os.path as osp
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        plt.imshow(self.map.T, origin="lower")
+        if save_dir is not None:
+            plt.savefig(osp.join(save_dir, filename))
+        plt.close()
+
     def get_collisions(self, x):
         """Occupancy values at world positions x [..., 2]
         (`dust/utils/obstacle_map.py:64-93`): floor to cell indices, clamp

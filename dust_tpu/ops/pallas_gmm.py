@@ -1,0 +1,131 @@
+"""Streaming Pallas kernel for the GMM-prior score function.
+
+MPF's other O(m^2) object (besides the SVGD Gram): the gradient of the
+uniform-mixture GMM prior around the particles,
+
+    grad_i = sum_k r_ik (c_k - x_i) / bw^2,
+    r_ik   = softmax_k( -||x_i - c_k||^2 / (2 bw^2) )
+
+(`dust/inference/mpf.py:26-45` — the reference materializes the [m, m]
+component log-prob matrix through autograd). Here each i-block streams
+center blocks with the *online softmax* rescaling trick (flash-attention
+pattern): running max, running normalizer, running weighted center sum —
+the [m, m] responsibility matrix never exists.
+
+With `gmm_prior_score_pallas` + `svgd_phi_pallas` the entire large-m MPF
+Stein update runs in two streaming kernels with no quadratic HBM traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_svgd import _round_up
+
+
+def gmm_prior_score_reference(x, centers, bw):
+    """jnp oracle: grad log sum_k N(x | c_k, bw^2 I) w.r.t. x."""
+    d2 = (
+        jnp.sum(x**2, axis=1, keepdims=True)
+        + jnp.sum(centers**2, axis=1)[None, :]
+        - 2.0 * x @ centers.T
+    )
+    logits = -jnp.maximum(d2, 0.0) / (2.0 * bw**2)
+    r = jax.nn.softmax(logits, axis=1)                     # [m, k]
+    return (r @ centers - x) / (bw**2)
+
+
+def _score_kernel(bw_ref, xi_ref, cfull_ref, out_ref,
+                  vsum_ref, norm_ref, max_ref, *, block_k, k_total,
+                  k_padded):
+    """One i-block: stream center blocks with online-softmax rescaling.
+
+    Scratch buffers are all [bm, d] (lane-aligned); the running
+    normalizer and running max live broadcast across columns.
+    """
+    bw = bw_ref[0, 0]
+    inv2 = 0.5 / (bw * bw)
+    xi = xi_ref[:]
+    xi_norm = jnp.sum(xi * xi, axis=1, keepdims=True)
+
+    vsum_ref[:] = jnp.zeros_like(vsum_ref)
+    norm_ref[:] = jnp.zeros_like(norm_ref)
+    max_ref[:] = jnp.full_like(max_ref, -jnp.inf)
+
+    num_k = k_padded // block_k
+
+    def body(kb, _):
+        ck = cfull_ref[pl.ds(kb * block_k, block_k), :]    # [bk, d]
+        ck_norm = jnp.sum(ck * ck, axis=1)[None, :]
+        cross = jnp.dot(xi, ck.T, preferred_element_type=jnp.float32)
+        logits = -jnp.maximum(xi_norm + ck_norm - 2.0 * cross, 0.0) * inv2
+        k_ids = jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, dimension=1
+        ) + kb * block_k
+        logits = jnp.where(k_ids < k_total, logits, -jnp.inf)
+
+        m_old = max_ref[:]                                 # [bm, d] bcast
+        m_new = jnp.maximum(
+            m_old, jnp.max(logits, axis=1, keepdims=True)
+        )
+        scale = jnp.exp(m_old - m_new)
+        p = jnp.exp(logits - m_new[:, :1])                 # [bm, bk]
+        vsum_ref[:] = vsum_ref[:] * scale + jnp.dot(
+            p, ck, preferred_element_type=jnp.float32
+        )
+        norm_ref[:] = norm_ref[:] * scale + jnp.sum(
+            p, axis=1, keepdims=True
+        )
+        max_ref[:] = m_new
+        return 0
+
+    jax.lax.fori_loop(0, num_k, body, 0)
+
+    mean_c = vsum_ref[:] / norm_ref[:]
+    out_ref[:] = (mean_c - xi) / (bw * bw)
+
+
+@functools.partial(jax.jit, static_argnames=("block_i", "block_k",
+                                             "interpret"))
+def gmm_prior_score_pallas(x, centers, bw, block_i=256, block_k=256,
+                           interpret=False):
+    """Streaming GMM score. x [m, d], centers [k, d], bw scalar."""
+    m, d = x.shape
+    k = centers.shape[0]
+    mp = _round_up(max(m, block_i), block_i)
+    kp = _round_up(max(k, block_k), block_k)
+    dp = max(_round_up(d, 128), 128)
+
+    xp = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(x)
+    cp = jnp.zeros((kp, dp), jnp.float32).at[:k, :d].set(centers)
+    bw_arr = jnp.asarray(bw, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _score_kernel, block_k=block_k, k_total=k, k_padded=kp
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // block_i,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_i, dp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_i, dp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, dp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_i, dp), jnp.float32),
+            pltpu.VMEM((block_i, dp), jnp.float32),
+            pltpu.VMEM((block_i, dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bw_arr, xp, cp)
+    return out[:m, :d]

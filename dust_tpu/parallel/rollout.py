@@ -1,0 +1,71 @@
+"""Rollout-axis sharded DISCO forward.
+
+For very large action-sample counts the `n_actions` axis of the rollout
+batch (`disco.py:137` — n_params x n_actions x n_pol trajectories) shards
+across the mesh: each device rolls out its slice of sampled action
+sequences and the information-theoretic update reassembles with
+collectives over ICI:
+
+* global `beta = min(costs)` — `pmin` (the reference's max-subtraction
+  order, `disco.py:380-381`, preserved exactly);
+* per-policy normalizer `eta = logsumexp over all action samples` — local
+  sum-of-exps + `psum` (`disco.py:383`);
+* plan update `delta_p = sum_i omega_ip eps_ip` — local partial + `psum`
+  (`disco.py:387-392`).
+
+This is the SURVEY.md §2.2 "rollout-axis sharding" component; sharded ==
+unsharded is asserted in tests/test_sharding_rollout.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def make_sharded_disco_forward(disco, model, mesh, axis="rollout"):
+    """Returns forward(dstate, state, eps [n_actions, P, H, A],
+    params) -> (new_dstate, costs, omega) with the action-sample axis
+    sharded over `mesh`. `eps` is the action noise (actions = eps + a_mat);
+    `params` an optional dict of sampled dynamics parameters (replicated).
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P()),
+        out_specs=(P(), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def forward(dstate, state, eps_local, params):
+        actions = eps_local + dstate.a_mat          # [na/p, P, H, A]
+        batched = (
+            jnp.broadcast_to(actions[None], (disco.n_params, *actions.shape))
+            if params is not None else actions[None]
+        )
+        states = disco.rollout(state, model, batched, params)
+        costs = disco.compute_cost(dstate, states, actions, eps_local)
+
+        # global min for the max-subtraction trick
+        beta = jax.lax.pmin(costs.min(), axis)
+        log_costs = -(costs - beta) / disco.temp     # [na/p, P]
+        # per-policy logsumexp over the full (sharded) action axis
+        local_sum = jnp.sum(jnp.exp(log_costs), axis=0)      # [P]
+        eta = jnp.log(jax.lax.psum(local_sum, axis))          # [P]
+        omega = jnp.exp(log_costs - eta)                      # [na/p, P]
+        delta_local = jnp.einsum("ip,ipta->pta", omega, eps_local)
+        delta = jax.lax.psum(delta_local, axis)
+        new_dstate = dstate.replace(
+            a_mat=dstate.a_mat + delta,
+            a_mix=jnp.exp(eta - jax.nn.logsumexp(eta)),
+        )
+        return new_dstate, costs, omega
+
+    def call(dstate, state, eps, params=None):
+        return forward(dstate, state, eps, params)
+
+    return call

@@ -1,0 +1,64 @@
+"""Streaming GMM-prior score kernel vs jnp oracle + FusedMPF vs plain MPF
+(interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dust_tpu.inference import GaussianLikelihood, MPF
+from dust_tpu.inference.mpf import FusedMPF
+from dust_tpu.models import PendulumModel
+from dust_tpu.ops.pallas_gmm import (
+    gmm_prior_score_pallas,
+    gmm_prior_score_reference,
+)
+from dust_tpu.distributions import GMM
+
+
+@pytest.mark.parametrize("m,k,d", [(64, 64, 2), (200, 130, 3), (300, 300, 5)])
+def test_streaming_gmm_score_matches_oracle(rng, m, k, d):
+    x = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+    centers = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32))
+    bw = 0.4
+    oracle = gmm_prior_score_reference(x, centers, bw)
+    fused = gmm_prior_score_pallas(x, centers, bw, block_i=128, block_k=128,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_oracle_matches_gmm_autograd(rng):
+    """The streaming formula == jax.grad through GMM.log_prob."""
+    m, d = 40, 2
+    x = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+    centers = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+    bw = 0.5
+    gmm = GMM.from_cov(centers, jnp.ones(m), bw**2 * jnp.eye(d))
+    auto = jax.grad(lambda t: jnp.sum(gmm.log_prob(t)))(x)
+    closed = gmm_prior_score_reference(x, centers, bw)
+    np.testing.assert_allclose(np.asarray(closed), np.asarray(auto),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mpf_matches_plain_mpf(rng):
+    model = PendulumModel(uncertain_params=("length", "mass"))
+    lik = GaussianLikelihood(obs_std=0.1, model=model)
+    init = rng.uniform(0.6, 1.3, size=(64, 2)).astype(np.float32)
+    obs = np.array([2.8, -0.2], dtype=np.float32)
+    action = jnp.array([0.8])
+    new_obs = jnp.array([2.7, -0.5])
+
+    plain = MPF(likelihood=lik, optimizer=optax.sgd(1e-3))
+    fused = FusedMPF(likelihood=lik, optimizer=optax.sgd(1e-3),
+                     interpret=True)
+
+    ms_p = plain.init_state(init, obs, dim_a=1, bw=0.2)
+    ms_f = fused.init_state(init, obs, dim_a=1, bw=0.2)
+    ms_p, g_p, _ = plain.optimize(ms_p, action, new_obs, bw=0.3, n_steps=4)
+    ms_f, g_f, _ = fused.optimize(ms_f, action, new_obs, bw=0.3, n_steps=4)
+
+    np.testing.assert_allclose(np.asarray(ms_f.x), np.asarray(ms_p.x),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_p), rtol=1e-3)
