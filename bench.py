@@ -39,6 +39,12 @@ def build(key):
     config = load_config(
         os.path.join(os.path.dirname(__file__), "demo/pendulum_config.yaml")
     )
+    if "BENCH_UNROLL" in os.environ:
+        config["exp_params"]["scan_unroll"] = int(os.environ["BENCH_UNROLL"])
+    if "BENCH_MPF_UNROLL" in os.environ:
+        config["exp_params"]["mpf_scan_unroll"] = int(
+            os.environ["BENCH_MPF_UNROLL"]
+        )
     stack = build_pendulum_stack(config, key, case="dust")
     harness = PendulumSimulation(
         controller=stack.controller,

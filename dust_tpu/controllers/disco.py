@@ -51,6 +51,7 @@ class MultiDisco:
         params_sampling=True,
         params_samples=4,
         params_log_space=False,
+        scan_unroll=1,
     ):
         self.hz_len = int(hz_len)
         self.dim_s = observation_space.dim
@@ -94,6 +95,9 @@ class MultiDisco:
                 f"Invalid value for 'params_sampling': {params_sampling}"
             )
         self.n_rollouts = self.n_params * self.n_actions * self.n_pol
+        # horizon-scan unroll factor: the per-step body is a handful of
+        # tiny VPU ops, so unrolling trades code size for scan overhead
+        self.scan_unroll = int(scan_unroll)
 
     # -- state ------------------------------------------------------------
 
@@ -157,7 +161,8 @@ class MultiDisco:
             s_next = model.step(s, a_t, params, key=k_t if use_keys else None)
             return s_next, s_next
 
-        _, traj = jax.lax.scan(step_fn, s0, (acts_t, keys))
+        _, traj = jax.lax.scan(step_fn, s0, (acts_t, keys),
+                               unroll=self.scan_unroll)
         traj = jnp.moveaxis(traj, 0, -2)  # [..., H, S]
         return jnp.concatenate([s0[..., None, :], traj], axis=-2)
 

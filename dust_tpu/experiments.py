@@ -124,6 +124,7 @@ def build_pendulum_stack(config_data, key, case="dust",
         term_cost_fn=term_cost,
         params_sampling=params_sampling,
         params_log_space=exp["mpf_log_space"] if case == "dust" else False,
+        scan_unroll=exp.get("scan_unroll", 1),
     )
 
     svmpc = None
@@ -168,6 +169,7 @@ def build_pendulum_stack(config_data, key, case="dust",
             bw_scale=exp["mpf_bandwidth_scaling"],
             n_steps=exp["mpf_steps"],
             reference_compat=reference_compat,
+            scan_unroll=exp.get("mpf_scan_unroll", 1),
         )
 
     return SimpleNamespace(

@@ -46,12 +46,15 @@ class MPFState:
 class MPF:
     def __init__(self, likelihood: GaussianLikelihood, lr=1e-3,
                  optimizer=None, bw_scale=1.0, n_steps=100,
-                 reference_compat=False):
+                 reference_compat=False, scan_unroll=1):
         self.likelihood = likelihood
         self.bw_scale = float(bw_scale)
         self.n_steps = int(n_steps)
         self.reference_compat = bool(reference_compat)
         self.optimizer = optimizer if optimizer is not None else optax.sgd(lr)
+        # SVGD-step scan unroll: each step is small at small m, so
+        # unrolling cuts per-iteration scan overhead
+        self.scan_unroll = int(scan_unroll)
 
     def init_state(self, init_particles, initial_obs, dim_a, bw=None) -> MPFState:
         x = jnp.asarray(init_particles, jnp.float32)
@@ -123,7 +126,8 @@ class MPF:
             return (ms, gnorm), gnorm
 
         (mstate, _), grads = jax.lax.scan(
-            body, (mstate, jnp.float32(0.0)), None, length=n
+            body, (mstate, jnp.float32(0.0)), None, length=n,
+            unroll=self.scan_unroll,
         )
         mstate = mstate.replace(
             prior=self.make_prior(mstate.x, bw),
