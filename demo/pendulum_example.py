@@ -69,13 +69,7 @@ def main():
         print(f"\nRunning {label} simulation:")
         key, k_build, k_run = jax.random.split(key, 3)
         stack = build_pendulum_stack(config_data, k_build, case=case)
-        # MPPI baseline plans with the exact model
-        # (`pendulum_example.py:217-236` use_exact_model=True)
         experiment_params = parameters_set
-        if case == "mppi":
-            for p in experiment_params:
-                stack.model.params_dict.update(p)
-
         harness = PendulumSimulation(
             controller=stack.controller,
             svmpc=stack.svmpc,
@@ -86,6 +80,9 @@ def main():
             use_svmpc=stack.svmpc is not None,
             mpf_bw=stack.mpf_bw,
             mpf_steps=stack.mpf_steps,
+            # MPPI baseline plans with the exact per-episode model
+            # (`pendulum_example.py:217-236` use_exact_model=True)
+            use_exact_model=(case == "mppi"),
         )
         df = harness.run(
             k_run,

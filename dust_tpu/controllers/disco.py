@@ -193,12 +193,17 @@ class MultiDisco:
     # -- forward (`disco.py:348-394`) -------------------------------------
 
     def forward(self, dstate: DiscoState, state, model, params_dist=None,
-                key=None, ext_actions=None, eps_noise=None):
+                key=None, ext_actions=None, eps_noise=None,
+                params_override=None):
         """One controller update. Returns
         (new_dstate, costs, states, actions, omega, params_log_p).
 
         `eps_noise` lets callers/tests inject the exact action noise
-        (replaces the internal N(0, a_cov) draw).
+        (replaces the internal N(0, a_cov) draw). `params_override` (a
+        dict of traced scalars/columns, nominal-params mode only) rolls
+        out under those dynamics parameters — how the harness runs the
+        "exact model" baselines without baking per-episode constants into
+        the compiled program.
         """
         k_eps, k_par, k_roll = (
             jax.random.split(key, 3) if key is not None else (None, None, None)
@@ -232,7 +237,7 @@ class MultiDisco:
                 actions[None], (self._tf.pts, *actions.shape)
             )
         else:
-            params, params_log_p = None, None
+            params, params_log_p = params_override, None
             batched = actions[None]
 
         states = self.rollout(state, model, batched, params, key=k_roll)

@@ -39,7 +39,7 @@ class PendulumSimulation:
     def __init__(self, controller, svmpc=None, mpf=None, model=None,
                  sim_g=10.0, sim_dt=0.05, steps=200, warm_up=1,
                  use_svmpc=True, disco_strategy="average", mpf_bw=None,
-                 mpf_steps=None):
+                 mpf_steps=None, use_exact_model=False):
         self.controller = controller
         self.svmpc = svmpc
         self.mpf = mpf
@@ -51,6 +51,11 @@ class PendulumSimulation:
         self.disco_strategy = disco_strategy
         self.mpf_bw = mpf_bw          # None -> per-step Silverman
         self.mpf_steps = mpf_steps    # None -> mpf.n_steps
+        # exact-model baselines (`simulations.py:43-44`): the controller
+        # rolls out under the episode's true parameters, passed as traced
+        # values (NOT baked into the model object — one compile serves
+        # every episode)
+        self.use_exact_model = bool(use_exact_model)
 
     def episode_fn(self, static_dyn_dist):
         """Build the jittable single-episode function
@@ -87,8 +92,14 @@ class PendulumSimulation:
                         t >= warm_up, act_fn, warm_fn, (svstate, costs)
                     )
                 else:
+                    override = (
+                        {k: v for k, v in true_params.items()
+                         if k in model.params_dict}
+                        if self.use_exact_model else None
+                    )
                     dstate, _, _, _, _, _ = ctrl.forward(
-                        dstate, obs, model, dyn_dist, k_opt
+                        dstate, obs, model, dyn_dist, k_opt,
+                        params_override=override,
                     )
                     dstate, next_actions = ctrl.step(
                         dstate, strategy=self.disco_strategy

@@ -57,10 +57,11 @@ def reference():
 
     # numpy 2.x removed the deprecated scalar aliases the (2021-era)
     # reference still uses (e.g. `np.float` in dust/utils/helper.py).
-    for alias, target in [("float", float), ("int", int), ("bool", bool),
-                          ("object", object)]:
-        if not hasattr(np, alias):
-            setattr(np, alias, target)
+    # (np.object is left alone — probing it emits a FutureWarning and the
+    # reference never touches it.)
+    for alias, target in [("float", float), ("int", int), ("bool", bool)]:
+        if alias not in np.__dict__:
+            np.__dict__[alias] = target
 
     _install_reference_dep_shims()
 
