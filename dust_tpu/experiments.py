@@ -11,7 +11,6 @@ reference's).
 
 from __future__ import annotations
 
-import math
 from types import SimpleNamespace
 
 import jax

@@ -20,13 +20,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..distributions import GMM
 from ..inference.mpf import MPF, MPFState
-from ..ops.bandwidth import silvermans_rule
 
 
 def make_sharded_svgd_phi(mesh, axis="particle"):

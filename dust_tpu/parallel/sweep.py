@@ -97,3 +97,42 @@ def broadcast_scenarios(tree, n):
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n, *jnp.shape(x))), tree
     )
+
+
+class ParticleScenarioSweep:
+    """vmap + shard the particle-navigation episode over scenarios:
+    per-lane PRNG keys, initial states and true simulator masses. The
+    particle analogue of `ScenarioSweep` (BASELINE.json config #4's
+    changing-dynamics task at sweep scale)."""
+
+    def __init__(self, episode_fn, mesh=None, axis="scenario"):
+        self.mesh = mesh
+        self.axis = axis
+
+        def batched(keys, state0, dstate, svstate, mstate, sim_mass):
+            state, done, crashed, cum, logs = jax.vmap(episode_fn)(
+                keys, state0, dstate, svstate, mstate, sim_mass
+            )
+            cum = jnp.where(crashed, jnp.inf, cum)
+            return {
+                "final_state": state,
+                "success": done & ~crashed,
+                "crashed": crashed,
+                "cum_cost": cum,
+                "success_rate": jnp.mean((done & ~crashed).astype(jnp.float32)),
+                "crash_rate": jnp.mean(crashed.astype(jnp.float32)),
+            }
+
+        self._fn = jax.jit(batched)
+
+    def run(self, keys, state0, dstate, svstate, mstate, sim_mass):
+        if self.mesh is not None:
+            shard = scenario_sharding(self.mesh, self.axis)
+            place = lambda tree: jax.device_put(
+                tree, jax.tree_util.tree_map(lambda _: shard, tree)
+            )
+            keys, state0, dstate, svstate, mstate, sim_mass = (
+                place(keys), place(state0), place(dstate), place(svstate),
+                place(mstate), place(sim_mass),
+            )
+        return self._fn(keys, state0, dstate, svstate, mstate, sim_mass)

@@ -206,16 +206,18 @@ def particle_episode_fn(model, controller, svmpc=None, mpf=None,
     `success_dist` of the target terminates successfully. Runs the full
     `steps` scan with a done-mask (state freezes after termination).
 
-    Returns episode(key, state0, dstate, svstate, mstate) ->
-    (final_state, done, crashed, cum_cost, logs).
+    Returns episode(key, state0, dstate, svstate, mstate, sim_mass) ->
+    (final_state, done, crashed, cum_cost, logs). `sim_mass` is the
+    simulator's true mass before the load change — traced, so scenario
+    sweeps vary it per lane.
     """
     ctrl = controller
-    base_mass = jnp.float32(model.params_dict["mass"])
     target = model.target
     change_at = steps // 4
     has_map = model.with_obstacle and model.obst_map is not None
 
-    def episode(key, state0, dstate, svstate, mstate):
+    def episode(key, state0, dstate, svstate, mstate, sim_mass):
+        base_mass = jnp.asarray(sim_mass, jnp.float32)
         def step_fn(carry, t):
             key, state, dstate, svstate, mstate, done, crashed, cum = carry
             key, k_opt, k_fwd = jax.random.split(key, 3)
@@ -308,6 +310,7 @@ def run_particle_episode(key, model, controller, svmpc=None, svstate=None,
         key, state0, dstate,
         svstate if use_svmpc else (),
         mstate if mpf is not None else (),
+        jnp.float32(model.params_dict["mass"]),
     )
     states, actions, costs, dyn_parts, dones = map(np.asarray, logs)
     n_steps = int(dones.argmax() + 1) if bool(dones.any()) else int(steps)

@@ -6,7 +6,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
-import torch
 
 from dust_tpu.controllers import MultiDisco
 from dust_tpu.distributions import GMM
