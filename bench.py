@@ -46,6 +46,16 @@ def build(key):
             os.environ["BENCH_MPF_UNROLL"]
         )
     stack = build_pendulum_stack(config, key, case="dust")
+    if os.environ.get("BENCH_FUSED_MPF") == "1":
+        # swap in the single-kernel MPF (same math, one Pallas program
+        # per posterior update)
+        from dust_tpu.inference.mpf import FusedPendulumMPF
+
+        stack.mpf = FusedPendulumMPF(
+            likelihood=stack.mpf.likelihood,
+            lr=config["exp_params"]["mpf_learning_rate"],
+            n_steps=config["exp_params"]["mpf_steps"],
+        )
     harness = PendulumSimulation(
         controller=stack.controller,
         svmpc=stack.svmpc,

@@ -136,6 +136,52 @@ class MPF:
         return mstate, grads, bw
 
 
+class FusedPendulumMPF(MPF):
+    """MPF whose entire optimize loop runs as ONE Pallas kernel with
+    hand-derived pendulum-likelihood gradients
+    (`dust_tpu/ops/pallas_mpf.py`) — the speed-of-light path for the
+    headline dual-inference benchmark. Semantics =
+    `MPF(reference_compat=False)` with a pendulum `GaussianLikelihood`
+    over (length, mass); `optimize` returns a zero grad-norm trace (the
+    kernel does not surface per-step norms)."""
+
+    def __init__(self, likelihood, lr=1e-3, interpret=False, **kwargs):
+        kwargs.pop("reference_compat", None)
+        kwargs.pop("optimizer", None)
+        super().__init__(likelihood, lr=lr, optimizer=optax.sgd(lr),
+                         reference_compat=False, **kwargs)
+        self.lr = float(lr)
+        self._interpret = bool(interpret)
+
+    def optimize(self, mstate: MPFState, action, new_obs, bw=None,
+                 n_steps=None):
+        from ..ops.pallas_mpf import fused_pendulum_mpf_optimize
+
+        if new_obs is not None:
+            mstate = mstate.replace(
+                lik=self.likelihood.condition(mstate.lik, action, new_obs)
+            )
+        if bw is None:
+            bw = silvermans_rule(mstate.x) * self.bw_scale
+        n = self.n_steps if n_steps is None else n_steps
+
+        model = self.likelihood.model
+        x = fused_pendulum_mpf_optimize(
+            mstate.x, mstate.prior.locs, mstate.lik.past_obs,
+            mstate.lik.loc, action, bw, mstate.prior_bw, self.lr,
+            self.likelihood.sigma, n_steps=n,
+            dt=model.dt, g=model.params_dict["g"],
+            log_space=self.likelihood.log_space,
+            interpret=self._interpret,
+        )
+        mstate = mstate.replace(
+            x=x,
+            prior=self.make_prior(x, bw),
+            prior_bw=jnp.mean(jnp.atleast_1d(jnp.asarray(bw, jnp.float32))),
+        )
+        return mstate, jnp.zeros((n,), jnp.float32), bw
+
+
 class FusedMPF(MPF):
     """MPF whose two O(m^2) objects — the RBF Gram contraction and the
     GMM-prior score — run as streaming Pallas kernels

@@ -80,4 +80,7 @@ def silvermans_rule(x):
     sigma = jnp.std(flat, ddof=1)
     iqr = (jnp.percentile(flat, 75) - jnp.percentile(flat, 25)) / _IQR_NORMALIZE_EXACT
     sigma = jnp.where(iqr > 0, jnp.minimum(sigma, iqr), sigma)
-    return sigma * (n * 3.0 / 4.0) ** (-0.2)
+    # floor for degenerate (collapsed) particle sets: a zero bandwidth
+    # would poison the kernel with division by zero (KDEpy falls back to
+    # a machine-epsilon-based value in this case too)
+    return jnp.maximum(sigma * (n * 3.0 / 4.0) ** (-0.2), 1e-6)

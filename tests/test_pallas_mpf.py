@@ -1,0 +1,75 @@
+"""Single-kernel pendulum MPF vs the jnp MPF (interpreter mode on CPU):
+the hand-derived likelihood gradient and the whole fused loop must match
+jax.grad-based math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dust_tpu.inference import GaussianLikelihood, MPF
+from dust_tpu.inference.mpf import FusedPendulumMPF
+from dust_tpu.models import PendulumModel
+
+
+def _setup(rng, log_space=False, m=50):
+    model = PendulumModel(uncertain_params=("length", "mass"))
+    lik = GaussianLikelihood(obs_std=0.1, model=model, log_space=log_space)
+    init = rng.uniform(0.6, 1.3, size=(m, 2)).astype(np.float32)
+    if log_space:
+        init = np.log(init)
+    obs = np.array([2.8, -0.3], dtype=np.float32)
+    return model, lik, init, obs
+
+
+@pytest.mark.parametrize("log_space", [False, True])
+@pytest.mark.parametrize("action", [0.9, 2.5, -1.4])
+def test_fused_mpf_matches_jnp_mpf(rng, log_space, action):
+    """Full optimize loop parity, including torque clipping (|a|>2) and
+    log-space parameters."""
+    model, lik, init, obs = _setup(rng, log_space)
+    lr, bw, prior_bw, n_steps = 1e-3, 0.3, 0.2, 6
+
+    plain = MPF(likelihood=lik, optimizer=optax.sgd(lr))
+    fused = FusedPendulumMPF(likelihood=lik, lr=lr, interpret=True)
+
+    a = jnp.array([action])
+    new_obs = jnp.array([2.7, -0.6])
+
+    ms_p = plain.init_state(init, obs, dim_a=1, bw=prior_bw)
+    ms_f = fused.init_state(init, obs, dim_a=1, bw=prior_bw)
+    ms_p, _, _ = plain.optimize(ms_p, a, new_obs, bw=bw, n_steps=n_steps)
+    ms_f, _, _ = fused.optimize(ms_f, a, new_obs, bw=bw, n_steps=n_steps)
+
+    np.testing.assert_allclose(
+        np.asarray(ms_f.x), np.asarray(ms_p.x), rtol=2e-3, atol=2e-4
+    )
+    # the refreshed priors agree too
+    np.testing.assert_allclose(
+        np.asarray(ms_f.prior.locs), np.asarray(ms_p.prior.locs),
+        rtol=2e-3, atol=2e-4,
+    )
+
+
+def test_fused_mpf_speed_clip_gate(rng):
+    """A state near the speed limit exercises the clip gate: gradients
+    through clipped lanes must vanish exactly as jax.grad's do."""
+    model, lik, init, _ = _setup(rng)
+    # theta_d0 near the +8 clip: large positive tdd pushes past it for
+    # some particles
+    obs = np.array([0.5, 7.9], dtype=np.float32)
+    lr, bw, prior_bw = 1e-3, 0.3, 0.2
+
+    plain = MPF(likelihood=lik, optimizer=optax.sgd(lr))
+    fused = FusedPendulumMPF(likelihood=lik, lr=lr, interpret=True)
+    a = jnp.array([2.0])
+    new_obs = jnp.array([0.6, 8.0])
+
+    ms_p = plain.init_state(init, obs, dim_a=1, bw=prior_bw)
+    ms_f = fused.init_state(init, obs, dim_a=1, bw=prior_bw)
+    ms_p, _, _ = plain.optimize(ms_p, a, new_obs, bw=bw, n_steps=4)
+    ms_f, _, _ = fused.optimize(ms_f, a, new_obs, bw=bw, n_steps=4)
+    np.testing.assert_allclose(
+        np.asarray(ms_f.x), np.asarray(ms_p.x), rtol=2e-3, atol=2e-4
+    )
