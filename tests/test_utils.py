@@ -1,0 +1,84 @@
+"""Utility-surface smoke tests: plots, persistence, spaces, model param
+sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from dust_tpu.distributions import Uniform
+from dust_tpu.models import PendulumModel, Particle
+from dust_tpu.spaces import Box
+from dust_tpu.utils.helper import from_np, save_progress, to_np
+from dust_tpu.utils import plots
+from tests.test_models import PARTICLE_ENV
+
+
+def _fake_epoch_df(steps=12, episodes=2):
+    rows = []
+    rng = np.random.default_rng(0)
+    for i in range(episodes):
+        df = pd.DataFrame({
+            "Cost": rng.uniform(0, 100, steps),
+            "Timestep": np.arange(steps),
+            "Iteration": i,
+            "PolParticles": [list(rng.normal(size=3)) for _ in range(steps)],
+            "Weights": [list(np.abs(rng.normal(size=3))) for _ in range(steps)],
+            "Case": "DuSt-MPC" if i == 0 else "SVMPC",
+        })
+        df["AvgCumCost"] = df["Cost"].cumsum() / (df["Timestep"] + 1)
+        rows.append(df)
+    return pd.concat(rows)
+
+
+def test_plot_surface_writes_files(tmp_path):
+    df = _fake_epoch_df()
+    plots.plot_mean_results(df, save_path=tmp_path / "mean.png")
+    plots.plot_stein_particles(df[df["Iteration"] == 0],
+                               save_path=tmp_path / "stein.png")
+    plots.plot_part2d_cost(np.random.default_rng(1).uniform(0, 5, (3, 20)),
+                           save_path=tmp_path / "cost.png")
+    rng = np.random.default_rng(2)
+    dyn = rng.normal(2.0, 0.2, size=(40, 50))
+    plots.plot_dist_ridgeplot(dyn, true_value=2.0, every=10,
+                              save_path=tmp_path / "ridge.png")
+
+    model = Particle(uncertain_params=["mass"], **PARTICLE_ENV)
+    traj = np.linspace([-9, -9], [5, 5], 30)
+    plots.plot_part2d_traj(model, [np.c_[traj, np.zeros((30, 2))]],
+                           save_path=tmp_path / "traj.png")
+    for name in ["mean", "stein", "cost", "ridge", "traj"]:
+        assert (tmp_path / f"{name}.png").stat().st_size > 0
+
+
+def test_save_progress_layout(tmp_path):
+    path = save_progress(folder_name="t1", data={"a": jnp.arange(3)},
+                         params={"k": 1}, root=tmp_path)
+    assert (path / "data.pkl").exists()
+    assert (path / "config.yaml").exists()
+
+
+def test_np_roundtrip():
+    x = jnp.arange(6.0).reshape(2, 3)
+    back = from_np(to_np(x))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_box_clip():
+    box = Box(dim=2, low=-1.0, high=[1.0, 2.0])
+    out = box.clip(jnp.array([[-5.0, 5.0], [0.5, 0.5]]))
+    np.testing.assert_allclose(np.asarray(out), [[-1.0, 2.0], [0.5, 0.5]])
+
+
+def test_model_sample_params_bounds():
+    model = PendulumModel(uncertain_params=("length", "mass"))
+    dist = Uniform(jnp.array([0.0, 0.0]), jnp.array([2.0, 2.0]),
+                   event_ndims=1)
+    params = model.sample_params(jax.random.key(0), dist, 64,
+                                 x_min=0.5, x_max=1.5)
+    assert set(params) == {"length", "mass"}
+    for v in params.values():
+        arr = np.asarray(v)
+        assert arr.shape == (64, 1)
+        # masked resampling keeps nearly all draws in bounds
+        assert ((arr > 0.5) & (arr < 1.5)).mean() > 0.95
