@@ -87,7 +87,7 @@ def bench_particle(steps, repeats):
 
     def run(i):
         out = episode(jax.random.key(i), stack.init_state, dstate, svstate,
-                      mstate)
+                      mstate, jnp.float32(stack.model.params_dict["mass"]))
         return out[3]
 
     best = _time_best(run, repeats)
@@ -132,6 +132,45 @@ def bench_mpf_large(m, inner_steps, outer, repeats, fused=False):
 
     best = _time_best(run, repeats)
     return outer / best  # conditioned posterior updates (solves)/s
+
+
+def bench_particle_large(steps, repeats):
+    """BASELINE config #4 at scale: particle navigation with 16 policy
+    particles x 512 action samples x 8 param samples rollouts per solve
+    and a 2048-particle dynamics posterior (FusedMPF streaming kernels)."""
+    import optax
+
+    from dust_tpu.inference.mpf import FusedMPF
+
+    config = load_config(ROOT / "demo/particle_config.yaml")
+    config["exp_params"].update(
+        n_particles=16, action_samples=512, params_samples=8,
+        mpf_n_particles=2048, mpf_steps=20,
+    )
+    stack = build_particle_stack(config, jax.random.key(0))
+    stack.mpf = FusedMPF(
+        likelihood=stack.mpf.likelihood,
+        optimizer=optax.sgd(config["exp_params"]["mpf_learning_rate"]),
+        n_steps=20,
+    )
+    episode = jax.jit(particle_episode_fn(
+        stack.model, stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
+        dyn_dist=stack.dynamics_prior, load=stack.load, steps=steps,
+        warm_up=0, mpf_bw=stack.mpf_bw, mpf_steps=20,
+    ))
+    svstate = stack.svmpc.init_state(stack.init_policies, stack.policies_prior)
+    mstate = stack.mpf.init_state(
+        stack.mpf_init, stack.init_state, 2, bw=stack.mpf_init_bw
+    )
+    dstate = stack.controller.init_state()
+
+    def run(i):
+        out = episode(jax.random.key(i), stack.init_state, dstate, svstate,
+                      mstate, jnp.float32(2.0))
+        return out[3]
+
+    best = _time_best(run, repeats)
+    return steps / best
 
 
 def bench_sweep(n_scenarios, steps, repeats):
@@ -195,6 +234,9 @@ def main():
         ),
         "mpf_large_m8192": lambda: bench_mpf_large(
             8192, 20, 10 if args.quick else 20, repeats
+        ),
+        "particle_large": lambda: bench_particle_large(
+            20 if args.quick else 50, repeats
         ),
     }
     for name, fn in runs.items():
