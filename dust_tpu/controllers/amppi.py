@@ -138,8 +138,10 @@ class AMPPI:
         elif self._params_shape is not None and params_dist is not None:
             draws = params_dist.sample(k_par, (self._params_shape,))
             draws = draws.reshape(self._params_shape, -1)
+            # [n, 1] columns broadcast against the [n_samples, S] rollout
+            # batch ('single': n=1 shared; 'extended': one per rollout)
             params = {
-                k: draws[:, i].reshape(-1, 1, 1)
+                k: draws[:, i].reshape(-1, 1)
                 for i, k in enumerate(model.uncertain_params)
             }
             # 'single': one draw shared by all rollouts; 'extended': one per

@@ -168,10 +168,15 @@ class MultiDisco:
 
     # -- cost (`disco.py:294-346`) ----------------------------------------
 
-    def compute_cost(self, dstate: DiscoState, states, actions, eps,
+    def compute_cost(self, dstate: DiscoState, states, actions,
                      utf_weights=None):
         """states [n_params|pts, n_actions, n_pol, H+1, S],
-        actions/eps [n_actions, n_pol, H, A] -> costs [n_actions, n_pol]."""
+        actions [n_actions, n_pol, H, A] -> costs [n_actions, n_pol].
+
+        The control-penalty term derives its eps from the *planned
+        sequence* (actions - a_seq), exactly as the reference recomputes
+        it inside `_compute_cost` (`disco.py:338-340`) regardless of how
+        the actions were sampled."""
         inst = self.inst_cost_fn(states[..., :-1, :],
                                  jnp.broadcast_to(actions, states[..., :-1, :].shape[:-1] + (self.dim_a,)))
         term = self.term_cost_fn(states[..., -1, :])
@@ -183,11 +188,12 @@ class MultiDisco:
         else:
             state_cost = (inst.sum(axis=-1) + term).mean(axis=0)
 
-        # control penalty: a_reg * sum_{t,a} -eps * (a_mat @ a_pre), the
-        # tensordot-trace trick of `disco.py:332-346` without the n_pol x
-        # n_pol cross product.
+        # control penalty: a_reg * sum_{t,a} -eps_ctrl * (a_mat @ a_pre),
+        # the tensordot-trace trick of `disco.py:332-346` without the
+        # n_pol x n_pol cross product.
+        eps_ctrl = actions - dstate.a_seq
         m = dstate.a_mat @ self.a_pre  # [P, H, A]
-        ctrl = self.a_reg * jnp.einsum("ipta,pta->ip", -eps, m)
+        ctrl = self.a_reg * jnp.einsum("ipta,pta->ip", -eps_ctrl, m)
         return state_cost + ctrl
 
     # -- forward (`disco.py:348-394`) -------------------------------------
@@ -241,7 +247,7 @@ class MultiDisco:
             batched = actions[None]
 
         states = self.rollout(state, model, batched, params, key=k_roll)
-        costs = self.compute_cost(dstate, states, actions, eps, utf_weights)
+        costs = self.compute_cost(dstate, states, actions, utf_weights)
 
         # softmax weighting (`disco.py:380-393`): per-policy normalizer over
         # the action-sample axis, exact max-subtraction order preserved.

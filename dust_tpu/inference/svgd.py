@@ -51,10 +51,16 @@ class SVGD:
         return optax.apply_updates(x, updates), opt_state
 
     def optimize(self, log_p_fn, initial_particles=None, prior=None, key=None,
-                 bw=0.69, n_steps=None):
-        """Fixed-point loop (`svgd.py:155-187`): bandwidth via the median
-        trick once up front, then n_steps optimizer-mediated updates.
-        Returns the final particles."""
+                 bw=None, n_steps=None):
+        """Fixed-point loop (`svgd.py:155-187`): by default the bandwidth
+        comes from the median trick once up front, then n_steps
+        optimizer-mediated updates. Returns the final particles.
+
+        Note: the reference applies the median trick *unconditionally*
+        whenever its default kernel is active, making its `bw` argument
+        dead (`svgd.py:174-175`; PARITY.md #17). Here an explicitly passed
+        `bw` is honored; `bw=None` (default) reproduces the reference's
+        effective behavior."""
         if initial_particles is not None:
             x = jnp.asarray(initial_particles)
         elif prior is not None:

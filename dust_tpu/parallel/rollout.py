@@ -48,7 +48,7 @@ def make_sharded_disco_forward(disco, model, mesh, axis="rollout"):
             if params is not None else actions[None]
         )
         states = disco.rollout(state, model, batched, params)
-        costs = disco.compute_cost(dstate, states, actions, eps_local)
+        costs = disco.compute_cost(dstate, states, actions)
 
         # global min for the max-subtraction trick
         beta = jax.lax.pmin(costs.min(), axis)

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import scenario_sharding
 
@@ -58,11 +57,6 @@ class ScenarioSweep:
 
         if mesh is not None:
             shard = scenario_sharding(mesh, axis)
-            replicated = NamedSharding(mesh, P())
-
-            def shard_of(tree):
-                return jax.tree_util.tree_map(lambda _: shard, tree)
-
             self._fn = jax.jit(
                 batched,
                 in_shardings=(

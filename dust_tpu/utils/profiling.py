@@ -39,13 +39,24 @@ class Stopwatch:
         self.counts = {}
 
     @contextlib.contextmanager
-    def phase(self, name, result=None):
+    def phase(self, name):
+        """Time a block. Assign the block's device output to the yielded
+        holder's `.result` to make the timing include async execution:
+
+            with sw.phase("solve") as h:
+                h.result = solve(...)
+        """
+
+        class _Holder:
+            result = None
+
+        holder = _Holder()
         t0 = time.perf_counter()
         try:
-            yield
+            yield holder
         finally:
-            if result is not None:
-                jax.block_until_ready(result)
+            if holder.result is not None:
+                jax.block_until_ready(holder.result)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

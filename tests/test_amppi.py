@@ -71,3 +71,36 @@ def test_update_actions_matches_reference(reference, rng):
     np.testing.assert_allclose(
         np.asarray(astate2.a_seq), theirs.a_seq.numpy(), atol=1e-4
     )
+
+
+def test_update_actions_sampled_params_modes(rng):
+    """'extended' and 'single' parameter sampling run and broadcast
+    correctly (regression: a spurious batch axis used to break the
+    rollout scan carry)."""
+    import jax
+
+    from dust_tpu.distributions import Uniform
+    from dust_tpu.models import PendulumModel as JPendulum
+
+    model = JPendulum(uncertain_params=("length", "mass"))
+    dist = Uniform(jnp.array([0.6, 0.6]), jnp.array([1.3, 1.3]),
+                   event_ndims=1)
+    for mode in ("extended", "single"):
+        ours = AMPPI(
+            observation_space=Box(dim=2),
+            action_space=Box(dim=1, low=-2.0, high=2.0),
+            hz_len=HORIZON,
+            n_samples=N_SAMPLES,
+            a_cov=1.5**2 * jnp.eye(1),
+            inst_cost_fn=inst_cost_jnp,
+            term_cost_fn=term_cost_jnp,
+            params_sampling=mode,
+        )
+        astate = ours.init_state()
+        astate, costs, states, _, omega = ours.update_actions(
+            astate, jnp.array([[2.5, -0.3]]), model, params_dist=dist,
+            key=jax.random.key(0),
+        )
+        assert states.shape == (N_SAMPLES, HORIZON + 1, 2)
+        assert np.isfinite(np.asarray(costs)).all()
+        np.testing.assert_allclose(float(omega.sum()), 1.0, rtol=1e-5)

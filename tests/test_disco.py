@@ -171,6 +171,54 @@ def test_forward_sampled_params_matches_reference(reference, rng):
     np.testing.assert_allclose(np.asarray(plogp_j), log_p, atol=1e-6)
 
 
+def test_compute_cost_ctrl_penalty_matches_reference(reference, rng):
+    """Control-penalty parity with ctrl_penalty != 1 and actions sampled
+    around a_mat != a_seq: the reference recomputes eps = actions - a_seq
+    inside `_compute_cost` (`disco.py:338-340`) regardless of how the
+    actions were drawn — regression for the internal-sampling path."""
+    ref_disco = reference("dust.controllers.disco")
+    ref_pend = reference("dust.models.pendulum")
+
+    model_t = ref_pend.PendulumModel()
+    model_j = PendulumModel()
+    kwargs = dict(hz_len=HORIZON, n_policies=N_POL, action_samples=N_ACT,
+                  temperature=0.7, ctrl_penalty=0.4)
+    theirs = ref_disco.MultiDISCO(
+        observation_space=model_t.observation_space,
+        action_space=model_t.action_space,
+        a_cov=2.0**2 * torch.eye(1),
+        inst_cost_fn=inst_cost_torch, term_cost_fn=term_cost_torch,
+        params_sampling="none", **kwargs)
+    ours = MultiDisco(
+        observation_space=Box(dim=2),
+        action_space=Box(dim=1, low=-2.0, high=2.0),
+        a_cov=2.0**2 * jnp.eye(1),
+        inst_cost_fn=inst_cost_jnp, term_cost_fn=term_cost_jnp,
+        params_sampling="none", **kwargs)
+
+    a_seq = rng.normal(size=(HORIZON, 1)).astype(np.float32)
+    a_mat = rng.normal(size=(N_POL, HORIZON, 1)).astype(np.float32)
+    eps = rng.normal(size=(N_ACT, N_POL, HORIZON, 1)).astype(np.float32)
+    actions = eps + a_mat  # internal-sampling geometry: around a_mat
+    state = np.array([[2.0, 0.3]], dtype=np.float32)
+
+    theirs.a_seq = torch.tensor(a_seq)
+    theirs.a_mat = torch.tensor(a_mat)
+    states_t, actions_t, _, _ = theirs._rollout(
+        torch.tensor(state), model_t, None, torch.tensor(actions)
+    )
+    costs_t = theirs._compute_cost(states_t, actions_t)
+
+    dstate = ours.init_state(a_mat).replace(a_seq=jnp.asarray(a_seq))
+    states_j = ours.rollout(
+        jnp.asarray(state), model_j, jnp.asarray(actions)[None]
+    )
+    costs_j = ours.compute_cost(dstate, states_j, jnp.asarray(actions))
+    np.testing.assert_allclose(
+        np.asarray(costs_j), costs_t.numpy(), rtol=2e-4, atol=1e-3
+    )
+
+
 def test_step_strategies_match_reference(reference, rng):
     for strategy in ("argmax", "average"):
         theirs, ours, _, _ = _make_pair(reference, "none", "none")
