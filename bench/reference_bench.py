@@ -17,60 +17,12 @@ import argparse
 import json
 import sys
 import time
-import types
-import math
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def install_shims():
-    import numpy as np
-    import torch
-
-    for alias, target in [("float", float), ("int", int), ("bool", bool),
-                          ("object", object)]:
-        if not hasattr(np, alias):
-            setattr(np, alias, target)
-
-    if "gpytorch" not in sys.modules:
-        gpytorch = types.ModuleType("gpytorch")
-        kernels = types.ModuleType("gpytorch.kernels")
-
-        class _Lazy:
-            def __init__(self, t):
-                self._t = t
-
-            def evaluate(self):
-                return self._t
-
-        class RBFKernel:
-            def __init__(self):
-                self.lengthscale = math.log(2.0)
-
-            def __call__(self, x, y):
-                d2 = torch.cdist(x, y) ** 2
-                return _Lazy(torch.exp(-d2 / (2 * self.lengthscale**2)))
-
-        kernels.RBFKernel = RBFKernel
-        gpytorch.kernels = kernels
-        sys.modules["gpytorch"] = gpytorch
-        sys.modules["gpytorch.kernels"] = kernels
-
-    if "KDEpy" not in sys.modules:
-        kdepy = types.ModuleType("KDEpy")
-        bw_selection = types.ModuleType("KDEpy.bw_selection")
-
-        def silvermans_rule(data, weights=None):
-            data = np.asarray(data).ravel()
-            sigma = np.std(data, ddof=1)
-            iqr = (np.percentile(data, 75) - np.percentile(data, 25)) \
-                / 1.3489795003921634
-            if iqr > 0:
-                sigma = min(sigma, iqr)
-            return sigma * (len(data) * 3 / 4.0) ** (-0.2)
-
-        bw_selection.silvermans_rule = silvermans_rule
-        kdepy.bw_selection = bw_selection
-        sys.modules["KDEpy"] = kdepy
-        sys.modules["KDEpy.bw_selection"] = bw_selection
+from bench.shims import install_reference_shims as install_shims  # noqa: E402
 
 
 def build_pendulum(config, use_mpf):

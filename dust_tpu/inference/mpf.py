@@ -166,10 +166,12 @@ class FusedPendulumMPF(MPF):
         n = self.n_steps if n_steps is None else n_steps
 
         model = self.likelihood.model
+        # the conditioned state's past_action (NOT the raw argument):
+        # matches MPF semantics when re-optimizing with new_obs=None
         x = fused_pendulum_mpf_optimize(
             mstate.x, mstate.prior.locs, mstate.lik.past_obs,
-            mstate.lik.loc, action, bw, mstate.prior_bw, self.lr,
-            self.likelihood.sigma, n_steps=n,
+            mstate.lik.loc, mstate.lik.past_action, bw, mstate.prior_bw,
+            self.lr, self.likelihood.sigma, n_steps=n,
             dt=model.dt, g=model.params_dict["g"],
             log_space=self.likelihood.log_space,
             interpret=self._interpret,

@@ -33,12 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_svgd import _round_up
+
 _MAX_SPEED = 8.0
 _MAX_TORQUE = 2.0
-
-
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
 
 
 def _mpf_kernel(scal_ref, x0_ref, centers_ref, x_out_ref, x_ref,

@@ -49,13 +49,23 @@ def replicated_sharding(mesh):
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
-    """Multi-host bring-up (`jax.distributed.initialize`). No-op when
-    single-process args are absent and env autodetection is unavailable."""
-    kwargs = {}
+    """Multi-host bring-up (`jax.distributed.initialize`). Returns True
+    when a distributed runtime was initialized; a genuine no-op
+    (returning False) on single-process machines where neither explicit
+    args nor cluster env autodetection provide a coordinator —
+    `jax.distributed.initialize()` itself would raise there."""
+    import os
+
     if coordinator_address is not None:
-        kwargs = dict(
+        jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    jax.distributed.initialize(**kwargs)
+        return True
+    try:
+        jax.distributed.initialize()
+        return True
+    except ValueError:
+        # no coordinator and no recognized cluster environment
+        return False

@@ -53,10 +53,14 @@ def make_sharded_disco_forward(disco, model, mesh, axis="rollout"):
         # global min for the max-subtraction trick
         beta = jax.lax.pmin(costs.min(), axis)
         log_costs = -(costs - beta) / disco.temp     # [na/p, P]
-        # per-policy logsumexp over the full (sharded) action axis
-        local_sum = jnp.sum(jnp.exp(log_costs), axis=0)      # [P]
-        eta = jnp.log(jax.lax.psum(local_sum, axis))          # [P]
-        omega = jnp.exp(log_costs - eta)                      # [na/p, P]
+        # per-policy logsumexp over the full (sharded) action axis, with
+        # a global per-policy max subtraction for stability (a policy
+        # whose best cost sits far above beta would otherwise underflow
+        # exp entirely and poison eta with -inf)
+        pol_max = jax.lax.pmax(jnp.max(log_costs, axis=0), axis)   # [P]
+        local_sum = jnp.sum(jnp.exp(log_costs - pol_max), axis=0)  # [P]
+        eta = pol_max + jnp.log(jax.lax.psum(local_sum, axis))     # [P]
+        omega = jnp.exp(log_costs - eta)                           # [na/p, P]
         delta_local = jnp.einsum("ip,ipta->pta", omega, eps_local)
         delta = jax.lax.psum(delta_local, axis)
         new_dstate = dstate.replace(

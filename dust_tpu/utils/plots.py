@@ -56,13 +56,15 @@ def plot_stein_particles(df, timesteps=None, save_path=None):
     plt = _plt()
     rows = df if timesteps is None else df[df["Timestep"].isin(timesteps)]
     fig, ax = plt.subplots(figsize=(8, 5))
+    sc = None
     for _, row in rows.iterrows():
         particles = np.asarray(row["PolParticles"], dtype=float)
         weights = np.asarray(row["Weights"], dtype=float)
         t = np.full_like(particles, row["Timestep"])
         sc = ax.scatter(t, particles, c=weights, cmap="viridis", s=25,
                         vmin=0.0, vmax=1.0)
-    fig.colorbar(sc, ax=ax, label="posterior weight")
+    if sc is not None:
+        fig.colorbar(sc, ax=ax, label="posterior weight")
     ax.set_xlabel("Timestep")
     ax.set_ylabel("first action of each particle")
     if save_path is not None:

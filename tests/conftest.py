@@ -55,15 +55,15 @@ def reference():
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
 
-    # numpy 2.x removed the deprecated scalar aliases the (2021-era)
-    # reference still uses (e.g. `np.float` in dust/utils/helper.py).
-    # (np.object is left alone — probing it emits a FutureWarning and the
-    # reference never touches it.)
-    for alias, target in [("float", float), ("int", int), ("bool", bool)]:
-        if alias not in np.__dict__:
-            np.__dict__[alias] = target
+    # shared dependency shims (numpy aliases, gpytorch RBFKernel,
+    # KDEpy silvermans_rule) — one implementation with the baseline
+    # measurement, see bench/shims.py
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if _repo_root not in sys.path:
+        sys.path.insert(0, _repo_root)
+    from bench.shims import install_reference_shims
 
-    _install_reference_dep_shims()
+    install_reference_shims()
 
     def _import(module_name):
         import importlib
@@ -81,59 +81,3 @@ def reference():
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
-
-
-def _install_reference_dep_shims():
-    """Minimal stand-ins for reference deps missing from this image
-    (gpytorch, KDEpy) so `dust.inference.svmpc` / `mpf` import. They
-    reproduce exactly the numerics the reference exercises:
-    gpytorch RBFKernel with its default lengthscale softplus(0) = ln 2
-    (the reference never successfully changes it — `svmpc.py:78` typo),
-    and KDEpy's 1-D Silverman rule."""
-    import math
-    import types
-
-    import torch
-
-    if "gpytorch" not in sys.modules:
-        gpytorch = types.ModuleType("gpytorch")
-        kernels = types.ModuleType("gpytorch.kernels")
-
-        class _Lazy:
-            def __init__(self, t):
-                self._t = t
-
-            def evaluate(self):
-                return self._t
-
-        class RBFKernel:
-            def __init__(self):
-                self.lengthscale = math.log(2.0)  # softplus(0)
-
-            def __call__(self, x, y):
-                d2 = torch.cdist(x, y) ** 2
-                return _Lazy(torch.exp(-d2 / (2 * self.lengthscale**2)))
-
-        kernels.RBFKernel = RBFKernel
-        gpytorch.kernels = kernels
-        sys.modules["gpytorch"] = gpytorch
-        sys.modules["gpytorch.kernels"] = kernels
-
-    if "KDEpy" not in sys.modules:
-        kdepy = types.ModuleType("KDEpy")
-        bw_selection = types.ModuleType("KDEpy.bw_selection")
-
-        def silvermans_rule(data, weights=None):
-            data = np.asarray(data).ravel()
-            sigma = np.std(data, ddof=1)
-            iqr = (
-                np.percentile(data, 75) - np.percentile(data, 25)
-            ) / 1.3489795003921634
-            if iqr > 0:
-                sigma = min(sigma, iqr)
-            return sigma * (len(data) * 3 / 4.0) ** (-0.2)
-
-        bw_selection.silvermans_rule = silvermans_rule
-        kdepy.bw_selection = bw_selection
-        sys.modules["KDEpy"] = kdepy
-        sys.modules["KDEpy.bw_selection"] = bw_selection
