@@ -30,7 +30,7 @@ ALPHA, LR, PRIOR_SIGMA, CTRL_SIGMA = 1.0, 2.0, 2.0, 2.0
 TRUE = {"g": 10.0, "length": 1.05, "mass": 0.9}
 
 
-def _run_reference(reference, theta0, noise_seq, state0):
+def _run_reference(reference, theta0, noise_seq, state0, kernel="rbf"):
     ref_svmpc_mod = reference("dust.inference.svmpc")
     ref_lik_mod = reference("dust.inference.likelihoods")
     ref_disco_mod = reference("dust.controllers.disco")
@@ -58,11 +58,20 @@ def _run_reference(reference, theta0, noise_seq, state0):
     lik = ref_lik_mod.ExponentiatedUtility(
         alpha=ALPHA, n_samples=N_SAMPLES, controller=ctrl, model=model
     )
+    if kernel == "message_passing":
+        ref_bk = reference("dust.kernels.base_kernels")
+        ref_ck = reference("dust.kernels.composite_kernels")
+        kernel_obj = ref_ck.iid_mp(
+            base_kernel=ref_bk.RBF(bandwidth=-1), ctrl_dim=1,
+            indep_controls=True,
+        )
+    else:
+        kernel_obj = RBFKernel()
     svmpc = ref_svmpc_mod.SVMPC(
         init_particles=torch.tensor(theta0.copy()),
         prior=prior,
         likelihood=lik,
-        kernel=RBFKernel(),
+        kernel=kernel_obj,
         n_particles=M,
         n_steps=1,
         optimizer_class=torch.optim.SGD,
@@ -96,7 +105,7 @@ def _run_reference(reference, theta0, noise_seq, state0):
             svmpc.theta.detach().numpy())
 
 
-def _run_ours(theta0, noise_seq, state0):
+def _run_ours(theta0, noise_seq, state0, kernel="rbf"):
     model = PendulumModel()
     sim_model = PendulumModel(**TRUE)
     ctrl = MultiDisco(
@@ -115,8 +124,8 @@ def _run_ours(theta0, noise_seq, state0):
         alpha=ALPHA, n_samples=N_SAMPLES, controller=ctrl, model=model
     )
     svmpc = SVMPC(
-        likelihood=lik, kernel="rbf", n_particles=M, n_steps=1,
-        optimizer=optax.sgd(LR), reference_compat=True,
+        likelihood=lik, kernel=kernel, ctrl_dim=1, n_particles=M, n_steps=1,
+        optimizer=optax.sgd(LR), reference_compat=(kernel == "rbf"),
     )
     prior = GMM.from_cov(theta0, jnp.ones(M), PRIOR_SIGMA**2 * jnp.eye(1))
     svstate = svmpc.init_state(theta0, prior)
@@ -142,7 +151,12 @@ def _run_ours(theta0, noise_seq, state0):
             np.asarray(svstate.theta))
 
 
-def test_closed_loop_control_sequences_match_reference(reference, rng):
+import pytest
+
+
+@pytest.mark.parametrize("kernel", ["rbf", "message_passing"])
+def test_closed_loop_control_sequences_match_reference(reference, rng,
+                                                       kernel):
     theta0 = (rng.normal(size=(M, HORIZON, 1)) * 2).astype(np.float32)
     noise_seq = rng.normal(
         size=(T_STEPS, N_SAMPLES, M, HORIZON, 1)
@@ -150,14 +164,20 @@ def test_closed_loop_control_sequences_match_reference(reference, rng):
     state0 = np.array([[3.0, 0.0]], dtype=np.float32)
 
     acts_ref, states_ref, theta_ref = _run_reference(
-        reference, theta0, noise_seq, state0
+        reference, theta0, noise_seq, state0, kernel
     )
-    acts_ours, states_ours, theta_ours = _run_ours(theta0, noise_seq, state0)
+    acts_ours, states_ours, theta_ours = _run_ours(
+        theta0, noise_seq, state0, kernel
+    )
 
-    # control sequences within tolerance at matched seeds (f32 rounding
-    # compounds over 15 closed-loop steps)
-    np.testing.assert_allclose(acts_ours, acts_ref, atol=2e-3)
-    np.testing.assert_allclose(states_ours, states_ref, atol=5e-3)
-    np.testing.assert_allclose(theta_ours, theta_ref, atol=5e-3)
+    # early steps pin the math tightly; later steps allow the f32
+    # closed-loop chaos amplification (larger on the message-passing path,
+    # whose per-slice median-trick bandwidths switch discretely)
+    np.testing.assert_allclose(acts_ours[:8], acts_ref[:8], rtol=1e-3,
+                               atol=2e-4)
+    tol = 2e-3 if kernel == "rbf" else 5e-2
+    np.testing.assert_allclose(acts_ours, acts_ref, atol=tol)
+    np.testing.assert_allclose(states_ours, states_ref, atol=3 * tol)
+    np.testing.assert_allclose(theta_ours, theta_ref, atol=3 * tol)
     # and the executed trajectories are genuinely nontrivial
     assert np.abs(acts_ref).max() > 0.5
