@@ -210,6 +210,23 @@ class GMM:
         log_w = jax.nn.log_softmax(self.logits)
         return jax.nn.logsumexp(self._component_log_prob(x) + log_w, axis=-1)
 
+    def score(self, x):
+        """grad_x log p(x), closed form: sum_k r_k(x) Sigma^-1 (c_k - x)
+        with responsibilities r = softmax(component log-probs + log w).
+        Identical to jax.grad(log_prob) (tested) with a much shorter op
+        chain — the hot path of every SVGD prior gradient."""
+        log_w = jax.nn.log_softmax(self.logits)
+        r = jax.nn.softmax(self._component_log_prob(x) + log_w, axis=-1)
+        # responsibility-weighted mean of component centers: [..., *event]
+        mean_c = jnp.tensordot(r, self.locs, axes=[[-1], [0]])
+        diff = mean_c - x
+        # apply Sigma^-1 on the last axis: solve L L^T z = diff
+        z = _tril_solve(self.scale_tril, diff)
+        z = jax.scipy.linalg.solve_triangular(
+            self.scale_tril.T, z.reshape(-1, z.shape[-1]).T, lower=False
+        ).T.reshape(diff.shape)
+        return z
+
     def sample(self, key, sample_shape=()):
         k_cat, k_norm = jax.random.split(key)
         shape = tuple(sample_shape)

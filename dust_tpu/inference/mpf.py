@@ -84,7 +84,7 @@ class MPF:
     def phi(self, mstate: MPFState, bw):
         """Stein direction (`mpf.py:40-57`)."""
         x = mstate.x
-        grad_prior = jax.grad(lambda t: jnp.sum(mstate.prior.log_prob(t)))(x)
+        grad_prior = mstate.prior.score(x)  # closed form == jax.grad
 
         def log_lik(t):
             pred = self.likelihood.sample(mstate.lik, t)

@@ -96,7 +96,7 @@ class SVMPC:
         x = svstate.theta
         m = x.shape[0]
 
-        grad_pri = jax.grad(lambda t: jnp.sum(svstate.prior.log_prob(t)))(x)
+        grad_pri = svstate.prior.score(x)  # closed form == jax.grad
 
         new_dstate, costs, actions, _, _ = self.likelihood.sample(
             dstate, x, state, params_dist, key, noise=noise

@@ -110,3 +110,21 @@ def test_gmm_sample_shape_and_mean():
     assert s.shape == (50_000, 2)
     np.testing.assert_allclose(np.mean(s, axis=0), [2.0, 2.0], atol=0.05)
     np.testing.assert_allclose(np.asarray(gmm.mean), [2.0, 2.0], atol=1e-6)
+
+
+@pytest.mark.parametrize("event_rank", [1, 2])
+def test_gmm_score_matches_autograd(rng, event_rank):
+    """Closed-form mixture score == jax.grad through log_prob (the hot
+    SVGD prior-gradient path)."""
+    k, h, a = 4, 6, 2
+    locs = rng.normal(size=(k, a) if event_rank == 1 else (k, h, a))
+    # non-trivial full covariance on the last axis
+    m = rng.normal(size=(a, a))
+    cov = m @ m.T + 2 * np.eye(a)
+    gmm = GMM.from_cov(locs, rng.uniform(0.5, 2.0, size=k), cov)
+    x = jnp.asarray(rng.normal(size=(5,) + locs.shape[1:]), jnp.float32)
+
+    auto = jax.grad(lambda t: jnp.sum(gmm.log_prob(t)))(x)
+    closed = gmm.score(x)
+    np.testing.assert_allclose(np.asarray(closed), np.asarray(auto),
+                               rtol=2e-4, atol=2e-5)
