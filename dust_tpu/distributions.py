@@ -49,6 +49,20 @@ def _tril_solve(scale_tril, x):
     )[..., 0]
 
 
+def _tril_solve_t(scale_tril, x):
+    """Solve L^T z = x along the last axis (the second half of applying
+    Sigma^-1 = L^-T L^-1); same batching contract as _tril_solve."""
+    if scale_tril.ndim == 2:
+        d = x.shape[-1]
+        flat = x.reshape(-1, d)
+        z = jax.scipy.linalg.solve_triangular(scale_tril.T, flat.T,
+                                              lower=False)
+        return z.T.reshape(x.shape)
+    return jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(scale_tril, -1, -2), x[..., None], lower=False
+    )[..., 0]
+
+
 def _tril_log_det(scale_tril):
     return jnp.sum(jnp.log(jnp.diagonal(scale_tril, axis1=-2, axis2=-1)), axis=-1)
 
@@ -221,11 +235,8 @@ class GMM:
         mean_c = jnp.tensordot(r, self.locs, axes=[[-1], [0]])
         diff = mean_c - x
         # apply Sigma^-1 on the last axis: solve L L^T z = diff
-        z = _tril_solve(self.scale_tril, diff)
-        z = jax.scipy.linalg.solve_triangular(
-            self.scale_tril.T, z.reshape(-1, z.shape[-1]).T, lower=False
-        ).T.reshape(diff.shape)
-        return z
+        return _tril_solve_t(self.scale_tril, _tril_solve(self.scale_tril,
+                                                          diff))
 
     def sample(self, key, sample_shape=()):
         k_cat, k_norm = jax.random.split(key)

@@ -54,8 +54,6 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     (returning False) on single-process machines where neither explicit
     args nor cluster env autodetection provide a coordinator —
     `jax.distributed.initialize()` itself would raise there."""
-    import os
-
     if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 import torch
 
 from dust_tpu.controllers import MultiDisco
@@ -149,9 +150,6 @@ def _run_ours(theta0, noise_seq, state0, kernel="rbf"):
         states.append(np.asarray(state))
     return (np.asarray(actions), np.asarray(states),
             np.asarray(svstate.theta))
-
-
-import pytest
 
 
 @pytest.mark.parametrize("kernel", ["rbf", "message_passing"])
