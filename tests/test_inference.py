@@ -319,3 +319,74 @@ def test_svmpc_step_and_forward_match_reference(reference, rng):
         theirs.prior.component_distribution.base_dist.loc.numpy(),
         atol=2e-4,
     )
+
+
+def test_mpf_log_space_matches_reference(reference, rng):
+    """Log-space parameter particles (the particle demo's MPF mode,
+    `demo/particle_config.yaml mpf_log_space: true`) vs the reference."""
+    init = np.log(
+        rng.uniform(0.6, 1.3, size=(16, 2)).astype(np.float32)
+    )
+    init_obs = np.array([3.0, 0.0], dtype=np.float32)
+    lr, bw, n_steps = 1e-3, 0.25, 5
+
+    ref_mpf_mod = reference("dust.inference.mpf")
+    ref_lik_mod = reference("dust.inference.likelihoods")
+    ref_pend = reference("dust.models.pendulum")
+    lik_t = ref_lik_mod.GaussianLikelihood(
+        initial_obs=torch.tensor(init_obs), obs_std=0.1,
+        model=ref_pend.PendulumModel(uncertain_params=("length", "mass")),
+        log_space=True,
+    )
+    theirs = ref_mpf_mod.MPF(
+        init_particles=torch.tensor(init.copy()),
+        likelihood=lik_t, optimizer_class=torch.optim.SGD, lr=lr, bw=bw,
+    )
+    theirs.optimize(torch.tensor([0.7]), torch.tensor([2.9, -0.4]),
+                    bw=bw, n_steps=n_steps)
+
+    lik_j = GaussianLikelihood(
+        obs_std=0.1,
+        model=PendulumModel(uncertain_params=("length", "mass")),
+        log_space=True,
+    )
+    ours = MPF(likelihood=lik_j, optimizer=optax.sgd(lr),
+               reference_compat=True)
+    ms = ours.init_state(init, init_obs, dim_a=1, bw=bw)
+    ms, _, _ = ours.optimize(ms, jnp.array([0.7]), jnp.array([2.9, -0.4]),
+                             bw=bw, n_steps=n_steps)
+    np.testing.assert_allclose(
+        np.asarray(ms.x), theirs.x.detach().numpy(), rtol=5e-3, atol=5e-4
+    )
+
+
+def test_svmpc_multi_step_optimize(rng):
+    """n_steps > 1 runs distinct SVGD updates with per-step PRNG keys."""
+    from tests.test_disco import inst_cost_jnp, term_cost_jnp
+    from dust_tpu.spaces import Box
+
+    model = PendulumModel()
+    ctrl = MultiDisco(
+        observation_space=Box(dim=2),
+        action_space=Box(dim=1, low=-2.0, high=2.0),
+        hz_len=8, n_policies=3, action_samples=16,
+        a_cov=4.0 * jnp.eye(1),
+        inst_cost_fn=inst_cost_jnp, term_cost_fn=term_cost_jnp,
+        params_sampling="none",
+    )
+    lik = ExponentiatedUtility(alpha=1.0, n_samples=16, controller=ctrl,
+                               model=model)
+    svmpc = SVMPC(likelihood=lik, n_particles=3, n_steps=3,
+                  optimizer=optax.sgd(1.0))
+    theta0 = jnp.asarray(rng.normal(size=(3, 8, 1)), jnp.float32)
+    prior = GMM.from_cov(theta0, jnp.ones(3), 4.0 * jnp.eye(1))
+    sv1 = svmpc.init_state(theta0, prior)
+    ds = ctrl.init_state()
+    obs = jnp.array([[3.0, 0.0]])
+
+    sv3, _, costs = svmpc.optimize(sv1, ds, obs, None, jax.random.key(0))
+    sv_single, _, _ = svmpc.optimize(sv1, ds, obs, None, jax.random.key(0),
+                                     n_steps=1)
+    assert np.isfinite(np.asarray(costs)).all()
+    # three steps move further than one (distinct updates happened)
+    assert not np.allclose(np.asarray(sv3.theta), np.asarray(sv_single.theta))
