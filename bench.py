@@ -28,8 +28,9 @@ from dust_tpu.experiments import build_pendulum_stack, load_config
 from dust_tpu.simulation import PendulumSimulation
 
 # torch CPU reference, measured by bench/reference_bench.py on this
-# machine (anomaly detection off). Override with BASELINE_SOLVES.
-REFERENCE_SOLVES_PER_S = float(os.environ.get("BASELINE_SOLVES", "4.374"))
+# machine (anomaly detection off; best of 20/60/120-step runs — the
+# most conservative denominator). Override with BASELINE_SOLVES.
+REFERENCE_SOLVES_PER_S = float(os.environ.get("BASELINE_SOLVES", "5.082"))
 
 STEPS = int(os.environ.get("BENCH_STEPS", "200"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
