@@ -116,3 +116,46 @@ def test_mvn_log_prob_max_at_mean(d, seed):
     lp_x = np.asarray(mvn.log_prob(x))
     lp_mean = float(mvn.log_prob(jnp.asarray(loc, jnp.float32)))
     assert (lp_x <= lp_mean + 1e-4).all()
+
+
+@given(seed=st.integers(0, 2**16), temp=st.floats(0.05, 5.0))
+@_settings
+def test_disco_forward_invariants(seed, temp):
+    """Controller-update invariants for arbitrary noise/temperature:
+    omega columns are probability vectors, a_mix is a probability vector,
+    step() respects the action bounds."""
+    from dust_tpu.controllers import MultiDisco
+    from dust_tpu.models import PendulumModel
+    from dust_tpu.spaces import Box
+
+    rng = np.random.default_rng(seed)
+    model = PendulumModel()
+
+    def inst(s, a=None, **_):
+        return 50.0 * (jnp.cos(s[..., 0]) - 1) ** 2 + s[..., 1] ** 2
+
+    ctrl = MultiDisco(
+        observation_space=Box(dim=2),
+        action_space=Box(dim=1, low=-2.0, high=2.0),
+        hz_len=6, n_policies=2, action_samples=8,
+        temperature=temp, a_cov=4.0 * jnp.eye(1),
+        inst_cost_fn=inst, term_cost_fn=inst, params_sampling="none",
+    )
+    dstate = ctrl.init_state(
+        jnp.asarray(rng.normal(size=(2, 6, 1)) * 3, jnp.float32)
+    )
+    eps = jnp.asarray(rng.normal(size=(8, 2, 6, 1)) * 2, jnp.float32)
+    state = jnp.asarray(rng.normal(size=(1, 2)) * 3, jnp.float32)
+
+    dstate2, costs, _, _, omega, _ = ctrl.forward(
+        dstate, state, model, eps_noise=eps
+    )
+    omega_np = np.asarray(omega)
+    np.testing.assert_allclose(omega_np.sum(axis=0), 1.0, rtol=1e-3)
+    assert (omega_np >= 0).all()
+    np.testing.assert_allclose(float(np.asarray(dstate2.a_mix).sum()), 1.0,
+                               rtol=1e-3)
+
+    _, next_actions = ctrl.step(dstate2, strategy="argmax")
+    a = np.asarray(next_actions)
+    assert (a >= -2.0 - 1e-6).all() and (a <= 2.0 + 1e-6).all()
