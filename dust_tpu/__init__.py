@@ -25,3 +25,38 @@ Layer map (mirrors the reference's, see SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+from .spaces import Box
+from .distributions import GMM, MVN, Normal, Uniform
+from .models import (
+    BaseModel,
+    CartPoleModel,
+    Particle,
+    PendulumModel,
+    SkidSteerRobot,
+)
+from .controllers import AMPPI, AMPPIState, DiscoState, MultiDisco
+from .inference import (
+    SVGD,
+    SVMPC,
+    SVMPCState,
+    MPF,
+    MPFState,
+    CostLikelihood,
+    ExpectedCost,
+    ExponentiatedUtility,
+    GaussianLikelihood,
+    LikelihoodState,
+)
+from .simulation import PendulumSimulation, run_particle_episode
+
+__all__ = [
+    "Box", "GMM", "MVN", "Normal", "Uniform",
+    "BaseModel", "CartPoleModel", "Particle", "PendulumModel",
+    "SkidSteerRobot",
+    "AMPPI", "AMPPIState", "DiscoState", "MultiDisco",
+    "SVGD", "SVMPC", "SVMPCState", "MPF", "MPFState",
+    "CostLikelihood", "ExpectedCost", "ExponentiatedUtility",
+    "GaussianLikelihood", "LikelihoodState",
+    "PendulumSimulation", "run_particle_episode",
+]
