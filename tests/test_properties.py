@@ -11,7 +11,9 @@ from dust_tpu.ops.bandwidth import bw_median, median_lower, silvermans_rule
 from dust_tpu.ops.distance import squared_distance
 from dust_tpu.ops.kernels import rbf_analytic, rbf_gram
 
-_settings = settings(max_examples=25, deadline=None)
+_settings = settings(max_examples=25, deadline=None, derandomize=True)
+# derandomize: the suite must be deterministic for CI/driver runs — a
+# fresh random example failing only there would be unreproducible noise
 
 
 @given(
