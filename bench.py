@@ -47,6 +47,15 @@ def build(key):
             os.environ["BENCH_MPF_UNROLL"]
         )
     stack = build_pendulum_stack(config, key, case="dust")
+    if os.environ.get("BENCH_CF_MPF") == "1":
+        # closed-form jnp likelihood gradient (shorter op chain than VJP)
+        from dust_tpu.inference.mpf import ClosedFormPendulumMPF
+
+        stack.mpf = ClosedFormPendulumMPF(
+            likelihood=stack.mpf.likelihood,
+            lr=config["exp_params"]["mpf_learning_rate"],
+            n_steps=config["exp_params"]["mpf_steps"],
+        )
     if os.environ.get("BENCH_FUSED_MPF") == "1":
         # swap in the single-kernel MPF (same math, one Pallas program
         # per posterior update)

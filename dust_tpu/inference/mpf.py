@@ -136,6 +136,64 @@ class MPF:
         return mstate, grads, bw
 
 
+class ClosedFormPendulumMPF(MPF):
+    """MPF with the Gaussian-likelihood gradient through the pendulum
+    transition written in closed form (same derivation as
+    `ops/pallas_mpf.py`, verified against jax.grad). Measured verdict
+    (interleaved A/B on TPU v5e): 4% *slower* than the jax.grad default —
+    XLA's VJP shares forward-pass subexpressions this closed form
+    recomputes. Kept as a tested alternative / documentation of the
+    derivation; the autodiff path stays the default."""
+
+    def __init__(self, likelihood, **kwargs):
+        kwargs.pop("reference_compat", None)
+        super().__init__(likelihood, reference_compat=False, **kwargs)
+
+    def phi(self, mstate: MPFState, bw):
+        import math
+
+        x = mstate.x
+        grad_prior = mstate.prior.score(x)
+
+        model = self.likelihood.model
+        dt = model.dt
+        g = model.params_dict["g"]
+        sigma = self.likelihood.sigma
+        theta0 = mstate.lik.past_obs[0]
+        theta_d0 = mstate.lik.past_obs[1]
+        loc0 = mstate.lik.loc[0]
+        loc1 = mstate.lik.loc[1]
+        acts = jnp.clip(mstate.lik.past_action.reshape(-1)[0], -2.0, 2.0)
+        sin_t = jnp.sin(theta0 + math.pi)
+
+        length = x[:, 0:1]
+        mass = x[:, 1:2]
+        if self.likelihood.log_space:
+            length = jnp.exp(length)
+            mass = jnp.exp(mass)
+        il = 1.0 / length
+        im = 1.0 / mass
+        tdd = -1.5 * g * il * sin_t + 3.0 * im * il * il * acts
+        theta_d_raw = theta_d0 + dt * tdd
+        theta_d = jnp.clip(theta_d_raw, -8.0, 8.0)
+        theta = theta0 + theta_d * dt
+        gate = jnp.where((theta_d_raw > -8.0) & (theta_d_raw < 8.0), 1.0, 0.0)
+        dtd_dl = gate * dt * (1.5 * g * il * il * sin_t
+                              - 6.0 * im * il**3 * acts)
+        dtd_dm = gate * dt * (-3.0 * im * im * il * il * acts)
+        common = -((theta - loc0) * dt + (theta_d - loc1)) / sigma**2
+        gl_l = common * dtd_dl
+        gl_m = common * dtd_dm
+        if self.likelihood.log_space:
+            gl_l = gl_l * length
+            gl_m = gl_m * mass
+        grad_lik = jnp.concatenate([gl_l, gl_m], axis=1)
+
+        score = grad_lik + grad_prior
+        k, grad_first = rbf_gram_and_grad(x, x, bw)
+        return (jnp.tensordot(k, score, axes=1) - grad_first) / x.shape[0]
+
+
 class FusedPendulumMPF(MPF):
     """MPF whose entire optimize loop runs as ONE Pallas kernel with
     hand-derived pendulum-likelihood gradients

@@ -73,3 +73,25 @@ def test_fused_mpf_speed_clip_gate(rng):
     np.testing.assert_allclose(
         np.asarray(ms_f.x), np.asarray(ms_p.x), rtol=2e-3, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("log_space", [False, True])
+def test_closed_form_mpf_matches_jnp_mpf(rng, log_space):
+    """ClosedFormPendulumMPF (hand-derived jnp likelihood gradient) ==
+    plain MPF with jax.grad."""
+    from dust_tpu.inference.mpf import ClosedFormPendulumMPF
+
+    model, lik, init, obs = _setup(rng, log_space)
+    lr, bw, prior_bw, n_steps = 1e-3, 0.3, 0.2, 6
+
+    plain = MPF(likelihood=lik, optimizer=optax.sgd(lr))
+    closed = ClosedFormPendulumMPF(likelihood=lik, optimizer=optax.sgd(lr))
+
+    a = jnp.array([1.7])
+    new_obs = jnp.array([2.7, -0.6])
+    ms_p = plain.init_state(init, obs, dim_a=1, bw=prior_bw)
+    ms_c = closed.init_state(init, obs, dim_a=1, bw=prior_bw)
+    ms_p, _, _ = plain.optimize(ms_p, a, new_obs, bw=bw, n_steps=n_steps)
+    ms_c, _, _ = closed.optimize(ms_c, a, new_obs, bw=bw, n_steps=n_steps)
+    np.testing.assert_allclose(np.asarray(ms_c.x), np.asarray(ms_p.x),
+                               rtol=2e-4, atol=2e-5)
