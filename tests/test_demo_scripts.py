@@ -1,0 +1,39 @@
+"""Demo entry points run end to end as subprocesses (tiny workloads):
+the argparse surface, config loading and output paths all execute."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-only subprocess
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, *args], cwd=ROOT, env=env, timeout=timeout,
+        capture_output=True, text=True,
+    )
+
+
+def test_pendulum_example_runs():
+    r = _run(["demo/pendulum_example.py", "--steps", "6", "--cases",
+              "svmpc,mppi", "--episodes", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Summary" in r.stdout
+
+
+def test_particle_example_runs(tmp_path):
+    r = _run(["demo/particle_example.py", "--steps", "6"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "episode 0" in r.stdout
+
+
+def test_pendulum_tuning_parallel_lr_runs():
+    r = _run(["demo/pendulum_tuning.py", "--parallel-lr", "3",
+              "--steps", "5"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "best lr" in r.stdout
