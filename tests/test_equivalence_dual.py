@@ -33,8 +33,12 @@ from tests.test_disco import (
     term_cost_torch,
 )
 
-M, HORIZON, N_SAMPLES, N_PARAMS, T_STEPS = 3, 10, 16, 4, 10
-MPF_N, MPF_STEPS = 12, 5
+SMALL = dict(M=3, HORIZON=10, N_SAMPLES=16, N_PARAMS=4, T_STEPS=10,
+             MPF_N=12, MPF_STEPS=5)
+# the literal demo shapes (`demo/pendulum_config.yaml`): horizon 30,
+# 128 action samples, 8 param draws, 50 MPF particles x 20 steps
+DEMO = dict(M=3, HORIZON=30, N_SAMPLES=128, N_PARAMS=8, T_STEPS=6,
+            MPF_N=50, MPF_STEPS=20)
 ALPHA, LR, PRIOR_SIGMA, CTRL_SIGMA = 1.0, 2.0, 2.0, 2.0
 MPF_LR, MPF_BW, OBS_STD = 1e-3, 0.3, 0.1
 TRUE = {"g": 10.0, "length": 1.05, "mass": 0.9}
@@ -74,8 +78,13 @@ class _JnpParamStub:
         return lp
 
 
-def _run_reference(reference, theta0, mpf0, noise_seq, param_draws,
+def _run_reference(reference, cfg, theta0, mpf0, noise_seq, param_draws,
                    param_lps, state0):
+    M, HORIZON, N_SAMPLES, N_PARAMS, T_STEPS = (
+        cfg["M"], cfg["HORIZON"], cfg["N_SAMPLES"], cfg["N_PARAMS"],
+        cfg["T_STEPS"],
+    )
+    MPF_STEPS = cfg["MPF_STEPS"]
     ref_svmpc_mod = reference("dust.inference.svmpc")
     ref_lik_mod = reference("dust.inference.likelihoods")
     ref_disco_mod = reference("dust.controllers.disco")
@@ -158,7 +167,12 @@ def _run_reference(reference, theta0, mpf0, noise_seq, param_draws,
     return np.asarray(actions), np.asarray(mpf_traj)
 
 
-def _run_ours(theta0, mpf0, noise_seq, param_draws, param_lps, state0):
+def _run_ours(cfg, theta0, mpf0, noise_seq, param_draws, param_lps, state0):
+    M, HORIZON, N_SAMPLES, N_PARAMS, T_STEPS = (
+        cfg["M"], cfg["HORIZON"], cfg["N_SAMPLES"], cfg["N_PARAMS"],
+        cfg["T_STEPS"],
+    )
+    MPF_STEPS = cfg["MPF_STEPS"]
     model = PendulumModel(uncertain_params=("length", "mass"))
     sim_model = PendulumModel(**TRUE)
     ctrl = MultiDisco(
@@ -212,9 +226,18 @@ def _run_ours(theta0, mpf0, noise_seq, param_draws, param_lps, state0):
     return np.asarray(actions), np.asarray(mpf_traj)
 
 
-def test_dual_loop_matches_reference(reference, rng):
+import pytest
+
+
+@pytest.mark.parametrize("cfg", [SMALL, DEMO],
+                         ids=["small", "demo_scale"])
+def test_dual_loop_matches_reference(reference, rng, cfg):
+    M, HORIZON, N_SAMPLES, N_PARAMS, T_STEPS = (
+        cfg["M"], cfg["HORIZON"], cfg["N_SAMPLES"], cfg["N_PARAMS"],
+        cfg["T_STEPS"],
+    )
     theta0 = (rng.normal(size=(M, HORIZON, 1)) * 2).astype(np.float32)
-    mpf0 = rng.uniform(0.6, 1.3, size=(MPF_N, 2)).astype(np.float32)
+    mpf0 = rng.uniform(0.6, 1.3, size=(cfg["MPF_N"], 2)).astype(np.float32)
     noise_seq = rng.normal(
         size=(T_STEPS, N_SAMPLES, M, HORIZON, 1)
     ).astype(np.float32)
@@ -225,10 +248,11 @@ def test_dual_loop_matches_reference(reference, rng):
     state0 = np.array([[3.0, 0.0]], dtype=np.float32)
 
     acts_ref, mpf_ref = _run_reference(
-        reference, theta0, mpf0, noise_seq, param_draws, param_lps, state0
+        reference, cfg, theta0, mpf0, noise_seq, param_draws, param_lps,
+        state0
     )
     acts_ours, mpf_ours = _run_ours(
-        theta0, mpf0, noise_seq, param_draws, param_lps, state0
+        cfg, theta0, mpf0, noise_seq, param_draws, param_lps, state0
     )
 
     np.testing.assert_allclose(acts_ours[:5], acts_ref[:5], rtol=1e-3,
