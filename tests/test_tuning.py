@@ -73,3 +73,31 @@ def test_parallel_lr_sweep_orders_sanely():
         {"length": 1.0, "mass": 1.0},
     )
     np.testing.assert_allclose(float(single[0]), arr[1], rtol=1e-5)
+
+
+def test_parallel_lr_sweep_sharded_matches_unsharded():
+    from dust_tpu.parallel import make_mesh
+
+    cfg = load_config("demo/pendulum_config.yaml")
+    cfg["exp_params"].update(horizon=8, action_samples=8, n_particles=2)
+    stack = build_pendulum_stack(cfg, jax.random.key(0), case="svmpc")
+    stack.svmpc.optimizer = optax.inject_hyperparams(optax.sgd)(
+        learning_rate=1.0
+    )
+    harness = PendulumSimulation(
+        controller=stack.controller, svmpc=stack.svmpc,
+        model=stack.model, steps=6, warm_up=0,
+    )
+    lrs = jnp.logspace(-1, 1, 8)
+    plain = parallel_lr_sweep(
+        harness, stack, lrs, jax.random.key(1),
+        {"length": 1.0, "mass": 1.0},
+    )
+    mesh = make_mesh(axis_names=("scenario",))
+    sharded = parallel_lr_sweep(
+        harness, stack, lrs, jax.random.key(1),
+        {"length": 1.0, "mass": 1.0}, mesh=mesh,
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               rtol=1e-5)
+    assert len(sharded.sharding.device_set) == 8
