@@ -82,3 +82,37 @@ def test_model_sample_params_bounds():
         assert arr.shape == (64, 1)
         # masked resampling keeps nearly all draws in bounds
         assert ((arr > 0.5) & (arr < 1.5)).mean() > 0.95
+
+
+def test_real_harness_dataframe_feeds_plots(tmp_path):
+    """End-to-end analysis workflow: a real episode DataFrame (reference
+    schema) drives the plot surface, including the MPF ridgeline from
+    DynParticles."""
+    import jax
+
+    from dust_tpu.experiments import build_pendulum_stack, load_config
+    from dust_tpu.simulation import PendulumSimulation
+
+    cfg = load_config("demo/pendulum_config.yaml")
+    cfg["exp_params"].update(horizon=8, action_samples=8, params_samples=2,
+                             mpf_n_particles=8, mpf_steps=2, n_particles=2)
+    stack = build_pendulum_stack(cfg, jax.random.key(0), case="dust")
+    harness = PendulumSimulation(
+        controller=stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
+        model=stack.model, steps=10, warm_up=1,
+        mpf_bw=stack.mpf_bw, mpf_steps=2,
+    )
+    df = harness.run(
+        jax.random.key(1), [{"length": 1.0, "mass": 1.0}],
+        init_state=stack.init_state, init_policies=stack.init_policies,
+        policies_prior=stack.policies_prior, dyn_dist=stack.dynamics_prior,
+        mpf_init=stack.mpf_init,
+    )
+    df["Case"] = "DuSt-MPC"
+    plots.plot_mean_results(df, save_path=tmp_path / "m.png")
+    plots.plot_stein_particles(df, save_path=tmp_path / "s.png")
+    dyn = np.stack(df["DynParticles"].to_list())[..., 0]  # [T, n]
+    plots.plot_dist_ridgeplot(dyn, true_value=1.0, every=5,
+                              save_path=tmp_path / "r.png")
+    for f in ("m", "s", "r"):
+        assert (tmp_path / f"{f}.png").stat().st_size > 0
