@@ -1,9 +1,24 @@
-from .mesh import make_mesh, scenario_sharding, replicated_sharding
-from .sweep import ScenarioSweep
+from .mesh import (
+    initialize_distributed,
+    make_mesh,
+    replicated_sharding,
+    scenario_sharding,
+)
+from .rollout import make_sharded_disco_forward
+from .stein import ShardedMPF, make_sharded_svgd_phi
+from .svmpc_sharded import ShardedSVMPC
+from .sweep import ParticleScenarioSweep, ScenarioSweep, broadcast_scenarios
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
-    "scenario_sharding",
     "replicated_sharding",
+    "scenario_sharding",
+    "make_sharded_disco_forward",
+    "ShardedMPF",
+    "make_sharded_svgd_phi",
+    "ShardedSVMPC",
+    "ParticleScenarioSweep",
     "ScenarioSweep",
+    "broadcast_scenarios",
 ]
