@@ -13,8 +13,9 @@ Prints ONE JSON line:
 Modes timed:
   * episode-scan (headline): the whole closed-loop episode is one device
     program — the production path;
-  * per-step dispatch: one jitted solve per host call — the real-time
-    replanning latency view (extra field).
+  * per-step dispatch (opt-in: BENCH_PER_STEP=1, costs a second ~4-min
+    compile): one jitted solve per host call — the real-time replanning
+    latency view.
 """
 
 import json
