@@ -56,6 +56,8 @@ def build(key):
             likelihood=stack.mpf.likelihood,
             lr=config["exp_params"]["mpf_learning_rate"],
             n_steps=config["exp_params"]["mpf_steps"],
+            bw_scale=config["exp_params"]["mpf_bandwidth_scaling"],
+            scan_unroll=config["exp_params"].get("mpf_scan_unroll", 1),
         )
     if os.environ.get("BENCH_FUSED_MPF") == "1":
         # swap in the single-kernel MPF (same math, one Pallas program

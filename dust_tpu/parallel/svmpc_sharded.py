@@ -43,6 +43,12 @@ class ShardedSVMPC:
                 "ShardedSVMPC supports kernel='rbf' with "
                 "reference_compat=False"
             )
+        if svmpc.controller._params_mode == "utf":
+            raise ValueError(
+                "ShardedSVMPC does not support UTF sigma-point controllers"
+                " (the sigma-weighted cost path is not sharded); use"
+                " 'sampled' or 'none' parameter modes"
+            )
         self.svmpc = svmpc
         self.controller = svmpc.controller
         self.model = model
@@ -80,9 +86,10 @@ class ShardedSVMPC:
             self.svmpc, self.controller, self.model, self.axis
         )
         n_samples = svmpc.likelihood.n_samples
-        m_total = self._m_total
         ml = theta.shape[0]
-        k_par, k_act = jax.random.split(key)
+        m_total = ml * jax.lax.axis_size(axis)
+        k_par, k_act, k_roll = jax.random.split(key, 3)
+        k_roll = jax.random.fold_in(k_roll, jax.lax.axis_index(axis))
 
         # --- action samples around local particles ---
         if noise_l is None:
@@ -103,7 +110,8 @@ class ShardedSVMPC:
         else:
             params, batched = None, actions[None]
 
-        states = ctrl.rollout(state, model, batched, params)
+        states = ctrl.rollout(state, model, batched, params,
+                              key=k_roll)
 
         # --- costs with the reference reduction order, local slice ---
         inst = ctrl.inst_cost_fn(
@@ -163,7 +171,6 @@ class ShardedSVMPC:
                   noise=None):
         """One particle-sharded SVGD update; same returns as
         `SVMPC.svgd_step` (costs come back particle-sharded)."""
-        self._m_total = svstate.theta.shape[0]
         bw = jnp.asarray(bw, jnp.float32)
         have_noise = noise is not None
         have_params = params_dist is not None
@@ -176,7 +183,16 @@ class ShardedSVMPC:
             return self._local_step(theta, opt_state, a_seq, a_mat, a_mix,
                                     prior, state, key, bw, pd, nz)
 
-        in_specs = [P(self.axis), P(self.axis), P(), P(self.axis),
+        m = svstate.theta.shape[0]
+        opt_specs = jax.tree_util.tree_map(
+            lambda leaf: (
+                P(self.axis)
+                if hasattr(leaf, "shape") and leaf.shape[:1] == (m,)
+                else P()
+            ),
+            svstate.opt_state,
+        )
+        in_specs = [P(self.axis), opt_specs, P(), P(self.axis),
                     P(self.axis), P(), P(), P(), P()]
         operands = [svstate.theta, svstate.opt_state, dstate.a_seq,
                     dstate.a_mat, dstate.a_mix, svstate.prior,
@@ -192,7 +208,7 @@ class ShardedSVMPC:
             body,
             mesh=self.mesh,
             in_specs=tuple(in_specs),
-            out_specs=(P(self.axis), P(self.axis), P(self.axis),
+            out_specs=(P(self.axis), opt_specs, P(self.axis),
                        P(self.axis), P(None, self.axis)),
             check_vma=False,
         )

@@ -121,3 +121,57 @@ def test_sharded_svmpc_keyed_noise_runs(rng):
     )
     assert np.isfinite(np.asarray(costs)).all()
     assert not np.allclose(np.asarray(sv.theta), np.asarray(theta0))
+
+
+def test_sharded_svmpc_adam_optimizer(rng):
+    """Scalar-leaf optimizer states (adam's count) shard correctly
+    (regression: per-leaf in_specs, not blanket P('particle'))."""
+    model = PendulumModel(uncertain_params=("length", "mass"))
+    ctrl = MultiDisco(
+        observation_space=Box(dim=2),
+        action_space=Box(dim=1, low=-2.0, high=2.0),
+        hz_len=HORIZON, n_policies=M, action_samples=N_SAMPLES,
+        params_samples=4, a_cov=4.0 * jnp.eye(1),
+        inst_cost_fn=inst_cost_jnp, term_cost_fn=term_cost_jnp,
+        params_sampling=True,
+    )
+    lik = ExponentiatedUtility(alpha=1.0, n_samples=N_SAMPLES,
+                               controller=ctrl, model=model)
+    svmpc = SVMPC(likelihood=lik, kernel="rbf", n_particles=M,
+                  optimizer=optax.adam(0.1), reference_compat=False)
+    mesh = make_mesh(axis_names=("particle",))
+    sharded = ShardedSVMPC(svmpc, model, mesh)
+    theta0 = jnp.asarray(rng.normal(size=(M, HORIZON, 1)), jnp.float32)
+    prior = GMM.from_cov(theta0, jnp.ones(M), 4.0 * jnp.eye(1))
+    params = _FixedParams(
+        draws=jnp.asarray(rng.uniform(0.6, 1.3, size=(4, 2)), jnp.float32)
+    )
+    sv, ds = sharded.shard_states(
+        svmpc.init_state(theta0, prior), ctrl.init_state()
+    )
+    sv, ds, costs = sharded.svgd_step(
+        sv, ds, jnp.array([[3.0, 0.0]]), params, jax.random.key(5), 0.9
+    )
+    assert np.isfinite(np.asarray(sv.theta)).all()
+
+
+def test_sharded_svmpc_rejects_utf():
+    import pytest as _pytest
+
+    from dust_tpu.utils.utf import MerweScaledUTF
+
+    model = PendulumModel(uncertain_params=("length", "mass"))
+    ctrl = MultiDisco(
+        observation_space=Box(dim=2),
+        action_space=Box(dim=1, low=-2.0, high=2.0),
+        hz_len=HORIZON, n_policies=1, action_samples=N_SAMPLES,
+        a_cov=4.0 * jnp.eye(1),
+        inst_cost_fn=inst_cost_jnp, term_cost_fn=term_cost_jnp,
+        params_sampling=MerweScaledUTF(n=2, alpha=0.5),
+    )
+    lik = ExponentiatedUtility(alpha=1.0, n_samples=N_SAMPLES,
+                               controller=ctrl, model=model)
+    svmpc = SVMPC(likelihood=lik, kernel="rbf", n_particles=1,
+                  optimizer=optax.sgd(1.0), reference_compat=False)
+    with _pytest.raises(ValueError, match="UTF"):
+        ShardedSVMPC(svmpc, model, make_mesh(axis_names=("particle",)))
