@@ -30,7 +30,3 @@ def test_dryrun_multichip_eight_devices():
     assert len(jax.devices()) == 8
     graft.dryrun_multichip(8)  # asserts internally
 
-
-def test_dryrun_multichip_subset():
-    graft = _load_graft()
-    graft.dryrun_multichip(4)  # non-full meshes work too
