@@ -68,6 +68,7 @@ def build(key):
             likelihood=stack.mpf.likelihood,
             lr=config["exp_params"]["mpf_learning_rate"],
             n_steps=config["exp_params"]["mpf_steps"],
+            bw_scale=config["exp_params"]["mpf_bandwidth_scaling"],
         )
     harness = PendulumSimulation(
         controller=stack.controller,

@@ -31,6 +31,12 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def _is_per_particle(leaf, m):
+    """True for pytree leaves whose leading axis is the particle axis
+    (the single predicate both state placement and shard_map specs use)."""
+    return hasattr(leaf, "shape") and leaf.shape[:1] == (m,)
+
+
 class ShardedSVMPC:
     """Wraps an `SVMPC` (rbf kernel, standard-SVGD mode) with a
     particle-sharded optimize step. States shard on the particle axis:
@@ -65,8 +71,7 @@ class ShardedSVMPC:
             opt_state=jax.tree_util.tree_map(
                 lambda leaf: (
                     jax.device_put(leaf, ps)
-                    if hasattr(leaf, "shape")
-                    and leaf.shape[:1] == svstate.theta.shape[:1]
+                    if _is_per_particle(leaf, svstate.theta.shape[0])
                     else leaf
                 ),
                 svstate.opt_state,
@@ -185,11 +190,7 @@ class ShardedSVMPC:
 
         m = svstate.theta.shape[0]
         opt_specs = jax.tree_util.tree_map(
-            lambda leaf: (
-                P(self.axis)
-                if hasattr(leaf, "shape") and leaf.shape[:1] == (m,)
-                else P()
-            ),
+            lambda leaf: P(self.axis) if _is_per_particle(leaf, m) else P(),
             svstate.opt_state,
         )
         in_specs = [P(self.axis), opt_specs, P(), P(self.axis),

@@ -26,7 +26,7 @@ def test_pendulum_example_runs():
     assert "Summary" in r.stdout
 
 
-def test_particle_example_runs(tmp_path):
+def test_particle_example_runs():
     r = _run(["demo/particle_example.py", "--steps", "6"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "episode 0" in r.stdout

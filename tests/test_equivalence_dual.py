@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 import torch
 
 from dust_tpu.controllers import MultiDisco
@@ -224,9 +225,6 @@ def _run_ours(cfg, theta0, mpf0, noise_seq, param_draws, param_lps, state0):
         actions.append(np.asarray(action))
         mpf_traj.append(np.asarray(mstate.x))
     return np.asarray(actions), np.asarray(mpf_traj)
-
-
-import pytest
 
 
 @pytest.mark.parametrize("cfg", [SMALL, DEMO],

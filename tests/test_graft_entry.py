@@ -30,3 +30,20 @@ def test_dryrun_multichip_eight_devices():
     assert len(jax.devices()) == 8
     graft.dryrun_multichip(8)  # asserts internally
 
+
+
+def test_subset_mesh_paths():
+    """Non-full meshes (n_devices < available) keep working: the
+    make_mesh device slicing and a sharded phi on 4 of 8 devices."""
+    import jax.numpy as jnp
+
+    from dust_tpu.parallel import make_mesh
+    from dust_tpu.parallel.stein import make_sharded_svgd_phi
+
+    mesh = make_mesh(n_devices=4, axis_names=("particle",))
+    assert mesh.devices.size == 4
+    phi = make_sharded_svgd_phi(mesh, "particle")
+    x = jax.random.normal(jax.random.key(0), (16, 2))
+    s = jax.random.normal(jax.random.key(1), (16, 2))
+    out = jax.jit(phi)(x, s, jnp.float32(0.8))
+    assert np.isfinite(np.asarray(out)).all()
