@@ -16,6 +16,10 @@ Modes timed:
   * per-step dispatch (opt-in: BENCH_PER_STEP=1, costs a second ~4-min
     compile): one jitted solve per host call — the real-time replanning
     latency view.
+
+MPF implementation knob: BENCH_MPF=fused (default, single-Pallas-kernel
+posterior update — 1.4x end-to-end) | plain (jax.grad VJP path) | cf
+(closed-form jnp gradient).
 """
 
 import json
@@ -48,8 +52,15 @@ def build(key):
             os.environ["BENCH_MPF_UNROLL"]
         )
     stack = build_pendulum_stack(config, key, case="dust")
-    if os.environ.get("BENCH_CF_MPF") == "1":
-        # closed-form jnp likelihood gradient (shorter op chain than VJP)
+    # MPF implementation: "fused" (default — the single-Pallas-kernel
+    # posterior update wins ~1.4x end-to-end: 3.3k vs 2.3k solves/s),
+    # "plain" (jax.grad VJP path), or "cf" (closed-form jnp gradient).
+    mpf_impl = os.environ.get("BENCH_MPF", "fused")
+    if os.environ.get("BENCH_CF_MPF") == "1":       # legacy knobs
+        mpf_impl = "cf"
+    if os.environ.get("BENCH_FUSED_MPF") == "1":
+        mpf_impl = "fused"
+    if mpf_impl == "cf":
         from dust_tpu.inference.mpf import ClosedFormPendulumMPF
 
         stack.mpf = ClosedFormPendulumMPF(
@@ -59,9 +70,7 @@ def build(key):
             bw_scale=config["exp_params"]["mpf_bandwidth_scaling"],
             scan_unroll=config["exp_params"].get("mpf_scan_unroll", 1),
         )
-    if os.environ.get("BENCH_FUSED_MPF") == "1":
-        # swap in the single-kernel MPF (same math, one Pallas program
-        # per posterior update)
+    elif mpf_impl == "fused":
         from dust_tpu.inference.mpf import FusedPendulumMPF
 
         stack.mpf = FusedPendulumMPF(
@@ -69,6 +78,7 @@ def build(key):
             lr=config["exp_params"]["mpf_learning_rate"],
             n_steps=config["exp_params"]["mpf_steps"],
             bw_scale=config["exp_params"]["mpf_bandwidth_scaling"],
+            interpret=jax.default_backend() != "tpu",
         )
     harness = PendulumSimulation(
         controller=stack.controller,

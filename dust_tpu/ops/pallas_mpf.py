@@ -7,12 +7,18 @@ n_steps iterations: GMM-prior score, Gaussian-likelihood gradient
 through the pendulum transition, RBF-kernel Stein direction, SGD update)
 into ONE Pallas program: the particles never leave VMEM.
 
-Measured verdict (TPU v5e, m=50): XLA's compiled chain wins — ~205 us
-per optimize vs ~290-340 us for this kernel (Mosaic loop overhead and
-relayouts dominate at this size; the sequential SVGD dependency can't be
-parallelized away). Kept as a reference implementation and for larger
-per-update particle counts; the production default stays the jnp path,
-and the Pallas wins live where the quadratic objects are big
+Measured verdict (TPU v5e, m=50) — workload-dependent, both numbers
+real:
+* micro-benched in isolation (one warm program in flight), XLA's
+  compiled chain wins: ~205 us per optimize vs ~290-340 us for this
+  kernel (Mosaic loop overhead and relayouts dominate at this size);
+* inside the full episode scan (bench.py), this kernel wins 1.4x
+  end-to-end: ~3.3k vs ~2.3k solves/s. With 20 sequential SVGD steps
+  per solve embedded in a 200-step scan, collapsing each optimize to a
+  single program removes the inter-op scheduling gaps that the isolated
+  measurement never pays.
+It is therefore the bench default (`BENCH_MPF=plain` restores the jnp
+path); the other Pallas wins live where the quadratic objects are big
 (`FusedMPF`: 5.8x at m=2048, pallas_svgd/pallas_gmm).
 
 The likelihood gradient is hand-derived for `PendulumModel.step`
