@@ -51,6 +51,12 @@ def build(key):
         config["exp_params"]["mpf_scan_unroll"] = int(
             os.environ["BENCH_MPF_UNROLL"]
         )
+    # Pallas fused rollout+cost kernel (ops/pallas_rollout.py) instead of
+    # the lax.scan rollout — measured 3510 vs 3247 solves/s with the
+    # fused MPF. BENCH_ROLLOUT=plain restores the scan path.
+    config["exp_params"]["fused_rollout"] = (
+        os.environ.get("BENCH_ROLLOUT", "fused") == "fused"
+    )
     stack = build_pendulum_stack(config, key, case="dust")
     # MPF implementation: "fused" (default — the single-Pallas-kernel
     # posterior update wins ~1.4x end-to-end: 3.3k vs 2.3k solves/s),

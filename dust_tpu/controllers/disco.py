@@ -52,6 +52,7 @@ class MultiDisco:
         params_samples=4,
         params_log_space=False,
         scan_unroll=1,
+        fused_state_costs=None,
     ):
         self.hz_len = int(hz_len)
         self.dim_s = observation_space.dim
@@ -98,6 +99,12 @@ class MultiDisco:
         # horizon-scan unroll factor: the per-step body is a handful of
         # tiny VPU ops, so unrolling trades code size for scan overhead
         self.scan_unroll = int(scan_unroll)
+        # optional fused rollout+state-cost path (e.g. the pendulum Pallas
+        # kernel, `ops/pallas_rollout.py`): (state, actions [I, P, H, A],
+        # params dict|None) -> state costs [I, P]. Replaces rollout +
+        # inst/term evaluation in `forward` for deterministic models; the
+        # trajectory tensor is then never materialized.
+        self.fused_state_costs = fused_state_costs
 
     # -- state ------------------------------------------------------------
 
@@ -188,13 +195,15 @@ class MultiDisco:
         else:
             state_cost = (inst.sum(axis=-1) + term).mean(axis=0)
 
-        # control penalty: a_reg * sum_{t,a} -eps_ctrl * (a_mat @ a_pre),
-        # the tensordot-trace trick of `disco.py:332-346` without the
-        # n_pol x n_pol cross product.
+        return state_cost + self._ctrl_penalty(dstate, actions)
+
+    def _ctrl_penalty(self, dstate: DiscoState, actions):
+        """Control penalty: a_reg * sum_{t,a} -eps_ctrl * (a_mat @ a_pre),
+        the tensordot-trace trick of `disco.py:332-346` without the
+        n_pol x n_pol cross product."""
         eps_ctrl = actions - dstate.a_seq
         m = dstate.a_mat @ self.a_pre  # [P, H, A]
-        ctrl = self.a_reg * jnp.einsum("ipta,pta->ip", -eps_ctrl, m)
-        return state_cost + ctrl
+        return self.a_reg * jnp.einsum("ipta,pta->ip", -eps_ctrl, m)
 
     # -- forward (`disco.py:348-394`) -------------------------------------
 
@@ -246,8 +255,15 @@ class MultiDisco:
             params, params_log_p = params_override, None
             batched = actions[None]
 
-        states = self.rollout(state, model, batched, params, key=k_roll)
-        costs = self.compute_cost(dstate, states, actions, utf_weights)
+        if self.fused_state_costs is not None and utf_weights is None:
+            # fused rollout+cost kernel: trajectories never materialize
+            # (deterministic-model path; the kernel ignores k_roll)
+            state_cost = self.fused_state_costs(state, actions, params)
+            costs = state_cost + self._ctrl_penalty(dstate, actions)
+            states = None
+        else:
+            states = self.rollout(state, model, batched, params, key=k_roll)
+            costs = self.compute_cost(dstate, states, actions, utf_weights)
 
         # softmax weighting (`disco.py:380-393`): per-policy normalizer over
         # the action-sample axis, exact max-subtraction order preserved.

@@ -110,6 +110,18 @@ def build_pendulum_stack(config_data, key, case="dust",
     else:
         params_sampling = "none"
 
+    fused_state_costs = None
+    if exp.get("fused_rollout", False) and case in ("dust", "svmpc"):
+        # Pallas fused rollout+cost path (ops/pallas_rollout.py): identical
+        # math, trajectories never materialized. utf excluded (sigma-point
+        # weighting needs the per-point cost tensor); mppi uses
+        # params_override which the hook has no column for.
+        from .ops.pallas_rollout import make_fused_pendulum_state_costs
+
+        fused_state_costs = make_fused_pendulum_state_costs(
+            model, interpret=jax.default_backend() != "tpu"
+        )
+
     controller = MultiDisco(
         observation_space=model.observation_space,
         action_space=model.action_space,
@@ -124,6 +136,7 @@ def build_pendulum_stack(config_data, key, case="dust",
         params_sampling=params_sampling,
         params_log_space=exp["mpf_log_space"] if case == "dust" else False,
         scan_unroll=exp.get("scan_unroll", 1),
+        fused_state_costs=fused_state_costs,
     )
 
     svmpc = None
