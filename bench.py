@@ -19,7 +19,8 @@ Modes timed:
 
 MPF implementation knob: BENCH_MPF=fused (default, single-Pallas-kernel
 posterior update — 1.4x end-to-end) | plain (jax.grad VJP path) | cf
-(closed-form jnp gradient).
+(closed-form jnp gradient). BENCH_MPF_UNROLL only affects plain|cf (the
+fused kernel has no scan to unroll).
 """
 
 import json
@@ -62,6 +63,8 @@ def build(key):
     # posterior update wins ~1.4x end-to-end: 3.3k vs 2.3k solves/s),
     # "plain" (jax.grad VJP path), or "cf" (closed-form jnp gradient).
     mpf_impl = os.environ.get("BENCH_MPF", "fused")
+    if mpf_impl not in ("fused", "plain", "cf"):
+        raise SystemExit(f"BENCH_MPF must be fused|plain|cf, got {mpf_impl!r}")
     if os.environ.get("BENCH_CF_MPF") == "1":       # legacy knobs
         mpf_impl = "cf"
     if os.environ.get("BENCH_FUSED_MPF") == "1":

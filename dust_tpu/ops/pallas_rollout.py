@@ -34,8 +34,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_MAX_SPEED = 8.0
-_MAX_TORQUE = 2.0
+from ..models.pendulum import PendulumModel
+
+_MAX_SPEED = PendulumModel.MAX_SPEED
+_MAX_TORQUE = PendulumModel.MAX_TORQUE
+# the swing-up cost weight of `experiments.pendulum_cost_fns`; pinned
+# against drift by tests/test_pallas_rollout.py::test_forward_fused_
+# matches_plain, which evaluates both paths through the real cost fns
+_SWINGUP_W = 50.0
 
 
 def _rollout_kernel(scal_ref, a_ref, il_ref, im_ref, cost_ref, th_ref,
@@ -65,7 +71,7 @@ def _rollout_kernel(scal_ref, a_ref, il_ref, im_ref, cost_ref, th_ref,
         om = om_ref[:]
         # inst cost of the *current* state: t=0 charges s0, matching the
         # states[..., :-1, :] slice of compute_cost
-        cost_ref[:] += 50.0 * (jnp.cos(th) - 1.0) ** 2 + om * om
+        cost_ref[:] += _SWINGUP_W * (jnp.cos(th) - 1.0) ** 2 + om * om
         a = a_ref[pl.ds(t, 1), :, :]
         a = jnp.clip(a.reshape(shape), -_MAX_TORQUE, _MAX_TORQUE)
         om = om + c_grav * jnp.sin(th + math.pi) + c_act * a
@@ -77,7 +83,7 @@ def _rollout_kernel(scal_ref, a_ref, il_ref, im_ref, cost_ref, th_ref,
     jax.lax.fori_loop(0, hz, body, 0)
     th = th_ref[:]
     om = om_ref[:]
-    cost_ref[:] += 50.0 * (jnp.cos(th) - 1.0) ** 2 + om * om
+    cost_ref[:] += _SWINGUP_W * (jnp.cos(th) - 1.0) ** 2 + om * om
 
 
 @functools.partial(
@@ -96,7 +102,7 @@ def fused_pendulum_rollout_costs(state0, actions, lengths, masses,
     n_params = lengths.shape[0]
     n_traj = n_act * n_pol
     n = n_params * n_traj
-    npad = max(-(-n // 128) * 128, 128)
+    npad = -(-n // 128) * 128
     rows = npad // 128
 
     acts = actions.reshape(n_traj, hz)
@@ -158,6 +164,13 @@ def make_fused_pendulum_state_costs(model, interpret=False):
             lengths = jnp.full((1,), l_def, jnp.float32)
             masses = jnp.full((1,), m_def, jnp.float32)
         else:
+            unknown = set(params) - {"length", "mass"}
+            if unknown:
+                raise ValueError(
+                    "fused pendulum state-cost hook only supports"
+                    f" length/mass parameter columns, got {sorted(unknown)}"
+                    " - use the scan rollout path for other overrides"
+                )
             lengths = (
                 params["length"].reshape(-1)
                 if "length" in params

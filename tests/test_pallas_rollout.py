@@ -116,3 +116,14 @@ def test_full_solve_fused_matches_plain():
     np.testing.assert_allclose(
         np.asarray(d_p.a_mat), np.asarray(d_f.a_mat), rtol=2e-5, atol=2e-4
     )
+
+
+def test_hook_rejects_unknown_param_keys():
+    model = PendulumModel(uncertain_params=("length", "mass"))
+    hook = make_fused_pendulum_state_costs(model, interpret=True)
+    actions = jnp.zeros((4, 2, 6, 1))
+    s0 = jnp.array([np.pi, 0.0])
+    with pytest.raises(ValueError, match="length/mass"):
+        hook(s0, actions, {"g": jnp.float32(12.0),
+                           "length": jnp.ones((1,)),
+                           "mass": jnp.ones((1,))})
