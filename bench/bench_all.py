@@ -71,9 +71,20 @@ def bench_pendulum(case, steps, repeats):
     return steps / best
 
 
-def bench_particle(steps, repeats):
+def bench_particle(steps, repeats, fused_mpf=False):
     config = load_config(ROOT / "demo/particle_config.yaml")
     stack = build_particle_stack(config, jax.random.key(0))
+    if fused_mpf:
+        # mass-posterior update as one Pallas program per solve
+        from dust_tpu.inference.mpf import FusedParticleMPF
+
+        exp = config["exp_params"]
+        stack.mpf = FusedParticleMPF(
+            likelihood=stack.mpf.likelihood,
+            lr=exp["mpf_learning_rate"],
+            bw_scale=exp["mpf_bandwidth_scaling"],
+            n_steps=exp["mpf_steps"],
+        )
     episode = jax.jit(particle_episode_fn(
         stack.model, stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
         dyn_dist=stack.dynamics_prior, load=stack.load, steps=steps,
@@ -223,6 +234,9 @@ def main():
         "pendulum_dust": lambda: bench_pendulum("dust", steps, repeats),
         "pendulum_svmpc": lambda: bench_pendulum("svmpc", steps, repeats),
         "particle_dust": lambda: bench_particle(steps, repeats),
+        "particle_dust_fused": lambda: bench_particle(
+            steps, repeats, fused_mpf=True
+        ),
         "mpf_large_m2048": lambda: bench_mpf_large(
             2048, 20, 20 if args.quick else 50, repeats
         ),

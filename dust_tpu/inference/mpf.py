@@ -242,6 +242,84 @@ class FusedPendulumMPF(MPF):
         return mstate, jnp.zeros((n,), jnp.float32), bw
 
 
+class FusedParticleMPF(MPF):
+    """MPF whose entire optimize loop runs as ONE Pallas kernel with the
+    hand-derived particle-task mass-likelihood gradient
+    (`dust_tpu/ops/pallas_particle_mpf.py`) — the particle-navigation
+    counterpart of `FusedPendulumMPF`. Measured verdict (TPU v5e,
+    demo shapes: m=50 log-mass particles, 20 steps/solve, inside the
+    50-step episode scan): 456 vs 454 solves/s — parity, not a win.
+    The particle solve is dominated by its 1536-rollout x horizon-40
+    obstacle-grid rollouts, so the tiny 1-D posterior update is a
+    negligible slice of the solve (unlike the pendulum, where the MPF
+    chain was ~45% and fusing it won 1.4x end-to-end). Kept as a
+    tested alternative (`bench/bench_all.py particle_dust_fused`); the
+    jnp MPF stays the particle default. Semantics =
+    `MPF(reference_compat=False)` with a `GaussianLikelihood` over an
+    acceleration-control `Particle` model and a single uncertain mass
+    parameter; `optimize` returns a zero grad-norm trace (the kernel
+    does not surface per-step norms). The crash factor at the prediction
+    start (`dust/models/particle.py:155-163` freeze semantics) is
+    evaluated once outside the kernel — it is identical for every mass
+    particle because all predictions start from the same past_obs."""
+
+    def __init__(self, likelihood, lr=1e-2, interpret=False, **kwargs):
+        kwargs.pop("reference_compat", None)
+        kwargs.pop("optimizer", None)
+        model = likelihood.model
+        if model.control_type != "acceleration":
+            raise ValueError(
+                "FusedParticleMPF requires acceleration control (the mass "
+                "does not enter velocity-control dynamics)."
+            )
+        if tuple(model.uncertain_params) != ("mass",):
+            raise ValueError(
+                "FusedParticleMPF supports exactly one uncertain param: "
+                f"('mass',), got {tuple(model.uncertain_params)}"
+            )
+        super().__init__(likelihood, lr=lr, optimizer=optax.sgd(lr),
+                         reference_compat=False, **kwargs)
+        self.lr = float(lr)
+        self._interpret = bool(interpret)
+
+    def optimize(self, mstate: MPFState, action, new_obs, bw=None,
+                 n_steps=None):
+        from ..ops.pallas_particle_mpf import fused_particle_mpf_optimize
+
+        if new_obs is not None:
+            mstate = mstate.replace(
+                lik=self.likelihood.condition(mstate.lik, action, new_obs)
+            )
+        if bw is None:
+            bw = silvermans_rule(mstate.x) * self.bw_scale
+        n = self.n_steps if n_steps is None else n_steps
+
+        model = self.likelihood.model
+        if model.can_crash and model.with_obstacle:
+            collision = model.obst_map.get_collisions(
+                mstate.lik.past_obs[0:2]
+            )
+        else:
+            collision = jnp.float32(0.0)
+        scale = model.dt * (1.0 - collision)
+        # the conditioned state's past_action (NOT the raw argument):
+        # matches MPF semantics when re-optimizing with new_obs=None
+        x = fused_particle_mpf_optimize(
+            mstate.x, mstate.prior.locs, mstate.lik.past_obs,
+            mstate.lik.loc, mstate.lik.past_action, scale, bw,
+            mstate.prior_bw, self.lr, self.likelihood.sigma, n_steps=n,
+            max_acc=model.max_acc, max_speed=model.max_speed,
+            log_space=self.likelihood.log_space,
+            interpret=self._interpret,
+        )
+        mstate = mstate.replace(
+            x=x,
+            prior=self.make_prior(x, bw),
+            prior_bw=jnp.mean(jnp.atleast_1d(jnp.asarray(bw, jnp.float32))),
+        )
+        return mstate, jnp.zeros((n,), jnp.float32), bw
+
+
 class FusedMPF(MPF):
     """MPF whose two O(m^2) objects — the RBF Gram contraction and the
     GMM-prior score — run as streaming Pallas kernels
