@@ -7,6 +7,7 @@ Configs:
   pendulum_dust   — dual inference at demo shapes (headline, = bench.py)
   pendulum_svmpc  — SV-MPC single posterior (no MPF)
   particle_dust   — particle navigation w/ obstacles + dual inference
+                    (fused-Pallas mass posterior; _plain_mpf = jnp MPF)
   mpf_large       — dynamics posterior at large particle counts (m=2048)
   sweep           — pod-style scenario sweep: N episodes batched on-chip
 """
@@ -233,10 +234,10 @@ def main():
     runs = {
         "pendulum_dust": lambda: bench_pendulum("dust", steps, repeats),
         "pendulum_svmpc": lambda: bench_pendulum("svmpc", steps, repeats),
-        "particle_dust": lambda: bench_particle(steps, repeats),
-        "particle_dust_fused": lambda: bench_particle(
+        "particle_dust": lambda: bench_particle(
             steps, repeats, fused_mpf=True
         ),
+        "particle_dust_plain_mpf": lambda: bench_particle(steps, repeats),
         "mpf_large_m2048": lambda: bench_mpf_large(
             2048, 20, 20 if args.quick else 50, repeats
         ),

@@ -248,13 +248,14 @@ class FusedParticleMPF(MPF):
     (`dust_tpu/ops/pallas_particle_mpf.py`) — the particle-navigation
     counterpart of `FusedPendulumMPF`. Measured verdict (TPU v5e,
     demo shapes: m=50 log-mass particles, 20 steps/solve, inside the
-    50-step episode scan): 456 vs 454 solves/s — parity, not a win.
-    The particle solve is dominated by its 1536-rollout x horizon-40
-    obstacle-grid rollouts, so the tiny 1-D posterior update is a
-    negligible slice of the solve (unlike the pendulum, where the MPF
-    chain was ~45% and fusing it won 1.4x end-to-end). Kept as a
-    tested alternative (`bench/bench_all.py particle_dust_fused`); the
-    jnp MPF stays the particle default. Semantics =
+    episode scan): while rollouts were gather-bound this kernel was
+    parity (456 vs 454 solves/s — the posterior was a negligible slice
+    of a 2.2 ms solve), but with the gather-free rectangle collision
+    path (`models/obstacle_map.py`) the 20-step MPF chain is ~30% of
+    the solve and this kernel wins 1.2x end-to-end (1482 vs 1212
+    solves/s) — the particle bench default
+    (`bench/bench_all.py particle_dust`; `_plain_mpf` restores the jnp
+    path). Semantics =
     `MPF(reference_compat=False)` with a `GaussianLikelihood` over an
     acceleration-control `Particle` model and a single uncertain mass
     parameter; `optimize` returns a zero grad-norm trace (the kernel

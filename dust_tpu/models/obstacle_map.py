@@ -4,9 +4,17 @@ Map *construction* is host-side numpy (exactly once, before jit) mirroring
 `dust/utils/obstacle.py:30-69` + `dust/utils/obstacle_map.py:13-361`:
 rectangle rasterization with ceil cell math, border walls on all four map
 edges, and the named obstacle presets. The resulting grid is baked into the
-jitted program as a constant; `get_collisions` is then a pure batched XLA
-gather — the collision hot path called inside every rollout timestep
-(`dust/utils/obstacle_map.py:64-93`).
+jitted program as a constant; `get_collisions` is the collision hot path
+called inside every rollout timestep (`dust/utils/obstacle_map.py:64-93`).
+
+TPU note: a per-lane gather `map[xi, yi]` serializes on the TPU and
+dominated the whole particle solve (measured: 1543 us with vs 199 us
+without obstacles per SVGD step, bench/bench_particle_phases.py). Since
+the raster only ever holds {0, 1} (rectangles SET cells to 1.0), the
+occupied set is decomposed once on host into K disjoint cell-index
+rectangles and `get_collisions` evaluates branchless rectangle membership
+— pure vector compares, no gather, bit-identical to the raster lookup.
+The gather path is kept for non-binary maps and as a measured fallback.
 """
 
 from __future__ import annotations
@@ -37,16 +45,18 @@ class ObstacleMap:
         self.xlim = [-x_range / 2, x_range / 2]
         self.ylim = [-y_range / 2, y_range / 2]
         self._device_map = None
+        self._rect_bounds = None
 
     @property
     def c_offset(self):
         return np.array([self.origin_xi, self.origin_yi], dtype=np.float32)
 
     def convert_map(self):
-        """Materialize the device-side constant. Must be called outside any
-        jit trace (a constant created during tracing is a tracer and must
-        not be cached across traces)."""
+        """Materialize the device-side constants. Must be called outside
+        any jit trace (a constant created during tracing is a tracer and
+        must not be cached across traces)."""
         self._device_map = jnp.asarray(self.map)
+        self._rect_bounds = self._compute_rect_bounds()
         return self._device_map
 
     @property
@@ -54,6 +64,22 @@ class ObstacleMap:
         if self._device_map is None:
             return jnp.asarray(self.map)  # uncached: safe under tracing
         return self._device_map
+
+    @property
+    def rect_bounds(self):
+        """(xlo, xhi, ylo, yhi) float32 [K] half-open cell-index bounds of
+        the K disjoint occupied rectangles, or None when the raster is not
+        binary (rect membership can't reproduce graded occupancy)."""
+        if self._rect_bounds is None:
+            return self._compute_rect_bounds()  # uncached: safe under trace
+        return self._rect_bounds
+
+    def _compute_rect_bounds(self):
+        if not np.isin(self.map, (0.0, 1.0)).all():
+            return None
+        rects = decompose_rects(self.map)
+        b = np.asarray(rects, dtype=np.float32).reshape(-1, 4)
+        return tuple(jnp.asarray(b[:, i]) for i in range(4))
 
     def get_xy_grid(self):
         """World-coordinate grid [x_dim, y_dim, 2]
@@ -80,14 +106,60 @@ class ObstacleMap:
             plt.savefig(osp.join(save_dir, filename))
         plt.close()
 
-    def get_collisions(self, x):
+    def get_collisions(self, x, use_gather=False):
         """Occupancy values at world positions x [..., 2]
         (`dust/utils/obstacle_map.py:64-93`): floor to cell indices, clamp
-        to bounds, gather."""
-        occ = jnp.floor(x * (1.0 / self.cell_size) + self.c_offset).astype(jnp.int32)
+        to bounds, look up occupancy.
+
+        Default path: branchless membership test against the decomposed
+        occupied rectangles (vector compares — no TPU gather; exactly
+        equal to the raster lookup for binary maps,
+        tests/test_models.py::test_collision_rects_match_gather).
+        `use_gather=True` (or a non-binary raster) restores the gather."""
+        occ = jnp.floor(x * (1.0 / self.cell_size) + self.c_offset)
+        bounds = None if use_gather else self.rect_bounds
+        if bounds is not None:
+            xi = jnp.clip(occ[..., 0], 0.0, self.map.shape[0] - 1.0)
+            yi = jnp.clip(occ[..., 1], 0.0, self.map.shape[1] - 1.0)
+            xlo, xhi, ylo, yhi = bounds
+            inside = (
+                (xi[..., None] >= xlo) & (xi[..., None] < xhi)
+                & (yi[..., None] >= ylo) & (yi[..., None] < yhi)
+            )
+            return jnp.any(inside, axis=-1).astype(self.device_map.dtype)
+        occ = occ.astype(jnp.int32)
         xi = jnp.clip(occ[..., 0], 0, self.map.shape[0] - 1)
         yi = jnp.clip(occ[..., 1], 0, self.map.shape[1] - 1)
         return self.device_map[xi, yi]
+
+
+def decompose_rects(grid):
+    """Decompose a binary occupancy grid into disjoint half-open
+    cell-index rectangles [(xi_lo, xi_hi, yi_lo, yi_hi), ...] whose union
+    is exactly the occupied set.
+
+    Row-run merging: occupied runs along the y axis are extended across
+    consecutive x rows while their (y_lo, y_hi) extents match. Host-side
+    numpy, runs once per map at `convert_map` time.
+    """
+    grid = np.asarray(grid)
+    rects = []
+    prev = {}  # (y_lo, y_hi) -> xi where that run started
+    for xi in range(grid.shape[0] + 1):
+        cur = {}
+        if xi < grid.shape[0]:
+            row = grid[xi] > 0
+            # run boundaries of the occupied mask along y
+            edges = np.flatnonzero(np.diff(np.concatenate(
+                ([False], row, [False])
+            ).astype(np.int8)))
+            for y_lo, y_hi in edges.reshape(-1, 2):
+                run = (int(y_lo), int(y_hi))
+                cur[run] = prev.pop(run, xi)
+        for (y_lo, y_hi), x_start in prev.items():
+            rects.append((x_start, xi, y_lo, y_hi))
+        prev = cur
+    return rects
 
 
 class ObstacleRectangle:

@@ -4,6 +4,7 @@ sampled-parameter broadcasting and the particle model's occupancy grid."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from dust_tpu.models import CartPoleModel, PendulumModel, Particle, SkidSteerRobot
@@ -95,6 +96,37 @@ def test_obstacle_map_matches_reference(reference):
     ref_vals = theirs.get_collisions(torch.tensor(pts))
     our_vals = ours.get_collisions(jnp.asarray(pts))
     np.testing.assert_allclose(np.asarray(our_vals), ref_vals.numpy())
+
+
+@pytest.mark.parametrize("preset", ["grid_4x4", "staggered_3-2-3",
+                                    "single_centred"])
+def test_collision_rects_match_gather(preset):
+    """The gather-free rectangle-membership path of `get_collisions` is
+    bit-identical to the raster gather at every cell center, at random
+    world points, and outside the map (clamp path)."""
+    from dust_tpu.models.obstacle_map import decompose_rects
+
+    m = generate_obstacle_map(
+        [22, 22], get_obst_preset(preset, 2.1), 0.1, map_type="direct"
+    )
+    # the decomposition reconstructs the raster exactly
+    recon = np.zeros_like(m.map)
+    for x0, x1, y0, y1 in decompose_rects(m.map):
+        assert not recon[x0:x1, y0:y1].any()  # disjoint
+        recon[x0:x1, y0:y1] = 1.0
+    np.testing.assert_array_equal(recon, m.map)
+
+    ij = np.stack(np.meshgrid(np.arange(m.x_dim), np.arange(m.y_dim),
+                              indexing="ij"), axis=-1)
+    centers = jnp.asarray(
+        (ij + 0.5 - m.c_offset) * m.cell_size, jnp.float32
+    ).reshape(-1, 2)
+    pts = np.random.default_rng(7).uniform(-14, 14, size=(512, 2))
+    for x in (centers, jnp.asarray(pts, jnp.float32)):
+        np.testing.assert_array_equal(
+            np.asarray(m.get_collisions(x)),
+            np.asarray(m.get_collisions(x, use_gather=True)),
+        )
 
 
 def test_particle_step_and_costs_match_reference(reference, rng):
