@@ -10,6 +10,7 @@ Configs:
                     (fused-Pallas mass posterior; _plain_mpf = jnp MPF)
   mpf_large       — dynamics posterior at large particle counts (m=2048)
   sweep           — pod-style scenario sweep: N episodes batched on-chip
+  particle_sweep  — same at the particle task (per-lane true masses)
 """
 
 import argparse
@@ -222,6 +223,44 @@ def bench_sweep(n_scenarios, steps, repeats):
     return n * steps / best, n / best  # solves/s, episodes/s
 
 
+def bench_particle_sweep(n_scenarios, steps, repeats):
+    """Particle scenario-sweep throughput: N full obstacle-navigation
+    episodes (per-lane true masses) batched on this chip."""
+    from dust_tpu.parallel.sweep import (
+        ParticleScenarioSweep,
+        broadcast_scenarios,
+    )
+
+    config = load_config(ROOT / "demo/particle_config.yaml")
+    stack = build_particle_stack(config, jax.random.key(0))
+    episode = particle_episode_fn(
+        stack.model, stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
+        dyn_dist=stack.dynamics_prior, load=stack.load, steps=steps,
+        warm_up=0, mpf_bw=stack.mpf_bw, mpf_steps=stack.mpf_steps,
+    )
+    sweep = ParticleScenarioSweep(episode, mesh=None)
+    n = n_scenarios
+    keys = jax.random.split(jax.random.key(0), n)
+    state0 = jnp.broadcast_to(stack.init_state, (n, 4))
+    dstate = broadcast_scenarios(stack.controller.init_state(), n)
+    svstate = broadcast_scenarios(
+        stack.svmpc.init_state(stack.init_policies, stack.policies_prior), n
+    )
+    mstate = broadcast_scenarios(
+        stack.mpf.init_state(stack.mpf_init, stack.init_state, 2,
+                             bw=stack.mpf_init_bw), n
+    )
+    masses = jnp.linspace(1.5, 3.0, n)
+
+    def run(i):
+        ks = jax.random.split(jax.random.key(i), n)
+        return sweep.run(ks, state0, dstate, svstate, mstate,
+                         masses)["cum_cost"]
+
+    best = _time_best(run, repeats)
+    return n * steps / best, n / best  # solves/s, episodes/s
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
@@ -267,6 +306,16 @@ def main():
         solves, episodes = bench_sweep(n, steps, repeats)
         print(json.dumps({
             "config": f"sweep_n{n}",
+            "solves_per_s": round(solves, 2),
+            "episodes_per_s": round(episodes, 3),
+            "device": dev,
+        }))
+
+    if args.only in (None, "particle_sweep"):
+        n = 16 if args.quick else 64
+        solves, episodes = bench_particle_sweep(n, steps, repeats)
+        print(json.dumps({
+            "config": f"particle_sweep_n{n}",
             "solves_per_s": round(solves, 2),
             "episodes_per_s": round(episodes, 3),
             "device": dev,
