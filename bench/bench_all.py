@@ -7,7 +7,8 @@ Configs:
   pendulum_dust   — dual inference at demo shapes (headline, = bench.py)
   pendulum_svmpc  — SV-MPC single posterior (no MPF)
   particle_dust   — particle navigation w/ obstacles + dual inference
-                    (fused-Pallas mass posterior; _plain_mpf = jnp MPF)
+                    (fused-Pallas rollout+cost and mass-posterior
+                    kernels; _plain = all-XLA path)
   mpf_large       — dynamics posterior at large particle counts (m=2048)
   sweep           — pod-style scenario sweep: N episodes batched on-chip
   particle_sweep  — same at the particle task (per-lane true masses)
@@ -73,8 +74,9 @@ def bench_pendulum(case, steps, repeats):
     return steps / best
 
 
-def bench_particle(steps, repeats, fused_mpf=False):
+def bench_particle(steps, repeats, fused_mpf=False, fused_rollout=False):
     config = load_config(ROOT / "demo/particle_config.yaml")
+    config["exp_params"]["fused_rollout"] = fused_rollout
     stack = build_particle_stack(config, jax.random.key(0))
     if fused_mpf:
         # mass-posterior update as one Pallas program per solve
@@ -274,9 +276,9 @@ def main():
         "pendulum_dust": lambda: bench_pendulum("dust", steps, repeats),
         "pendulum_svmpc": lambda: bench_pendulum("svmpc", steps, repeats),
         "particle_dust": lambda: bench_particle(
-            steps, repeats, fused_mpf=True
+            steps, repeats, fused_mpf=True, fused_rollout=True
         ),
-        "particle_dust_plain_mpf": lambda: bench_particle(steps, repeats),
+        "particle_dust_plain": lambda: bench_particle(steps, repeats),
         "mpf_large_m2048": lambda: bench_mpf_large(
             2048, 20, 20 if args.quick else 50, repeats
         ),

@@ -239,6 +239,19 @@ def build_particle_stack(config_data, key, reference_compat=False):
     )
     init_policies = policies_prior.sample(k_init, (m,))
 
+    fused_state_costs = None
+    if exp.get("fused_rollout", False):
+        # Pallas fused rollout+cost path with in-kernel rectangle
+        # collisions (ops/pallas_particle_rollout.py): identical math,
+        # trajectories never materialized. Deterministic models only.
+        from .ops.pallas_particle_rollout import (
+            make_fused_particle_state_costs,
+        )
+
+        fused_state_costs = make_fused_particle_state_costs(
+            model, interpret=jax.default_backend() != "tpu"
+        )
+
     controller = MultiDisco(
         observation_space=model.observation_space,
         action_space=model.action_space,
@@ -252,6 +265,7 @@ def build_particle_stack(config_data, key, reference_compat=False):
         term_cost_fn=model.default_term_cost,
         params_sampling=exp["sampling"],
         params_log_space=exp["mpf_log_space"],
+        fused_state_costs=fused_state_costs,
     )
 
     lik_cls = _LIKELIHOODS[exp["likelihood"]]

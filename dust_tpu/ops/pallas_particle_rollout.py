@@ -1,0 +1,256 @@
+"""Fused rollout+cost Pallas kernel for the particle control posterior.
+
+Particle-navigation counterpart of `pallas_rollout.py`: all
+N = n_params x n_actions x n_pol point-mass trajectories evolve entirely
+in VMEM ([N/128, 128] position/velocity registers, action channels
+streamed by horizon step) and the navigation cost
+sum_{t=0..H-1} inst(s_t, a_t) + term(s_H) accumulates in-kernel,
+returning only the [n_params, n_actions, n_pol] cost tensor.
+
+Obstacle collisions use the same gather-free rectangle-membership test
+as `models/obstacle_map.py:get_collisions` — the K decomposed cell
+rectangles are baked in as compile-time constants and evaluated with
+unrolled vector compares, so the kernel needs no occupancy table at
+all. Each step computes the occupancy of the *current* state once and
+shares it between the instantaneous cost term (`w_obs * occ`,
+`dust/models/particle.py:170-198`) and the crash-freeze factor
+`(1 - occ)` of the dynamics (`dust/models/particle.py:155-163`) —
+matching the reference, which evaluates both at s_t. Physics matches
+the acceleration-control `Particle.step` (`particle.py:117-166`:
+acts = clip(a/m, +-max_acc), Euler update with old-velocity position
+derivative, speed clamp), deterministic mode only (the scan path draws
+control noise through `jax.random`; the kernel has no RNG).
+Cost weights match `Particle.init_cost_weights`
+(`particle.py:292-326`), applied per `MultiDisco.compute_cost`'s
+states[..., :-1, :] / states[..., -1, :] split (`disco.py:294-346`).
+Verified against the scan rollout + cost fns in
+tests/test_pallas_particle_rollout.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rollout_kernel(scal_ref, ax_ref, ay_ref, im_ref, cost_ref,
+                    px_ref, py_ref, vx_ref, vy_ref, *,
+                    hz, rows, dt, max_acc, max_speed, weights, target,
+                    rects, grid, crash):
+    """scal_ref (SMEM [1, 4]): initial state (x, y, vx, vy), shared by
+    every trajectory lane.
+
+    ax/ay [hz, rows, 128]: action channels per horizon step per lane;
+    im [rows, 128]: 1/mass per lane (padding lanes 1.0);
+    cost_ref [rows, 128]: accumulated cost out;
+    px/py/vx/vy: [rows, 128] VMEM state scratch.
+    weights = (w_px, w_py, w_vx, w_vy, w_cx, w_cy, w_obs,
+               wt_px, wt_py, wt_vx, wt_vy); target = (tx, ty, tvx, tvy);
+    rects = K 4-tuples of half-open cell-index bounds (or None: no
+    obstacles); grid = (inv_cell, offx, offy, ximax, yimax).
+    """
+    (w_px, w_py, w_vx, w_vy, w_cx, w_cy, w_obs,
+     wt_px, wt_py, wt_vx, wt_vy) = weights
+    tx, ty, tvx, tvy = target
+
+    shape = (rows, 128)
+    px_ref[:] = jnp.zeros(shape, jnp.float32) + scal_ref[0, 0]
+    py_ref[:] = jnp.zeros(shape, jnp.float32) + scal_ref[0, 1]
+    vx_ref[:] = jnp.zeros(shape, jnp.float32) + scal_ref[0, 2]
+    vy_ref[:] = jnp.zeros(shape, jnp.float32) + scal_ref[0, 3]
+    cost_ref[:] = jnp.zeros(shape, jnp.float32)
+    im = im_ref[:]
+
+    def occupancy(px, py):
+        if rects is None:
+            return None
+        inv_cell, offx, offy, ximax, yimax = grid
+        xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
+        yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
+        hit = None
+        for xl, xh, yl, yh in rects:
+            h = (xi >= xl) & (xi < xh) & (yi >= yl) & (yi < yh)
+            hit = h if hit is None else (hit | h)
+        return jnp.where(hit, 1.0, 0.0)
+
+    def state_cost(px, py, vx, vy, occ, quad):
+        wpx, wpy, wvx, wvy = quad
+        c = (wpx * (px - tx) ** 2 + wpy * (py - ty) ** 2
+             + wvx * (vx - tvx) ** 2 + wvy * (vy - tvy) ** 2)
+        if occ is not None:
+            c = c + w_obs * occ
+        return c
+
+    def body(t, _):
+        px = px_ref[:]
+        py = py_ref[:]
+        vx = vx_ref[:]
+        vy = vy_ref[:]
+        occ = occupancy(px, py)
+        a_x = ax_ref[pl.ds(t, 1), :, :].reshape(shape)
+        a_y = ay_ref[pl.ds(t, 1), :, :].reshape(shape)
+        # inst cost of the *current* state + action t (the
+        # states[..., :-1, :] slice of compute_cost: t=0 charges s0)
+        cost_ref[:] += (
+            state_cost(px, py, vx, vy, occ, (w_px, w_py, w_vx, w_vy))
+            + w_cx * a_x * a_x + w_cy * a_y * a_y
+        )
+        # dynamics: old velocity drives the position update; crashed
+        # lanes freeze whole-state via the (1 - occ) factor
+        acc_x = jnp.clip(a_x * im, -max_acc, max_acc)
+        acc_y = jnp.clip(a_y * im, -max_acc, max_acc)
+        if crash and occ is not None:
+            scale = dt * (1.0 - occ)
+        else:
+            scale = dt
+        px_ref[:] = px + vx * scale
+        py_ref[:] = py + vy * scale
+        vx_ref[:] = jnp.clip(vx + acc_x * scale, -max_speed, max_speed)
+        vy_ref[:] = jnp.clip(vy + acc_y * scale, -max_speed, max_speed)
+        return 0
+
+    jax.lax.fori_loop(0, hz, body, 0)
+    px = px_ref[:]
+    py = py_ref[:]
+    vx = vx_ref[:]
+    vy = vy_ref[:]
+    cost_ref[:] += state_cost(
+        px, py, vx, vy, occupancy(px, py), (wt_px, wt_py, wt_vx, wt_vy)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "max_acc", "max_speed", "weights", "target",
+                     "rects", "grid", "crash", "interpret"),
+)
+def fused_particle_rollout_costs(state0, actions, masses, *, dt, max_acc,
+                                 max_speed, weights, target, rects, grid,
+                                 crash, interpret=False):
+    """Navigation costs for every (param draw, action sample, policy)
+    particle rollout, computed in one Pallas program.
+
+    state0 [4]; actions [n_actions, n_pol, H, 2] (shared across param
+    draws, as in `MultiDisco.forward`'s broadcast); masses [n_params].
+    Static config as in `_rollout_kernel`. Returns
+    [n_params, n_actions, n_pol].
+    """
+    n_act, n_pol, hz, _ = actions.shape
+    n_params = masses.shape[0]
+    n_traj = n_act * n_pol
+    n = n_params * n_traj
+    npad = -(-n // 128) * 128
+    rows = npad // 128
+
+    def stream(ch):
+        acts = actions[..., ch].reshape(n_traj, hz)
+        acts = jnp.tile(acts, (n_params, 1))              # [n, hz]
+        acts = jnp.zeros((npad, hz), jnp.float32).at[:n].set(acts)
+        return acts.T.reshape(hz, rows, 128)
+
+    flat_m = jnp.repeat(jnp.asarray(masses, jnp.float32).reshape(-1),
+                        n_traj)
+    im = 1.0 / jnp.ones((npad,), jnp.float32).at[:n].set(flat_m).reshape(
+        rows, 128
+    )
+    scal = jnp.asarray(state0, jnp.float32).reshape(1, 4)
+
+    kernel = functools.partial(
+        _rollout_kernel, hz=hz, rows=rows, dt=float(dt),
+        max_acc=float(max_acc), max_speed=float(max_speed),
+        weights=weights, target=target, rects=rects, grid=grid,
+        crash=bool(crash),
+    )
+    cost = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32)] * 4,
+        interpret=interpret,
+    )(scal, stream(0), stream(1), im)
+    return cost.reshape(npad)[:n].reshape(n_params, n_act, n_pol)
+
+
+def make_fused_particle_state_costs(model, interpret=False):
+    """Build the `MultiDisco(fused_state_costs=...)` hook for a
+    deterministic acceleration-control `Particle` model:
+    (state, actions [n_actions, n_pol, H, 2], params dict|None) -> state
+    costs [n_actions, n_pol] (mean over param draws), replacing
+    rollout + inst/term evaluation. Uses the model's built-in cost
+    functions (`default_inst_cost`/`default_term_cost`)."""
+    if model.control_type != "acceleration":
+        raise ValueError(
+            "fused particle rollout supports acceleration control only"
+        )
+    if not model.deterministic:
+        raise ValueError(
+            "fused particle rollout requires deterministic dynamics (the "
+            "kernel has no RNG for control noise) - use the scan path"
+        )
+    if tuple(model.uncertain_params or ()) not in ((), ("mass",)):
+        raise ValueError(
+            "fused particle rollout supports exactly one uncertain param:"
+            f" ('mass',), got {tuple(model.uncertain_params)}"
+        )
+
+    w = tuple(float(v) for v in np.asarray(model.w_state))       # [4]
+    wc = tuple(float(v) for v in np.asarray(model.w_ctrl))       # [2]
+    wt = tuple(float(v) for v in np.asarray(model.w_term))       # [4]
+    weights = (*w, *wc, float(model.w_obs), *wt)
+    target = tuple(float(v) for v in np.asarray(model.target))   # [4]
+    m_def = float(model.params_dict["mass"])
+
+    rects, grid = None, None
+    if model.with_obstacle and model.obst_map is not None:
+        bounds = model.obst_map.rect_bounds
+        if bounds is None:
+            raise ValueError(
+                "fused particle rollout needs a binary occupancy raster "
+                "(rectangle decomposition unavailable) - use the scan path"
+            )
+        xlo, xhi, ylo, yhi = (np.asarray(b) for b in bounds)
+        rects = tuple(
+            (float(a), float(b), float(c), float(d))
+            for a, b, c, d in zip(xlo, xhi, ylo, yhi)
+        )
+        om = model.obst_map
+        grid = (
+            1.0 / om.cell_size,
+            float(om.c_offset[0]), float(om.c_offset[1]),
+            float(om.map.shape[0] - 1), float(om.map.shape[1] - 1),
+        )
+    crash = model.can_crash and model.with_obstacle
+
+    def hook(state, actions, params):
+        s0 = jnp.reshape(jnp.asarray(state, jnp.float32), (-1,))[:4]
+        if params is None:
+            masses = jnp.full((1,), m_def, jnp.float32)
+        else:
+            unknown = set(params) - {"mass"}
+            if unknown:
+                raise ValueError(
+                    "fused particle state-cost hook only supports a mass"
+                    f" parameter column, got {sorted(unknown)} - use the"
+                    " scan rollout path for other overrides"
+                )
+            masses = params["mass"].reshape(-1)
+        costs = fused_particle_rollout_costs(
+            s0, actions, masses, dt=float(model.dt),
+            max_acc=model.max_acc, max_speed=model.max_speed,
+            weights=weights, target=target, rects=rects, grid=grid,
+            crash=crash, interpret=interpret,
+        )
+        return costs.mean(axis=0)
+
+    return hook
