@@ -16,6 +16,7 @@ Configs:
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -47,6 +48,33 @@ def _time_best(fn, repeats=3):
     return min(times)
 
 
+# Episodes chained inside one device program per timed dispatch: the axon
+# tunnel charges a flat per-dispatch overhead (measured 2-28 ms depending
+# on server load), which at chain=1 tracks tunnel weather, not the
+# solver. See bench.py CHAIN for details.
+CHAIN = int(os.environ.get("BENCH_CHAIN", "4"))
+
+
+def _time_chained_episodes(episode_scalar, repeats, chain=None):
+    """Time `chain` episodes per dispatch; episode_scalar(key) must
+    return a scalar (forces the episode's computation). Returns the
+    best per-episode seconds."""
+    chain = CHAIN if chain is None else chain
+
+    @jax.jit
+    def chained(keys):
+        def body(acc, k):
+            return acc + episode_scalar(k), ()
+
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return tot
+
+    def run(i):
+        return chained(jax.random.split(jax.random.key(i), chain))
+
+    return _time_best(run, repeats) / chain
+
+
 def bench_pendulum(case, steps, repeats):
     config = load_config(ROOT / "demo/pendulum_config.yaml")
     stack = build_pendulum_stack(config, jax.random.key(0), case=case)
@@ -55,7 +83,7 @@ def bench_pendulum(case, steps, repeats):
         model=stack.model, steps=steps, warm_up=0,
         mpf_bw=stack.mpf_bw, mpf_steps=stack.mpf_steps,
     )
-    episode = jax.jit(harness.episode_fn(stack.dynamics_prior))
+    episode = harness.episode_fn(stack.dynamics_prior)
     true_params = {"length": jnp.float32(1.0), "mass": jnp.float32(1.0)}
     init_obs = stack.init_state.reshape(1, -1)
     dstate = stack.controller.init_state(stack.init_policies)
@@ -65,12 +93,12 @@ def bench_pendulum(case, steps, repeats):
         if stack.mpf is not None else ()
     )
 
-    def run(i):
-        _, logs = episode(jax.random.key(i), true_params, init_obs, dstate,
-                          svstate, mstate)
-        return logs[2]
+    def episode_scalar(key):
+        _, logs = episode(key, true_params, init_obs, dstate, svstate,
+                          mstate)
+        return logs[2].sum()
 
-    best = _time_best(run, repeats)
+    best = _time_chained_episodes(episode_scalar, repeats)
     return steps / best
 
 
@@ -89,23 +117,23 @@ def bench_particle(steps, repeats, fused_mpf=False, fused_rollout=False):
             bw_scale=exp["mpf_bandwidth_scaling"],
             n_steps=exp["mpf_steps"],
         )
-    episode = jax.jit(particle_episode_fn(
+    episode = particle_episode_fn(
         stack.model, stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
         dyn_dist=stack.dynamics_prior, load=stack.load, steps=steps,
         warm_up=0, mpf_bw=stack.mpf_bw, mpf_steps=stack.mpf_steps,
-    ))
+    )
     svstate = stack.svmpc.init_state(stack.init_policies, stack.policies_prior)
     mstate = stack.mpf.init_state(
         stack.mpf_init, stack.init_state, 2, bw=stack.mpf_init_bw
     )
     dstate = stack.controller.init_state()
+    mass = jnp.float32(stack.model.params_dict["mass"])
 
-    def run(i):
-        out = episode(jax.random.key(i), stack.init_state, dstate, svstate,
-                      mstate, jnp.float32(stack.model.params_dict["mass"]))
+    def episode_scalar(key):
+        out = episode(key, stack.init_state, dstate, svstate, mstate, mass)
         return out[3]
 
-    best = _time_best(run, repeats)
+    best = _time_chained_episodes(episode_scalar, repeats)
     return steps / best
 
 
