@@ -4,8 +4,11 @@ Run: python bench/bench_all.py [--quick]
 Emits one JSON line per config; paste results into BASELINE.md.
 
 Configs:
-  pendulum_dust   — dual inference at demo shapes (headline, = bench.py)
-  pendulum_svmpc  — SV-MPC single posterior (no MPF)
+  pendulum_dust   — dual inference at demo shapes (headline, = bench.py:
+                    fused-Pallas rollout+cost and MPF kernels; _plain =
+                    all-XLA path)
+  pendulum_svmpc  — SV-MPC single posterior (no MPF; fused rollout+cost,
+                    _plain = all-XLA)
   particle_dust   — particle navigation w/ obstacles + dual inference
                     (fused-Pallas rollout+cost and mass-posterior
                     kernels; _plain = all-XLA path)
@@ -75,9 +78,24 @@ def _time_chained_episodes(episode_scalar, repeats, chain=None):
     return _time_best(run, repeats) / chain
 
 
-def bench_pendulum(case, steps, repeats):
+def bench_pendulum(case, steps, repeats, fused_mpf=False,
+                   fused_rollout=False):
     config = load_config(ROOT / "demo/pendulum_config.yaml")
+    config["exp_params"]["fused_rollout"] = fused_rollout
     stack = build_pendulum_stack(config, jax.random.key(0), case=case)
+    if fused_mpf and stack.mpf is not None:
+        # dynamics-posterior update as one Pallas program per solve
+        # (bench.py's default — see ops/pallas_mpf.py)
+        from dust_tpu.inference.mpf import FusedPendulumMPF
+
+        exp = config["exp_params"]
+        stack.mpf = FusedPendulumMPF(
+            likelihood=stack.mpf.likelihood,
+            lr=exp["mpf_learning_rate"],
+            n_steps=exp["mpf_steps"],
+            bw_scale=exp["mpf_bandwidth_scaling"],
+            interpret=jax.default_backend() != "tpu",
+        )
     harness = PendulumSimulation(
         controller=stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
         model=stack.model, steps=steps, warm_up=0,
@@ -216,12 +234,27 @@ def bench_particle_large(steps, repeats):
     return steps / best
 
 
-def bench_sweep(n_scenarios, steps, repeats):
-    """Scenario-sweep throughput: N full episodes batched on this chip."""
+def bench_sweep(n_scenarios, steps, repeats, fused=False):
+    """Scenario-sweep throughput: N full episodes batched on this chip.
+    `fused=True` vmaps the fused-Pallas rollout+cost and MPF kernels over
+    the scenario axis (each lifts to a leading Mosaic grid dimension)."""
     from dust_tpu.parallel.sweep import ScenarioSweep, broadcast_scenarios
 
     config = load_config(ROOT / "demo/pendulum_config.yaml")
+    if fused:
+        config["exp_params"]["fused_rollout"] = True
     stack = build_pendulum_stack(config, jax.random.key(0), case="dust")
+    if fused:
+        from dust_tpu.inference.mpf import FusedPendulumMPF
+
+        exp = config["exp_params"]
+        stack.mpf = FusedPendulumMPF(
+            likelihood=stack.mpf.likelihood,
+            lr=exp["mpf_learning_rate"],
+            n_steps=exp["mpf_steps"],
+            bw_scale=exp["mpf_bandwidth_scaling"],
+            interpret=jax.default_backend() != "tpu",
+        )
     harness = PendulumSimulation(
         controller=stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
         model=stack.model, steps=steps, warm_up=0,
@@ -253,16 +286,30 @@ def bench_sweep(n_scenarios, steps, repeats):
     return n * steps / best, n / best  # solves/s, episodes/s
 
 
-def bench_particle_sweep(n_scenarios, steps, repeats):
+def bench_particle_sweep(n_scenarios, steps, repeats, fused=False):
     """Particle scenario-sweep throughput: N full obstacle-navigation
-    episodes (per-lane true masses) batched on this chip."""
+    episodes (per-lane true masses) batched on this chip. `fused=True`
+    vmaps the fused-Pallas rollout+cost and mass-posterior kernels over
+    the scenario axis."""
     from dust_tpu.parallel.sweep import (
         ParticleScenarioSweep,
         broadcast_scenarios,
     )
 
     config = load_config(ROOT / "demo/particle_config.yaml")
+    if fused:
+        config["exp_params"]["fused_rollout"] = True
     stack = build_particle_stack(config, jax.random.key(0))
+    if fused:
+        from dust_tpu.inference.mpf import FusedParticleMPF
+
+        exp = config["exp_params"]
+        stack.mpf = FusedParticleMPF(
+            likelihood=stack.mpf.likelihood,
+            lr=exp["mpf_learning_rate"],
+            bw_scale=exp["mpf_bandwidth_scaling"],
+            n_steps=exp["mpf_steps"],
+        )
     episode = particle_episode_fn(
         stack.model, stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
         dyn_dist=stack.dynamics_prior, load=stack.load, steps=steps,
@@ -301,8 +348,16 @@ def main():
     dev = str(jax.devices()[0])
 
     runs = {
-        "pendulum_dust": lambda: bench_pendulum("dust", steps, repeats),
-        "pendulum_svmpc": lambda: bench_pendulum("svmpc", steps, repeats),
+        "pendulum_dust": lambda: bench_pendulum(
+            "dust", steps, repeats, fused_mpf=True, fused_rollout=True
+        ),
+        "pendulum_dust_plain": lambda: bench_pendulum("dust", steps, repeats),
+        "pendulum_svmpc": lambda: bench_pendulum(
+            "svmpc", steps, repeats, fused_rollout=True
+        ),
+        "pendulum_svmpc_plain": lambda: bench_pendulum(
+            "svmpc", steps, repeats
+        ),
         "particle_dust": lambda: bench_particle(
             steps, repeats, fused_mpf=True, fused_rollout=True
         ),
@@ -331,21 +386,23 @@ def main():
                           "solves_per_s": round(solves, 2),
                           "device": dev}))
 
-    if args.only in (None, "sweep"):
-        n = 16 if args.quick else 64
-        solves, episodes = bench_sweep(n, steps, repeats)
+    n = 16 if args.quick else 64
+    sweeps = {
+        f"sweep_n{n}": lambda: bench_sweep(n, steps, repeats, fused=True),
+        f"sweep_n{n}_plain": lambda: bench_sweep(n, steps, repeats),
+        f"particle_sweep_n{n}": lambda: bench_particle_sweep(
+            n, steps, repeats, fused=True
+        ),
+        f"particle_sweep_n{n}_plain": lambda: bench_particle_sweep(
+            n, steps, repeats
+        ),
+    }
+    for name, fn in sweeps.items():
+        if args.only and not name.startswith(args.only):
+            continue
+        solves, episodes = fn()
         print(json.dumps({
-            "config": f"sweep_n{n}",
-            "solves_per_s": round(solves, 2),
-            "episodes_per_s": round(episodes, 3),
-            "device": dev,
-        }))
-
-    if args.only in (None, "particle_sweep"):
-        n = 16 if args.quick else 64
-        solves, episodes = bench_particle_sweep(n, steps, repeats)
-        print(json.dumps({
-            "config": f"particle_sweep_n{n}",
+            "config": name,
             "solves_per_s": round(solves, 2),
             "episodes_per_s": round(episodes, 3),
             "device": dev,

@@ -51,8 +51,26 @@ def chained(step_fn, init_carry):
 
 
 def main():
+    import os
+
     config = load_config(ROOT / "demo/pendulum_config.yaml")
+    # BENCH_PHASES=fused (default) measures the bench-default stack
+    # (fused-Pallas rollout+cost and MPF kernels); =plain the all-XLA one.
+    fused = os.environ.get("BENCH_PHASES", "fused") == "fused"
+    if fused:
+        config["exp_params"]["fused_rollout"] = True
     stack = build_pendulum_stack(config, jax.random.key(0), case="dust")
+    if fused:
+        from dust_tpu.inference.mpf import FusedPendulumMPF
+
+        exp = config["exp_params"]
+        stack.mpf = FusedPendulumMPF(
+            likelihood=stack.mpf.likelihood,
+            lr=exp["mpf_learning_rate"],
+            n_steps=exp["mpf_steps"],
+            bw_scale=exp["mpf_bandwidth_scaling"],
+            interpret=jax.default_backend() != "tpu",
+        )
     harness = PendulumSimulation(
         controller=stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
         model=stack.model, steps=1, warm_up=0,

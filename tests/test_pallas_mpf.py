@@ -95,3 +95,30 @@ def test_closed_form_mpf_matches_jnp_mpf(rng, log_space):
     ms_c, _, _ = closed.optimize(ms_c, a, new_obs, bw=bw, n_steps=n_steps)
     np.testing.assert_allclose(np.asarray(ms_c.x), np.asarray(ms_p.x),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_fused_mpf_vmaps_over_scenarios(rng):
+    """vmap lifts the fused-MPF kernel to a leading grid dim (the fused
+    sweep path, bench/bench_all.py bench_sweep(fused=True)): batched ==
+    per-lane."""
+    from dust_tpu.ops.pallas_mpf import fused_pendulum_mpf_optimize
+
+    n_sc, m = 3, 12
+    xs = rng.uniform(0.6, 1.3, size=(n_sc, m, 2)).astype(np.float32)
+    obs = np.array(
+        [[2.8, -0.3], [2.5, 0.4], [3.0, 0.0]], dtype=np.float32
+    )
+    locs = obs + np.array([0.1, -0.2], dtype=np.float32)
+    acts = np.array([[0.9], [-1.4], [2.5]], dtype=np.float32)
+
+    f = lambda x, po, lo, a: fused_pendulum_mpf_optimize(
+        x, x, po, lo, a, 0.3, 0.2, 1e-3, 0.1, n_steps=4, interpret=True
+    )
+    batched = jax.vmap(f)(jnp.asarray(xs), jnp.asarray(obs),
+                          jnp.asarray(locs), jnp.asarray(acts))
+    single = jnp.stack(
+        [f(xs[i], obs[i], locs[i], acts[i]) for i in range(n_sc)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched), np.asarray(single), rtol=1e-6, atol=1e-6
+    )

@@ -118,6 +118,28 @@ def test_full_solve_fused_matches_plain():
     )
 
 
+def test_kernel_vmaps_over_scenarios():
+    """vmap lifts the kernel to a leading grid dim (the fused sweep path,
+    bench/bench_all.py bench_sweep(fused=True)): batched == per-lane."""
+    k1, k2 = jax.random.split(jax.random.key(5))
+    n_sc, n_act, n_pol, hz = 3, 5, 2, 7
+    s0 = jnp.stack(
+        [jnp.array([np.pi, 0.0]) + 0.2 * i for i in range(n_sc)]
+    )
+    actions = 2.0 * jax.random.normal(k1, (n_sc, n_act, n_pol, hz, 1))
+    lengths = jax.random.uniform(k2, (4,), minval=0.7, maxval=1.2)
+    masses = lengths[::-1]
+
+    f = lambda s, a: fused_pendulum_rollout_costs(
+        s, a, lengths, masses, dt=0.05, g=9.8, interpret=True
+    )
+    batched = jax.vmap(f)(s0, actions)
+    single = jnp.stack([f(s0[i], actions[i]) for i in range(n_sc)])
+    np.testing.assert_allclose(
+        np.asarray(batched), np.asarray(single), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_hook_rejects_unknown_param_keys():
     model = PendulumModel(uncertain_params=("length", "mass"))
     hook = make_fused_pendulum_state_costs(model, interpret=True)
