@@ -65,6 +65,13 @@ def build(key):
     config["exp_params"]["fused_rollout"] = (
         os.environ.get("BENCH_ROLLOUT", "fused") == "fused"
     )
+    # whole-SVMPC-solve Pallas kernel (ops/pallas_solve.py): sampling
+    # epilogue, rollouts, costs, DISCO update, Stein step, selection and
+    # roll in ONE program (subsumes the fused rollout on its path).
+    # BENCH_SOLVE=plain restores the per-op path.
+    config["exp_params"]["fused_solve"] = (
+        os.environ.get("BENCH_SOLVE", "fused") == "fused"
+    )
     stack = build_pendulum_stack(config, key, case="dust")
     # MPF implementation: "fused" (default — the single-Pallas-kernel
     # posterior update wins ~1.4x end-to-end: 3.3k vs 2.3k solves/s),

@@ -148,7 +148,7 @@ def build_pendulum_stack(config_data, key, case="dust",
             controller=controller,
             model=model,
         )
-        svmpc = SVMPC(
+        svmpc_kwargs = dict(
             likelihood=likelihood,
             kernel=(
                 "message_passing"
@@ -163,6 +163,16 @@ def build_pendulum_stack(config_data, key, case="dust",
             weighted_prior=exp.get("weighted_prior", False),
             reference_compat=reference_compat,
         )
+        if exp.get("fused_solve", False):
+            # the whole solve as one Pallas program (ops/pallas_solve.py);
+            # demo-config semantics asserted by the class
+            from .inference.svmpc import FusedPendulumSVMPC
+
+            svmpc = FusedPendulumSVMPC(
+                interpret=jax.default_backend() != "tpu", **svmpc_kwargs
+            )
+        else:
+            svmpc = SVMPC(**svmpc_kwargs)
 
     mpf = None
     mpf_init = None

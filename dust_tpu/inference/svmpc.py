@@ -206,3 +206,179 @@ class SVMPC:
         svstate = self.roll(svstate, key=key, steps=steps)
         svstate = self.update_prior(svstate, weights)
         return svstate, a_seq, weights
+
+
+@struct.dataclass
+class FusedSVMPCState:
+    """`SVMPCState` plus the forward-pass outputs the fused solve kernel
+    computes up front (`ops/pallas_solve.py` runs optimize AND forward in
+    one program; `forward` then just commits the cached results)."""
+
+    theta: jax.Array          # [m, H, A]
+    opt_state: optax.OptState
+    prior: GMM
+    fwd_theta: jax.Array      # [m, H, A] (rolled)
+    fwd_a_seq: jax.Array      # [H, A]
+    fwd_weights: jax.Array    # [m]
+
+
+class FusedPendulumSVMPC(SVMPC):
+    """SVMPC whose whole solve (sample -> rollout -> cost -> DISCO update
+    -> Stein step -> selection -> roll) runs as ONE Pallas program
+    (`ops/pallas_solve.py`).
+
+    Drop-in replacement on the pendulum task for the demo-config
+    semantics: kernel="rbf", reference_compat=False, n_steps=1,
+    roll_strategy="repeat", weighted_prior=False, ctrl_dim=1, SGD
+    optimizer, isotropic policy prior, controller a_reg == 0 (the demo
+    temperature/ctrl_penalty make the control penalty vanish), pendulum
+    model with length/mass parameter columns. It reproduces the plain
+    path's exact PRNG split sequence (`SVMPC.optimize` ->
+    `CostLikelihood.sample` -> `MultiDisco.forward`), so outputs match
+    the plain classes to float tolerance on identical keys
+    (tests/test_pallas_solve.py).
+    """
+
+    def __init__(self, likelihood, interpret=False, **kwargs):
+        kwargs.setdefault("kernel", "rbf")
+        super().__init__(likelihood, **kwargs)
+        from ..models.pendulum import PendulumModel
+        from .likelihoods import ExpectedCost, ExponentiatedUtility
+
+        ctrl = self.controller
+        if self.kernel != "rbf" or self.reference_compat:
+            raise ValueError("fused solve: kernel='rbf', no compat mode")
+        if self.n_steps != 1:
+            raise ValueError("fused solve supports n_steps=1")
+        if self.roll_strategy != "repeat" or self.weighted_prior:
+            raise ValueError(
+                "fused solve: roll_strategy='repeat', unweighted prior"
+            )
+        if self.ctrl_dim != 1:
+            raise ValueError("fused solve supports ctrl_dim=1")
+        if abs(ctrl.a_reg) > 1e-12:
+            raise ValueError(
+                "fused solve requires a_reg == 0 (temperature *"
+                " (1 - ctrl_penalty)); use the plain SVMPC otherwise"
+            )
+        if ctrl._params_mode not in ("none", "sampled"):
+            raise ValueError("fused solve: params mode none|sampled")
+        if not isinstance(likelihood, (ExpectedCost, ExponentiatedUtility)):
+            raise ValueError("fused solve: ExpectedCost|ExponentiatedUtility")
+        model = likelihood.model
+        if not isinstance(model, PendulumModel):
+            raise ValueError("fused solve is pendulum-specific")
+        if not set(model.uncertain_params or ()) <= {"length", "mass"}:
+            raise ValueError("fused solve: length/mass parameters only")
+        self._exp_util = isinstance(likelihood, ExponentiatedUtility)
+        self._model = model
+        self._interpret = bool(interpret)
+        # the scalar step the plain path's optax SGD would apply (probe
+        # once, eagerly; stateful optimizers are not supported in-kernel)
+        probe = jnp.ones((1,), jnp.float32)
+        upd, _ = self.optimizer.update(
+            probe, self.optimizer.init(probe), probe
+        )
+        self._lr_cached = float(-upd[0])
+
+    def init_state(self, init_particles, prior: GMM) -> FusedSVMPCState:
+        theta = jnp.asarray(init_particles, jnp.float32)
+        ps = prior.scale_tril
+        if ps.shape != (1, 1):
+            raise ValueError("fused solve: isotropic 1-D policy prior")
+        return FusedSVMPCState(
+            theta=theta,
+            opt_state=self.optimizer.init(theta),
+            prior=prior,
+            fwd_theta=theta,
+            fwd_a_seq=theta[0],
+            fwd_weights=jnp.full((theta.shape[0],), jnp.nan),
+        )
+
+    def optimize(self, svstate, dstate, state, params_dist, key, bw=None,
+                 n_steps=None):
+        from ..ops.bandwidth import silvermans_rule
+        from ..ops.pallas_solve import fused_pendulum_solve
+
+        if n_steps not in (None, 1):
+            raise ValueError("fused solve supports n_steps=1")
+        theta = svstate.theta                       # [m, H, A=1]
+        m, hz, _ = theta.shape
+        ctrl = self.controller
+        if bw is None:
+            bw = silvermans_rule(theta)
+
+        # exact PRNG discipline of the plain path: optimize's per-step
+        # split, CostLikelihood.sample's (k_act, k_fwd), forward's
+        # (k_eps, k_par, k_roll)
+        (k,) = jax.random.split(key, 1)
+        k_act, k_fwd = jax.random.split(k)
+        noise = jax.random.normal(
+            k_act, (self.likelihood.n_samples, m, hz, 1)
+        )
+        actions = theta + noise @ ctrl.a_scale_tril.T
+        _, k_par, _ = jax.random.split(k_fwd, 3)
+
+        model = self._model
+        defaults = model.params_dict
+        if ctrl._params_mode == "sampled":
+            draws = params_dist.sample(k_par, (ctrl.n_params,))
+            if ctrl._params_log_space:
+                draws = jnp.exp(draws)
+            draws = draws.reshape(ctrl.n_params, -1)
+            cols = {
+                k_: draws[:, i]
+                for i, k_ in enumerate(model.uncertain_params)
+            }
+        else:
+            cols = {}
+        lengths = cols.get(
+            "length",
+            jnp.full((ctrl.n_params,), float(defaults["length"]),
+                     jnp.float32),
+        )
+        masses = cols.get(
+            "mass",
+            jnp.full((ctrl.n_params,), float(defaults["mass"]), jnp.float32),
+        )
+
+        (theta_opt, theta_fwd, a_mat, a_mix, a_seq_sel, weights,
+         costs) = fused_pendulum_solve(
+            jnp.reshape(state, (-1,))[:2],
+            theta[..., 0],
+            svstate.prior.locs[..., 0],
+            dstate.a_mat[..., 0],
+            dstate.a_seq[..., 0],
+            actions[..., 0],
+            lengths, masses, bw,
+            self._lr_cached, self.likelihood.alpha, ctrl.temp,
+            self.sigma[0], svstate.prior.scale_tril[0, 0],
+            hz=hz, m=m, n_params=ctrl.n_params,
+            n_act=self.likelihood.n_samples,
+            dt=float(model.dt), g=float(defaults["g"]),
+            exp_util=self._exp_util, interpret=self._interpret,
+        )
+
+        svstate = svstate.replace(
+            theta=theta_opt[..., None],
+            fwd_theta=theta_fwd[..., None],
+            fwd_a_seq=a_seq_sel[:, None],
+            fwd_weights=weights,
+        )
+        dstate = dstate.replace(a_mat=a_mat[..., None], a_mix=a_mix)
+        return svstate, dstate, costs
+
+    def forward(self, svstate, costs, key=None, steps=-1):
+        """Commit the kernel's precomputed selection/roll and refresh the
+        prior. `costs`/`key` are accepted for interface parity; the roll
+        is always the 'repeat' strategy at steps=-1."""
+        if steps != -1:
+            raise ValueError("fused solve supports steps=-1")
+        theta = svstate.fwd_theta
+        prior = GMM(
+            locs=theta,
+            scale_tril=svstate.prior.scale_tril,
+            logits=jnp.zeros(theta.shape[0]),
+        )
+        svstate = svstate.replace(theta=theta, prior=prior)
+        return svstate, svstate.fwd_a_seq, svstate.fwd_weights
