@@ -79,9 +79,10 @@ def _time_chained_episodes(episode_scalar, repeats, chain=None):
 
 
 def bench_pendulum(case, steps, repeats, fused_mpf=False,
-                   fused_rollout=False):
+                   fused_rollout=False, fused_solve=False):
     config = load_config(ROOT / "demo/pendulum_config.yaml")
     config["exp_params"]["fused_rollout"] = fused_rollout
+    config["exp_params"]["fused_solve"] = fused_solve
     stack = build_pendulum_stack(config, jax.random.key(0), case=case)
     if fused_mpf and stack.mpf is not None:
         # dynamics-posterior update as one Pallas program per solve
@@ -120,9 +121,11 @@ def bench_pendulum(case, steps, repeats, fused_mpf=False,
     return steps / best
 
 
-def bench_particle(steps, repeats, fused_mpf=False, fused_rollout=False):
+def bench_particle(steps, repeats, fused_mpf=False, fused_rollout=False,
+                   fused_solve=False):
     config = load_config(ROOT / "demo/particle_config.yaml")
     config["exp_params"]["fused_rollout"] = fused_rollout
+    config["exp_params"]["fused_solve"] = fused_solve
     stack = build_particle_stack(config, jax.random.key(0))
     if fused_mpf:
         # mass-posterior update as one Pallas program per solve
@@ -240,6 +243,13 @@ def bench_sweep(n_scenarios, steps, repeats, fused=False):
     the scenario axis (each lifts to a leading Mosaic grid dimension)."""
     from dust_tpu.parallel.sweep import ScenarioSweep, broadcast_scenarios
 
+    # NB: sweeps use the fused ROLLOUT kernel, not the whole-solve kernel
+    # — measured at n=128-256 the solve kernel LOSES (40.0k vs 42.2k
+    # pendulum, 38.3k vs 50.9k particle): with 100+ scenarios vmapped,
+    # XLA batches the inter-kernel glue into wide ops and the launch gaps
+    # the solve kernel exists to remove are already amortized, while its
+    # per-particle unrolled matmuls serialize. Whole-solve fusion is a
+    # latency optimization (single episode), not a throughput one.
     config = load_config(ROOT / "demo/pendulum_config.yaml")
     if fused:
         config["exp_params"]["fused_rollout"] = True
@@ -296,6 +306,7 @@ def bench_particle_sweep(n_scenarios, steps, repeats, fused=False):
         broadcast_scenarios,
     )
 
+    # fused rollout, not fused solve — see bench_sweep's note
     config = load_config(ROOT / "demo/particle_config.yaml")
     if fused:
         config["exp_params"]["fused_rollout"] = True
@@ -349,17 +360,17 @@ def main():
 
     runs = {
         "pendulum_dust": lambda: bench_pendulum(
-            "dust", steps, repeats, fused_mpf=True, fused_rollout=True
+            "dust", steps, repeats, fused_mpf=True, fused_solve=True
         ),
         "pendulum_dust_plain": lambda: bench_pendulum("dust", steps, repeats),
         "pendulum_svmpc": lambda: bench_pendulum(
-            "svmpc", steps, repeats, fused_rollout=True
+            "svmpc", steps, repeats, fused_solve=True
         ),
         "pendulum_svmpc_plain": lambda: bench_pendulum(
             "svmpc", steps, repeats
         ),
         "particle_dust": lambda: bench_particle(
-            steps, repeats, fused_mpf=True, fused_rollout=True
+            steps, repeats, fused_mpf=True, fused_solve=True
         ),
         "particle_dust_plain": lambda: bench_particle(steps, repeats),
         "mpf_large_m2048": lambda: bench_mpf_large(

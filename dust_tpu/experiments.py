@@ -285,7 +285,7 @@ def build_particle_stack(config_data, key, reference_compat=False):
         controller=controller,
         model=model,
     )
-    svmpc = SVMPC(
+    svmpc_kwargs = dict(
         likelihood=likelihood,
         kernel=(
             "message_passing" if exp["kernel"] == "message_passing" else "rbf"
@@ -298,6 +298,15 @@ def build_particle_stack(config_data, key, reference_compat=False):
         weighted_prior=exp.get("weighted_prior", False),
         reference_compat=reference_compat,
     )
+    if exp.get("fused_solve", False):
+        # the whole solve as one Pallas program (ops/pallas_solve.py)
+        from .inference.svmpc import FusedParticleSVMPC
+
+        svmpc = FusedParticleSVMPC(
+            interpret=jax.default_backend() != "tpu", **svmpc_kwargs
+        )
+    else:
+        svmpc = SVMPC(**svmpc_kwargs)
 
     mpf = None
     mpf_init = None

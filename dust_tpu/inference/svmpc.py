@@ -222,27 +222,23 @@ class FusedSVMPCState:
     fwd_weights: jax.Array    # [m]
 
 
-class FusedPendulumSVMPC(SVMPC):
-    """SVMPC whose whole solve (sample -> rollout -> cost -> DISCO update
-    -> Stein step -> selection -> roll) runs as ONE Pallas program
-    (`ops/pallas_solve.py`).
+class _FusedSolveSVMPC(SVMPC):
+    """Base for SVMPC variants whose whole solve (sample -> rollout ->
+    cost -> DISCO update -> Stein step -> selection -> roll) runs as ONE
+    Pallas program (`ops/pallas_solve.py`).
 
-    Drop-in replacement on the pendulum task for the demo-config
-    semantics: kernel="rbf", reference_compat=False, n_steps=1,
-    roll_strategy="repeat", weighted_prior=False, ctrl_dim=1, SGD
-    optimizer, isotropic policy prior, controller a_reg == 0 (the demo
-    temperature/ctrl_penalty make the control penalty vanish), pendulum
-    model with length/mass parameter columns. It reproduces the plain
-    path's exact PRNG split sequence (`SVMPC.optimize` ->
-    `CostLikelihood.sample` -> `MultiDisco.forward`), so outputs match
-    the plain classes to float tolerance on identical keys
-    (tests/test_pallas_solve.py).
-    """
+    Supported semantics (asserted): kernel="rbf", reference_compat=False,
+    n_steps=1, roll_strategy="repeat", SGD optimizer, isotropic action
+    covariance and policy prior, controller a_reg == 0 (the demo
+    temperature/ctrl_penalty make the control penalty vanish). The
+    optimize method reproduces the plain path's exact PRNG split sequence
+    (`SVMPC.optimize` -> `CostLikelihood.sample` -> `MultiDisco.forward`),
+    so outputs match the plain classes to float tolerance on identical
+    keys (tests/test_pallas_solve.py)."""
 
     def __init__(self, likelihood, interpret=False, **kwargs):
         kwargs.setdefault("kernel", "rbf")
         super().__init__(likelihood, **kwargs)
-        from ..models.pendulum import PendulumModel
         from .likelihoods import ExpectedCost, ExponentiatedUtility
 
         ctrl = self.controller
@@ -250,12 +246,8 @@ class FusedPendulumSVMPC(SVMPC):
             raise ValueError("fused solve: kernel='rbf', no compat mode")
         if self.n_steps != 1:
             raise ValueError("fused solve supports n_steps=1")
-        if self.roll_strategy != "repeat" or self.weighted_prior:
-            raise ValueError(
-                "fused solve: roll_strategy='repeat', unweighted prior"
-            )
-        if self.ctrl_dim != 1:
-            raise ValueError("fused solve supports ctrl_dim=1")
+        if self.roll_strategy != "repeat":
+            raise ValueError("fused solve: roll_strategy='repeat'")
         if abs(ctrl.a_reg) > 1e-12:
             raise ValueError(
                 "fused solve requires a_reg == 0 (temperature *"
@@ -265,14 +257,15 @@ class FusedPendulumSVMPC(SVMPC):
             raise ValueError("fused solve: params mode none|sampled")
         if not isinstance(likelihood, (ExpectedCost, ExponentiatedUtility)):
             raise ValueError("fused solve: ExpectedCost|ExponentiatedUtility")
-        model = likelihood.model
-        if not isinstance(model, PendulumModel):
-            raise ValueError("fused solve is pendulum-specific")
-        if not set(model.uncertain_params or ()) <= {"length", "mass"}:
-            raise ValueError("fused solve: length/mass parameters only")
+        import numpy as np
+
+        sig = np.asarray(self.sigma)
+        if not np.allclose(sig, sig[0]):
+            raise ValueError("fused solve: isotropic action covariance")
         self._exp_util = isinstance(likelihood, ExponentiatedUtility)
-        self._model = model
+        self._model = likelihood.model
         self._interpret = bool(interpret)
+        self._check_model(self._model)
         # the scalar step the plain path's optax SGD would apply (probe
         # once, eagerly; stateful optimizers are not supported in-kernel)
         probe = jnp.ones((1,), jnp.float32)
@@ -281,11 +274,23 @@ class FusedPendulumSVMPC(SVMPC):
         )
         self._lr_cached = float(-upd[0])
 
+    def _check_model(self, model):
+        raise NotImplementedError
+
+    def _run_kernel(self, state, theta, locs, log_mix, a_mat, a_seq,
+                    actions, cols, bw, prior_scale, hz, m):
+        raise NotImplementedError
+
     def init_state(self, init_particles, prior: GMM) -> FusedSVMPCState:
         theta = jnp.asarray(init_particles, jnp.float32)
         ps = prior.scale_tril
-        if ps.shape != (1, 1):
-            raise ValueError("fused solve: isotropic 1-D policy prior")
+        a = self.ctrl_dim
+        import numpy as np
+
+        if ps.shape != (a, a) or not np.allclose(
+            np.asarray(ps), np.asarray(ps[0, 0]) * np.eye(a)
+        ):
+            raise ValueError("fused solve: isotropic policy prior")
         return FusedSVMPCState(
             theta=theta,
             opt_state=self.optimizer.init(theta),
@@ -298,12 +303,11 @@ class FusedPendulumSVMPC(SVMPC):
     def optimize(self, svstate, dstate, state, params_dist, key, bw=None,
                  n_steps=None):
         from ..ops.bandwidth import silvermans_rule
-        from ..ops.pallas_solve import fused_pendulum_solve
 
         if n_steps not in (None, 1):
             raise ValueError("fused solve supports n_steps=1")
-        theta = svstate.theta                       # [m, H, A=1]
-        m, hz, _ = theta.shape
+        theta = svstate.theta                       # [m, H, A]
+        m, hz, a = theta.shape
         ctrl = self.controller
         if bw is None:
             bw = silvermans_rule(theta)
@@ -314,13 +318,11 @@ class FusedPendulumSVMPC(SVMPC):
         (k,) = jax.random.split(key, 1)
         k_act, k_fwd = jax.random.split(k)
         noise = jax.random.normal(
-            k_act, (self.likelihood.n_samples, m, hz, 1)
+            k_act, (self.likelihood.n_samples, m, hz, a)
         )
         actions = theta + noise @ ctrl.a_scale_tril.T
         _, k_par, _ = jax.random.split(k_fwd, 3)
 
-        model = self._model
-        defaults = model.params_dict
         if ctrl._params_mode == "sampled":
             draws = params_dist.sample(k_par, (ctrl.n_params,))
             if ctrl._params_log_space:
@@ -328,10 +330,71 @@ class FusedPendulumSVMPC(SVMPC):
             draws = draws.reshape(ctrl.n_params, -1)
             cols = {
                 k_: draws[:, i]
-                for i, k_ in enumerate(model.uncertain_params)
+                for i, k_ in enumerate(self._model.uncertain_params)
             }
         else:
             cols = {}
+
+        log_mix = jax.nn.log_softmax(svstate.prior.logits)
+        (theta_opt, theta_fwd, a_mat, a_mix, a_seq_sel, weights,
+         costs) = self._run_kernel(
+            state, theta, svstate.prior.locs, log_mix, dstate.a_mat,
+            dstate.a_seq, actions, cols, bw,
+            svstate.prior.scale_tril[0, 0], hz, m,
+        )
+
+        svstate = svstate.replace(
+            theta=theta_opt,
+            fwd_theta=theta_fwd,
+            fwd_a_seq=a_seq_sel,
+            fwd_weights=weights,
+        )
+        dstate = dstate.replace(a_mat=a_mat, a_mix=a_mix)
+        return svstate, dstate, costs
+
+    def forward(self, svstate, costs, key=None, steps=-1):
+        """Commit the kernel's precomputed selection/roll and refresh the
+        prior (weighted when `weighted_prior`, `svmpc.py:160-170`).
+        `costs`/`key` are accepted for interface parity; the roll is
+        always the 'repeat' strategy at steps=-1."""
+        if steps != -1:
+            raise ValueError("fused solve supports steps=-1")
+        theta = svstate.fwd_theta
+        if self.weighted_prior:
+            logits = jnp.log(jnp.clip(svstate.fwd_weights, 1e-37))
+        else:
+            logits = jnp.zeros(theta.shape[0])
+        prior = GMM(
+            locs=theta,
+            scale_tril=svstate.prior.scale_tril,
+            logits=logits,
+        )
+        svstate = svstate.replace(theta=theta, prior=prior)
+        return svstate, svstate.fwd_a_seq, svstate.fwd_weights
+
+
+class FusedPendulumSVMPC(_FusedSolveSVMPC):
+    """Whole-solve-fused SVMPC for the pendulum task (ctrl_dim 1,
+    unweighted prior, length/mass parameter columns)."""
+
+    def _check_model(self, model):
+        from ..models.pendulum import PendulumModel
+
+        if self.ctrl_dim != 1:
+            raise ValueError("pendulum fused solve supports ctrl_dim=1")
+        if self.weighted_prior:
+            raise ValueError("pendulum fused solve: unweighted prior")
+        if not isinstance(model, PendulumModel):
+            raise ValueError("fused solve is model-specific (pendulum)")
+        if not set(model.uncertain_params or ()) <= {"length", "mass"}:
+            raise ValueError("fused solve: length/mass parameters only")
+
+    def _run_kernel(self, state, theta, locs, log_mix, a_mat, a_seq,
+                    actions, cols, bw, prior_scale, hz, m):
+        from ..ops.pallas_solve import fused_pendulum_solve
+
+        ctrl = self.controller
+        defaults = self._model.params_dict
         lengths = cols.get(
             "length",
             jnp.full((ctrl.n_params,), float(defaults["length"]),
@@ -339,46 +402,59 @@ class FusedPendulumSVMPC(SVMPC):
         )
         masses = cols.get(
             "mass",
-            jnp.full((ctrl.n_params,), float(defaults["mass"]), jnp.float32),
+            jnp.full((ctrl.n_params,), float(defaults["mass"]),
+                     jnp.float32),
         )
-
-        (theta_opt, theta_fwd, a_mat, a_mix, a_seq_sel, weights,
+        (theta_opt, theta_fwd, amat, a_mix, a_seq_sel, weights,
          costs) = fused_pendulum_solve(
             jnp.reshape(state, (-1,))[:2],
-            theta[..., 0],
-            svstate.prior.locs[..., 0],
-            dstate.a_mat[..., 0],
-            dstate.a_seq[..., 0],
-            actions[..., 0],
+            theta[..., 0], locs[..., 0], log_mix,
+            a_mat[..., 0], a_seq[..., 0], actions[..., 0],
             lengths, masses, bw,
             self._lr_cached, self.likelihood.alpha, ctrl.temp,
-            self.sigma[0], svstate.prior.scale_tril[0, 0],
+            self.sigma[0], prior_scale,
             hz=hz, m=m, n_params=ctrl.n_params,
             n_act=self.likelihood.n_samples,
-            dt=float(model.dt), g=float(defaults["g"]),
+            dt=float(self._model.dt), g=float(defaults["g"]),
             exp_util=self._exp_util, interpret=self._interpret,
         )
+        return (theta_opt[..., None], theta_fwd[..., None],
+                amat[..., None], a_mix, a_seq_sel[:, None], weights, costs)
 
-        svstate = svstate.replace(
-            theta=theta_opt[..., None],
-            fwd_theta=theta_fwd[..., None],
-            fwd_a_seq=a_seq_sel[:, None],
-            fwd_weights=weights,
-        )
-        dstate = dstate.replace(a_mat=a_mat[..., None], a_mix=a_mix)
-        return svstate, dstate, costs
 
-    def forward(self, svstate, costs, key=None, steps=-1):
-        """Commit the kernel's precomputed selection/roll and refresh the
-        prior. `costs`/`key` are accepted for interface parity; the roll
-        is always the 'repeat' strategy at steps=-1."""
-        if steps != -1:
-            raise ValueError("fused solve supports steps=-1")
-        theta = svstate.fwd_theta
-        prior = GMM(
-            locs=theta,
-            scale_tril=svstate.prior.scale_tril,
-            logits=jnp.zeros(theta.shape[0]),
+class FusedParticleSVMPC(_FusedSolveSVMPC):
+    """Whole-solve-fused SVMPC for the particle-navigation task
+    (ctrl_dim 2, optionally weighted prior, mass parameter column,
+    gather-free rectangle collisions in-kernel)."""
+
+    def _check_model(self, model):
+        from ..ops.pallas_particle_rollout import particle_kernel_statics
+
+        if self.ctrl_dim != 2:
+            raise ValueError("particle fused solve supports ctrl_dim=2")
+        # validates control type, determinism, uncertain params, and
+        # extracts the compile-time cost/collision configuration
+        self._statics = particle_kernel_statics(model)
+
+    def _run_kernel(self, state, theta, locs, log_mix, a_mat, a_seq,
+                    actions, cols, bw, prior_scale, hz, m):
+        from ..ops.pallas_solve import fused_particle_solve
+
+        ctrl = self.controller
+        model = self._model
+        masses = cols.get(
+            "mass",
+            jnp.full((ctrl.n_params,), float(model.params_dict["mass"]),
+                     jnp.float32),
         )
-        svstate = svstate.replace(theta=theta, prior=prior)
-        return svstate, svstate.fwd_a_seq, svstate.fwd_weights
+        return fused_particle_solve(
+            jnp.reshape(state, (-1,))[:4],
+            theta, locs, log_mix, a_mat, a_seq, actions, masses, bw,
+            self._lr_cached, self.likelihood.alpha, ctrl.temp,
+            self.sigma[0], prior_scale,
+            hz=hz, m=m, n_params=ctrl.n_params,
+            n_act=self.likelihood.n_samples,
+            dt=float(model.dt), max_acc=float(model.max_acc),
+            max_speed=float(model.max_speed), exp_util=self._exp_util,
+            interpret=self._interpret, **self._statics,
+        )

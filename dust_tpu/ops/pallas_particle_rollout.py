@@ -182,13 +182,11 @@ def fused_particle_rollout_costs(state0, actions, masses, *, dt, max_acc,
     return cost.reshape(npad)[:n].reshape(n_params, n_act, n_pol)
 
 
-def make_fused_particle_state_costs(model, interpret=False):
-    """Build the `MultiDisco(fused_state_costs=...)` hook for a
-    deterministic acceleration-control `Particle` model:
-    (state, actions [n_actions, n_pol, H, 2], params dict|None) -> state
-    costs [n_actions, n_pol] (mean over param draws), replacing
-    rollout + inst/term evaluation. Uses the model's built-in cost
-    functions (`default_inst_cost`/`default_term_cost`)."""
+def particle_kernel_statics(model):
+    """Validate a `Particle` model for the fused kernels and extract the
+    compile-time cost/collision configuration: dict(weights, target,
+    rects, grid, crash) as consumed by `_rollout_kernel` and
+    `pallas_solve._particle_solve_kernel`."""
     if model.control_type != "acceleration":
         raise ValueError(
             "fused particle rollout supports acceleration control only"
@@ -209,7 +207,6 @@ def make_fused_particle_state_costs(model, interpret=False):
     wt = tuple(float(v) for v in np.asarray(model.w_term))       # [4]
     weights = (*w, *wc, float(model.w_obs), *wt)
     target = tuple(float(v) for v in np.asarray(model.target))   # [4]
-    m_def = float(model.params_dict["mass"])
 
     rects, grid = None, None
     if model.with_obstacle and model.obst_map is not None:
@@ -231,6 +228,22 @@ def make_fused_particle_state_costs(model, interpret=False):
             float(om.map.shape[0] - 1), float(om.map.shape[1] - 1),
         )
     crash = model.can_crash and model.with_obstacle
+    return dict(weights=weights, target=target, rects=rects, grid=grid,
+                crash=crash)
+
+
+def make_fused_particle_state_costs(model, interpret=False):
+    """Build the `MultiDisco(fused_state_costs=...)` hook for a
+    deterministic acceleration-control `Particle` model:
+    (state, actions [n_actions, n_pol, H, 2], params dict|None) -> state
+    costs [n_actions, n_pol] (mean over param draws), replacing
+    rollout + inst/term evaluation. Uses the model's built-in cost
+    functions (`default_inst_cost`/`default_term_cost`)."""
+    statics = particle_kernel_statics(model)
+    weights = statics["weights"]
+    target = statics["target"]
+    rects, grid, crash = statics["rects"], statics["grid"], statics["crash"]
+    m_def = float(model.params_dict["mass"])
 
     def hook(state, actions, params):
         s0 = jnp.reshape(jnp.asarray(state, jnp.float32), (-1,))[:4]
