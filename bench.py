@@ -11,8 +11,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
 
 Modes timed:
-  * episode-scan (headline): the whole closed-loop episode is one device
-    program — the production path;
+  * episode megakernel (headline, BENCH_EPISODE=mega default): the whole
+    closed-loop episode — every SVMPC solve, simulator step and MPF
+    update — is ONE Pallas program with in-kernel hardware-PRNG noise
+    (ops/pallas_episode.py);
+  * episode-scan (BENCH_EPISODE=scan): per-step fused kernels chained by
+    a lax.scan — the bitwise path the equivalence tests pin;
   * per-step dispatch (opt-in: BENCH_PER_STEP=1, costs a second ~4-min
     compile): one jitted solve per host call — the real-time replanning
     latency view.
@@ -116,6 +120,45 @@ def build(key):
     return config, stack, harness
 
 
+def bench_episode_mega(stack, config):
+    """Whole-episode megakernel (ops/pallas_episode.py): every MPC step
+    of the episode — SVMPC solve, simulator, MPF update — is one Pallas
+    program with in-kernel hardware-PRNG noise; CHAIN fresh episodes
+    are chained per dispatch. The bench default (BENCH_EPISODE=scan
+    restores the per-step-kernel episode scan)."""
+    from dust_tpu.simulation import megakernel_pendulum_episode_fn
+
+    episode = megakernel_pendulum_episode_fn(
+        stack, config["exp_params"], steps=STEPS, warm_up=0
+    )
+
+    @jax.jit
+    def chained(seeds):
+        def body(_, s):
+            return 0, episode(s)["cost"]
+
+        _, costs = jax.lax.scan(body, 0, seeds)
+        return costs  # [CHAIN, STEPS]
+
+    def run(i):
+        seeds = jnp.stack(
+            [jnp.full((CHAIN,), i, jnp.int32),
+             jnp.arange(CHAIN, dtype=jnp.int32)], axis=1
+        )
+        return chained(seeds)
+
+    costs = run(0)
+    costs.block_until_ready()  # compile + warm
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        costs = run(i + 1)
+        costs.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return CHAIN * STEPS / best, costs
+
+
 def bench_episode_scan(stack, harness):
     """Whole-episode scan: STEPS MPC solves in one device program,
     CHAIN fresh episodes chained per dispatch (see CHAIN above)."""
@@ -196,9 +239,18 @@ def bench_per_step(stack, harness):
 
 def main():
     key = jax.random.key(0)
-    _, stack, harness = build(key)
+    config, stack, harness = build(key)
 
-    scan_solves, costs = bench_episode_scan(stack, harness)
+    # BENCH_EPISODE=mega (default): whole-episode megakernel;
+    # BENCH_EPISODE=scan: per-step-kernel episode scan (the BENCH_MPF /
+    # BENCH_SOLVE / BENCH_ROLLOUT knobs apply to this mode)
+    mode = os.environ.get("BENCH_EPISODE", "mega")
+    if mode == "mega":
+        scan_solves, costs = bench_episode_mega(stack, config)
+    elif mode == "scan":
+        scan_solves, costs = bench_episode_scan(stack, harness)
+    else:
+        raise SystemExit(f"BENCH_EPISODE must be mega|scan, got {mode!r}")
     # the per-step-dispatch view compiles a second large program (~4 min);
     # opt-in so the default bench stays well inside a 10-minute budget
     step_solves = (
@@ -223,6 +275,7 @@ def main():
         ),
         "reference_solves_per_s_cpu": REFERENCE_SOLVES_PER_S,
         "episode_steps": STEPS,
+        "episode_mode": os.environ.get("BENCH_EPISODE", "mega"),
         "swingup_min_cost_sanity": round(swingup_cost, 4),
         "device": str(jax.devices()[0]),
     }

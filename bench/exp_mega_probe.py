@@ -52,6 +52,7 @@ def main():
             mpf_log_space=exp["mpf_log_space"],
             mpf_fixed_bw=exp.get("mpf_bandwidth"),
             mpf_bw_scale=exp["mpf_bandwidth_scaling"],
+            unroll=int(os.environ.get("MEGA_UNROLL", "1")),
         )
 
     @jax.jit

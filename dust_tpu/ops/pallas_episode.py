@@ -84,11 +84,20 @@ def _uniform01(shape):
 
 
 def _normals(shape):
-    """z ~ N(0, 1) via Box-Muller on hardware PRNG draws."""
-    u1 = _uniform01(shape) + (2.0 ** -24)      # (0, 1]: log is finite
+    """z ~ N(0, 1) via Box-Muller on hardware PRNG draws. When the row
+    count allows, both branches (r cos, r sin) are used — half the PRNG
+    draws and transcendentals per normal."""
+    rows, cols = shape
+    if rows % 16 == 0:
+        half = rows // 2
+        u1 = _uniform01((half, cols)) + (2.0 ** -24)   # (0, 1]
+        u2 = _uniform01((half, cols))
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        a = (2.0 * math.pi) * u2
+        return jnp.concatenate([r * jnp.cos(a), r * jnp.sin(a)], axis=0)
+    u1 = _uniform01(shape) + (2.0 ** -24)
     u2 = _uniform01(shape)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos((2.0 * math.pi) * u2)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
 
 
 def _row_of_column(col, n_rows):
@@ -161,7 +170,7 @@ def _pendulum_episode_kernel(
         mpfx0_ref, *rest,
         steps, warm_up, hz, m, n_params, n_act, m_mpf, mpf_steps,
         dt, g_model, g_sim, exp_util, mpf_log_space, mpf_fixed_bw,
-        mpf_bw_scale, host_noise):
+        mpf_bw_scale, host_noise, unroll):
     """One whole pendulum DuSt episode.
 
     seed (SMEM int32 [1, 2]); scal (SMEM f32 [1, 16]):
@@ -324,7 +333,8 @@ def _pendulum_episode_kernel(
             return cost
 
         cost = jax.lax.fori_loop(
-            0, hz, roll_body, jnp.zeros((rows, 128), jnp.float32)
+            0, hz, roll_body, jnp.zeros((rows, 128), jnp.float32),
+            unroll=hz if unroll else 1,
         )
         th = th24_ref[:]
         om = om24_ref[:]
@@ -381,6 +391,7 @@ def _pendulum_episode_kernel(
             0, hz, acc_body,
             (jnp.zeros((m, 128), jnp.float32),
              jnp.zeros((m, 128), jnp.float32)),
+            unroll=hz if unroll else 1,
         )
         glik = (wa - theta) * inv_s2
 
@@ -591,7 +602,8 @@ def _pendulum_episode_kernel(
             )
             return 0
 
-        jax.lax.fori_loop(0, mpf_steps, mpf_body, 0)
+        jax.lax.fori_loop(0, mpf_steps, mpf_body, 0,
+                          unroll=mpf_steps if unroll else 1)
 
         # ---- per-step log + carried scalars ----
         log_row = (
@@ -632,7 +644,7 @@ def _round8(n):
     static_argnames=("steps", "warm_up", "hz", "m", "n_params", "n_act",
                      "m_mpf", "mpf_steps", "dt", "g_model", "g_sim",
                      "exp_util", "mpf_log_space", "mpf_fixed_bw",
-                     "mpf_bw_scale", "interpret"),
+                     "mpf_bw_scale", "unroll", "interpret"),
 )
 def fused_pendulum_episode(
         seed, state0, theta0, locs0, a_mat0, a_seq0, mpfx0, prior_bw0,
@@ -640,7 +652,8 @@ def fused_pendulum_episode(
         mpf_lr, mpf_sigma, *, steps, warm_up=0, hz, m, n_params, n_act,
         m_mpf, mpf_steps, dt=0.05, g_model=9.8, g_sim=10.0, exp_util=True,
         mpf_log_space=False, mpf_fixed_bw=None, mpf_bw_scale=1.0,
-        host_eps=None, host_pdz=None, host_pdu=None, interpret=False):
+        unroll=False, host_eps=None, host_pdz=None, host_pdu=None,
+        interpret=False):
     """Run one whole pendulum DuSt episode as ONE Pallas program.
 
     seed: int32 [2] (ignored in host-noise mode); state0 [2] initial
@@ -712,7 +725,7 @@ def fused_pendulum_episode(
         g_model=float(g_model), g_sim=float(g_sim),
         exp_util=bool(exp_util), mpf_log_space=bool(mpf_log_space),
         mpf_fixed_bw=mpf_fixed_bw, mpf_bw_scale=float(mpf_bw_scale),
-        host_noise=host_noise,
+        host_noise=host_noise, unroll=bool(unroll),
     )
     outs = pl.pallas_call(
         kernel,

@@ -195,6 +195,48 @@ class PendulumSimulation:
         return pd.concat(epoch_rows, axis=0)
 
 
+def megakernel_pendulum_episode_fn(stack, exp_params, steps, warm_up=0,
+                                   unroll=True, interpret=False):
+    """Whole-episode megakernel adapter (`ops/pallas_episode.py`): the
+    entire closed loop — every SVMPC solve, simulator step and MPF
+    posterior update — runs as ONE Pallas program with in-kernel
+    hardware-PRNG noise. Returns episode(seed [2] int32, true_length,
+    true_mass) -> logs dict. RNG stream differs from the plain/fused
+    paths (statistically equivalent); use for production throughput,
+    not bitwise-equivalence work."""
+    from .ops.pallas_episode import fused_pendulum_episode
+
+    exp = exp_params
+    mstate = stack.mpf.init_state(stack.mpf_init, stack.init_state, 1)
+    dstate = stack.controller.init_state(stack.init_policies)
+    theta0 = stack.init_policies[..., 0]
+    locs0 = stack.policies_prior.locs[..., 0]
+    amat0 = dstate.a_mat[..., 0]
+    aseq0 = dstate.a_seq[..., 0]
+    g_model = float(stack.model.params_dict["g"])
+
+    def episode(seed, true_length=1.0, true_mass=1.0):
+        return fused_pendulum_episode(
+            seed, stack.init_state, theta0, locs0, amat0, aseq0,
+            stack.mpf_init, mstate.prior_bw, true_length, true_mass,
+            exp["ctrl_sigma"], exp["learning_rate"], exp["alpha"],
+            1.0 / exp["alpha"], exp["prior_sigma"],
+            exp["mpf_learning_rate"], exp["mpf_obs_std"],
+            steps=steps, warm_up=warm_up, hz=exp["horizon"],
+            m=exp["n_particles"], n_params=exp["params_samples"],
+            n_act=exp["action_samples"], m_mpf=exp["mpf_n_particles"],
+            mpf_steps=exp["mpf_steps"], g_model=g_model, g_sim=10.0,
+            exp_util=exp.get("likelihood", "ExponentiatedUtility")
+            == "ExponentiatedUtility",
+            mpf_log_space=exp["mpf_log_space"],
+            mpf_fixed_bw=exp.get("mpf_bandwidth"),
+            mpf_bw_scale=exp["mpf_bandwidth_scaling"],
+            unroll=unroll, interpret=interpret,
+        )
+
+    return episode
+
+
 def particle_episode_fn(model, controller, svmpc=None, mpf=None,
                         dyn_dist=None, load=0.0, steps=400, warm_up=30,
                         mpf_bw=None, mpf_steps=None, use_svmpc=True,
