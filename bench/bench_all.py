@@ -9,6 +9,9 @@ Configs:
                     all-XLA path)
   pendulum_svmpc  — SV-MPC single posterior (no MPF; fused rollout+cost,
                     _plain = all-XLA)
+  pendulum_dust_mega / particle_dust_mega — whole-episode megakernels
+                    (ONE Pallas program per episode, in-kernel RNG;
+                    the headline paths)
   particle_dust   — particle navigation w/ obstacles + dual inference
                     (fused-Pallas rollout+cost and mass-posterior
                     kernels; _plain = all-XLA path)
@@ -349,6 +352,66 @@ def bench_particle_sweep(n_scenarios, steps, repeats, fused=False):
     return n * steps / best, n / best  # solves/s, episodes/s
 
 
+def bench_pendulum_mega(steps, repeats):
+    """Whole-episode megakernel (ops/pallas_episode.py): the entire
+    dual-inference episode is ONE Pallas program with in-kernel
+    hardware-PRNG noise — the bench.py headline path."""
+    from dust_tpu.simulation import megakernel_pendulum_episode_fn
+
+    config = load_config(ROOT / "demo/pendulum_config.yaml")
+    stack = build_pendulum_stack(config, jax.random.key(0), case="dust")
+    episode = megakernel_pendulum_episode_fn(
+        stack, config["exp_params"], steps=steps, warm_up=0
+    )
+
+    def episode_scalar(seed2):
+        return episode(seed2)["cost"][-1]
+
+    best = _time_chained_episodes_seeded(episode_scalar, repeats)
+    return steps / best
+
+
+def bench_particle_mega(steps, repeats):
+    """Particle-navigation whole-episode megakernel
+    (ops/pallas_particle_episode.py)."""
+    from dust_tpu.simulation import megakernel_particle_episode_fn
+
+    config = load_config(ROOT / "demo/particle_config.yaml")
+    stack = build_particle_stack(config, jax.random.key(0))
+    episode = megakernel_particle_episode_fn(
+        stack, config["exp_params"], steps=steps, warm_up=0
+    )
+
+    def episode_scalar(seed2):
+        return episode(seed2)["cum"][-1]
+
+    best = _time_chained_episodes_seeded(episode_scalar, repeats)
+    return steps / best
+
+
+def _time_chained_episodes_seeded(episode_scalar, repeats, chain=None):
+    """`_time_chained_episodes` for megakernel episodes, which take an
+    int32 [2] seed instead of a jax PRNG key."""
+    chain = CHAIN if chain is None else chain
+
+    @jax.jit
+    def chained(seeds):
+        def body(acc, s):
+            return acc + episode_scalar(s), ()
+
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), seeds)
+        return tot
+
+    def run(i):
+        seeds = jnp.stack(
+            [jnp.full((chain,), i, jnp.int32),
+             jnp.arange(chain, dtype=jnp.int32)], axis=1
+        )
+        return chained(seeds)
+
+    return _time_best(run, repeats) / chain
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
@@ -359,6 +422,8 @@ def main():
     dev = str(jax.devices()[0])
 
     runs = {
+        "pendulum_dust_mega": lambda: bench_pendulum_mega(steps, repeats),
+        "particle_dust_mega": lambda: bench_particle_mega(steps, repeats),
         "pendulum_dust": lambda: bench_pendulum(
             "dust", steps, repeats, fused_mpf=True, fused_solve=True
         ),

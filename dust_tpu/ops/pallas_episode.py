@@ -110,23 +110,54 @@ def _row_of_column(col, n_rows):
                    keepdims=True)
 
 
-def _order_stats(v_row, n, ks):
+def _order_stats(v_tile, n, ks):
     """Exact k-th order statistics (1-indexed ks, static) of the first
-    `n` lanes of v_row [1, 128]. Pad lanes must hold +_POS_BIG.
-    Rank-count trick: cnt_j = #{i < n : v_i <= v_j}; the k-th smallest
-    is min{v_j : cnt_j >= k} (exact under duplicates)."""
-    mat = jnp.broadcast_to(v_row, (128, 128))            # mat[i, j] = v_j
+    `n` elements (row-major) of v_tile [R, 128]. Pad elements must hold
+    +_POS_BIG. Rank-count trick: cnt_e = #{e' valid : v_e' <= v_e}; the
+    k-th smallest is min{v_e : cnt_e >= k} (exact under duplicates).
+    Cross-row counting costs R^2 [128, 128] compare+reduce passes —
+    R is 1 (pendulum, 90 values) or 4 (particle task, 480 values)."""
+    nrows = v_tile.shape[0]
     rowi = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     lanei = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    vcol = jnp.sum(jnp.where(rowi == lanei, mat, 0.0), axis=1,
-                   keepdims=True)                        # vcol[i] = v_i
-    cnt = jnp.sum(
-        jnp.where((vcol <= mat) & (rowi < n), 1.0, 0.0),
-        axis=0, keepdims=True,
-    )                                                    # [1, 128]
-    return [
-        jnp.min(jnp.where(cnt >= float(k), v_row, _POS_BIG)) for k in ks
-    ]
+
+    # per-source-row value columns: vcol_r[i] = v[r, i]
+    vcols = []
+    valid_counts = []
+    for r in range(nrows):
+        mat = jnp.broadcast_to(v_tile[r:r + 1, :], (128, 128))
+        vcols.append(
+            jnp.sum(jnp.where(rowi == lanei, mat, 0.0), axis=1,
+                    keepdims=True)
+        )
+        lo = r * 128
+        valid_counts.append(max(0, min(128, n - lo)))
+
+    cnts = []                                            # per row: [1, 128]
+    for r in range(nrows):
+        row = jnp.broadcast_to(v_tile[r:r + 1, :], (128, 128))
+        cnt = jnp.zeros((1, 128), jnp.float32)
+        for rp in range(nrows):
+            nv = valid_counts[rp]
+            if nv == 0:
+                continue
+            cnt = cnt + jnp.sum(
+                jnp.where((vcols[rp] <= row) & (rowi < nv), 1.0, 0.0),
+                axis=0, keepdims=True,
+            )
+        cnts.append(cnt)
+
+    outs = []
+    for k in ks:
+        best = None
+        for r in range(nrows):
+            sel = jnp.min(
+                jnp.where(cnts[r] >= float(k), v_tile[r:r + 1, :],
+                          _POS_BIG)
+            )
+            best = sel if best is None else jnp.minimum(best, sel)
+        outs.append(best)
+    return outs
 
 
 def _percentile_ks(n, q):
@@ -138,15 +169,17 @@ def _percentile_ks(n, q):
     return lo + 1, min(lo + 2, n), frac
 
 
-def _silverman_row(v_row, n):
+def _silverman_row(v_tile, n):
     """KDEpy-convention Silverman bandwidth
-    (`ops/bandwidth.py:silvermans_rule`) of the first n lanes of
-    v_row [1, 128] (pad lanes must be +_POS_BIG):
+    (`ops/bandwidth.py:silvermans_rule`) of the first n row-major
+    elements of v_tile [R, 128] (pad elements must be +_POS_BIG):
     sigma = min(std_ddof1, IQR/1.34898) (IQR branch only if > 0),
     bw = max(sigma * (3n/4)^(-1/5), 1e-6)."""
-    lanei = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    valid = lanei < n
-    v0 = jnp.where(valid, v_row, 0.0)
+    nrows = v_tile.shape[0]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (nrows, 128), 0)
+    lanei = jax.lax.broadcasted_iota(jnp.int32, (nrows, 128), 1)
+    valid = rowi * 128 + lanei < n
+    v0 = jnp.where(valid, v_tile, 0.0)
     s1 = jnp.sum(v0)
     s2 = jnp.sum(v0 * v0)
     mean = s1 / float(n)
@@ -156,7 +189,7 @@ def _silverman_row(v_row, n):
     k25lo, k25hi, f25 = _percentile_ks(n, 25.0)
     k75lo, k75hi, f75 = _percentile_ks(n, 75.0)
     q25lo, q25hi, q75lo, q75hi = _order_stats(
-        v_row, n, (k25lo, k25hi, k75lo, k75hi)
+        v_tile, n, (k25lo, k25hi, k75lo, k75hi)
     )
     q25 = q25lo * (1.0 - f25) + q25hi * f25
     q75 = q75lo * (1.0 - f75) + q75hi * f75

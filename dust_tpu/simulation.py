@@ -237,6 +237,59 @@ def megakernel_pendulum_episode_fn(stack, exp_params, steps, warm_up=0,
     return episode
 
 
+def megakernel_particle_episode_fn(stack, exp_params, steps, warm_up=0,
+                                   unroll=True, interpret=False,
+                                   success_dist=1.0):
+    """Particle-navigation counterpart of
+    `megakernel_pendulum_episode_fn` (`ops/pallas_particle_episode.py`):
+    the whole obstacle-navigation episode — SVMPC solves, simulator with
+    the mid-episode mass change, crash/goal termination masks, gated MPF
+    mass-posterior updates — is ONE Pallas program. Requires the demo
+    config's fixed MPF bandwidth (`mpf_bandwidth` set)."""
+    from .ops.pallas_particle_episode import fused_particle_episode
+    from .ops.pallas_particle_rollout import particle_kernel_statics
+
+    exp = exp_params
+    if stack.mpf_bw is None:
+        raise ValueError("particle megakernel expects a fixed "
+                         "mpf_bandwidth (the demo config sets 0.5)")
+    statics = particle_kernel_statics(stack.model)
+    mstate = stack.mpf.init_state(
+        stack.mpf_init, stack.init_state, 2, bw=stack.mpf_init_bw
+    )
+    dstate = stack.controller.init_state()
+    log_mix0 = jax.nn.log_softmax(stack.policies_prior.logits)
+
+    def episode(seed, base_mass=None):
+        return fused_particle_episode(
+            seed, stack.init_state, stack.init_policies,
+            stack.policies_prior.locs, log_mix0, dstate.a_mat,
+            dstate.a_seq, stack.mpf_init, mstate.prior_bw,
+            jnp.float32(stack.model.params_dict["mass"])
+            if base_mass is None else base_mass,
+            jnp.float32(stack.load),
+            exp["ctrl_sigma"], exp["learning_rate"], exp["alpha"],
+            1.0 / exp["alpha"], exp["prior_sigma"],
+            exp["mpf_learning_rate"], exp["mpf_obs_std"],
+            jnp.float32(stack.mpf_bw),
+            steps=steps, warm_up=warm_up, hz=exp["horizon"],
+            m=exp["n_particles"], n_params=exp["params_samples"],
+            n_act=exp["action_samples"], m_mpf=exp["mpf_n_particles"],
+            mpf_steps=exp["mpf_steps"], dt=float(stack.model.dt),
+            max_acc=float(stack.model.max_acc),
+            max_speed=float(stack.model.max_speed),
+            change_at=steps // 4, success_dist=success_dist,
+            exp_util=exp.get("likelihood", "ExponentiatedUtility")
+            == "ExponentiatedUtility",
+            weighted_prior=exp.get("weighted_prior", False),
+            mpf_log_space=exp["mpf_log_space"], use_fixed_mpf_bw=True,
+            mpf_bw_scale=exp["mpf_bandwidth_scaling"], unroll=unroll,
+            interpret=interpret, **statics,
+        )
+
+    return episode
+
+
 def particle_episode_fn(model, controller, svmpc=None, mpf=None,
                         dyn_dist=None, load=0.0, steps=400, warm_up=30,
                         mpf_bw=None, mpf_steps=None, use_svmpc=True,
