@@ -17,6 +17,8 @@ Configs:
                     kernels; _plain = all-XLA path)
   mpf_large       — dynamics posterior at large particle counts (m=2048)
   sweep           — pod-style scenario sweep: N episodes batched on-chip
+  sweep_mega      — scenario-batched sweep megakernel (8 episodes per
+                    Pallas program, scanned groups — the sweep headline)
   particle_sweep  — same at the particle task (per-lane true masses)
 """
 
@@ -412,6 +414,42 @@ def _time_chained_episodes_seeded(episode_scalar, repeats, chain=None):
     return _time_best(run, repeats) / chain
 
 
+def bench_sweep_mega(n_scenarios, steps, repeats):
+    """Scenario-batched sweep megakernel (ops/pallas_sweep_episode.py):
+    groups of 8 episodes per Pallas program, lax.scan over groups —
+    the sweep-scale counterpart of pendulum_dust_mega."""
+    from dust_tpu.simulation import megakernel_pendulum_sweep_fn
+
+    S = min(8, n_scenarios)
+    groups = max(1, n_scenarios // S)
+    n = S * groups
+    config = load_config(ROOT / "demo/pendulum_config.yaml")
+    stack = build_pendulum_stack(config, jax.random.key(0), case="dust")
+    sweep = megakernel_pendulum_sweep_fn(
+        stack, config["exp_params"], steps=steps, n_sc=S
+    )
+    lens = jnp.linspace(0.8, 1.2, S)
+    mass = jnp.linspace(0.9, 1.1, S)
+
+    @jax.jit
+    def run_groups(seeds):
+        def body(_, s):
+            return 0, sweep(s, lens, mass)["cost"]
+
+        _, costs = jax.lax.scan(body, 0, seeds)
+        return costs
+
+    def run(i):
+        seeds = jnp.stack(
+            [jnp.full((groups,), i, jnp.int32),
+             jnp.arange(groups, dtype=jnp.int32) * 1000], axis=1
+        )
+        return run_groups(seeds)
+
+    best = _time_best(run, repeats)
+    return n * steps / best, n / best
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
@@ -464,6 +502,7 @@ def main():
 
     n = 16 if args.quick else 64
     sweeps = {
+        f"sweep_mega_n{n}": lambda: bench_sweep_mega(n, steps, repeats),
         f"sweep_n{n}": lambda: bench_sweep(n, steps, repeats, fused=True),
         f"sweep_n{n}_plain": lambda: bench_sweep(n, steps, repeats),
         f"particle_sweep_n{n}": lambda: bench_particle_sweep(

@@ -1,0 +1,786 @@
+"""Scenario-batched whole-episode Pallas megakernel (pendulum DuSt).
+
+`pallas_episode.py` runs ONE closed-loop episode per program and owns
+the single-episode latency headline (53 us/solve on v5e). On scenario
+sweeps the per-step-kernel stack previously won (42.2k solves/s at
+n=256) because vmapping batches its XLA glue wide while a vmapped
+megakernel would serialize whole episodes. This kernel wins the sweep
+headline: 45.0k solves/s at n=256 on v5e (32 scanned groups of S=8,
+see BASELINE.md).
+
+This kernel batches S scenarios INSIDE one episode megakernel: every
+tile gains a scenario axis in its rows, so each of the `steps`
+iterations advances S independent episodes (per-scenario seeds, true
+parameters, Silverman bandwidths, MPF posteriors) in lockstep:
+
+* rollout rows: p * (S*m) + s * m + q — per-param-draw slices stay
+  contiguous so the param average is static row slicing;
+* the SVGD Stein direction and GMM prior switch from per-particle
+  column loops to block-masked [S*m, S*m] pairwise matrices built with
+  MXU `dot_general(theta, theta, contract lanes)` — off-scenario blocks
+  masked out; K @ score / K @ theta / row sums are plain MXU matmuls;
+* per-scenario softmax normalizers (DISCO eta, posterior weights,
+  argmax selection) reduce within row blocks via S static masked
+  reductions;
+* the simulator advances all S pendulums as [8, 1] column physics;
+* the MPF posterior keeps the proven per-scenario column-op body
+  (pallas_episode.py) in a static python loop over scenarios — 1-2
+  sublane groups per op make a [S*mp, S*mp] block matmul no cheaper.
+
+RNG: one hardware-PRNG reseed per step covers all S scenarios (their
+draws come from disjoint positions of the same stream); host-noise mode
+injects per-scenario noise for tests, which compare against S
+independent runs of the single-episode kernel.
+
+Restrictions beyond the single-episode kernel: S <= 8, the controller
+`a_seq` must be zero (true for the SVMPC demo path — `DiscoState.a_seq`
+initializes to zeros and SVMPC never calls `controller.step`), and the
+policy prior is unweighted (pendulum demo).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_episode import (
+    _NEG_BIG,
+    _POS_BIG,
+    _normals,
+    _pad_tile,
+    _round8,
+    _silverman_row,
+    _uniform01,
+)
+
+_MAX_SPEED = 8.0
+_MAX_TORQUE = 2.0
+_SWINGUP_W = 50.0
+
+
+def _block_dot_t(a, b):
+    """a [R, L] , b [R2, L] -> a @ b.T [R, R2] on the MXU (contracting
+    the lane axis of both operands — the native matmul layout)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pendulum_sweep_kernel(
+        seed_ref, scal_ref, il_true_ref, im_true_ref, theta0_ref,
+        locs0_ref, amat0_ref, mpfx0_ref, *rest,
+        n_sc, steps, warm_up, hz, m, n_params, n_act, m_mpf, mpf_steps,
+        dt, g_model, g_sim, exp_util, mpf_log_space, mpf_fixed_bw,
+        mpf_bw_scale, host_noise, unroll):
+    """S-scenario pendulum DuSt episodes in one program.
+
+    seed (SMEM int32 [1, 2]); scal (SMEM f32 [1, 16]):
+    [th0, om0, ctrl_sigma, lr, alpha, inv_temp, inv_s2, inv_ps2,
+    mpf_lr, mpf_sigma, prior_bw0, log_mix, 0...]; il/im_true [8, 128]
+    (row s = 1/true_length_s, 1/true_mass_s, broadcast over lanes).
+    theta0/locs0/amat0 [S*m(pad8), 128]; mpfx0 [S*mp, 128].
+
+    host_noise appends eps_in [steps*hz*smp, 128] (rows
+    t*smp + s*m + q), pdz_in/pdu_in [steps*n_sc*8, 128] (rows
+    t*n_sc*8 + s*8 + p).
+
+    Outputs: log [steps_p, 128] with per-scenario lanes (cost_s at lane
+    s, th_s at 8+s, om_s at 16+s, action_s at 24+s, bw_sv_s at 32+s,
+    bw_mpf_s at 40+s), theta/locs/amat [S*m(pad8), 128],
+    mpfx [S*mp, 128].
+    """
+    if host_noise:
+        (eps_in_ref, pdz_in_ref, pdu_in_ref,
+         log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
+         mpfx_out_ref,
+         eps_ref, th_ref, om_ref, theta_ref, locs_ref, amat_ref,
+         mpfx_ref, sim_ref) = rest
+    else:
+        (log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
+         mpfx_out_ref,
+         eps_ref, th_ref, om_ref, theta_ref, locs_ref, amat_ref,
+         mpfx_ref, sim_ref) = rest
+
+    sm = n_sc * m                       # scenario-stacked particle rows
+    smp = _round8(sm)
+    rows = n_params * sm                # rollout rows
+    mp = mpfx0_ref.shape[0] // n_sc     # per-scenario MPF row block
+    ev = hz
+
+    sigma_c = scal_ref[0, 2]
+    lr = scal_ref[0, 3]
+    alpha = scal_ref[0, 4]
+    inv_temp = scal_ref[0, 5]
+    inv_s2 = scal_ref[0, 6]
+    inv_ps2 = scal_ref[0, 7]
+    mpf_lr = scal_ref[0, 8]
+    mpf_sigma = scal_ref[0, 9]
+    log_mix = scal_ref[0, 11]
+
+    theta_ref[:] = theta0_ref[:]
+    locs_ref[:] = locs0_ref[:]
+    amat_ref[:] = amat0_ref[:]
+    mpfx_ref[:] = mpfx0_ref[:]
+    # sim_ref [8, 128]: row s carries lanes [th, om, prior_bw]
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sim_ref[:] = (
+        jnp.where(lane8 == 0, scal_ref[0, 0], 0.0)
+        + jnp.where(lane8 == 1, scal_ref[0, 1], 0.0)
+        + jnp.where(lane8 == 2, scal_ref[0, 10], 0.0)
+    )
+
+    lane_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 1)
+    row_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 0)
+    s_of_prow = row_sm // m                              # particle rows
+    valid_sm = row_sm < sm
+    row_roll = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    # rollout row p * sm + s * m + q
+    s_of_rrow = (row_roll - (row_roll // sm) * sm) // m
+    blk = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 0) // m == \
+        jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) // m
+    colv = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) < sm
+    blk = blk & colv
+
+    def step(t, _):
+        if not host_noise:
+            pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] * 100003 + t)
+            eps_ref[:] = _normals((hz * smp, 128))
+            pdz = _normals((8 * n_sc, 128))
+            pdu = _uniform01((8 * n_sc, 128))
+        else:
+            eps_ref[:] = eps_in_ref[pl.ds(t * hz * smp, hz * smp), :]
+            pdz = pdz_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
+            pdu = pdu_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
+
+        theta = jnp.where(valid_sm, theta_ref[:], 0.0)   # [smp, 128]
+        locs = jnp.where(valid_sm, locs_ref[:], 0.0)
+
+        # ---- per-scenario Silverman bandwidths (m*hz flattened values
+        # per scenario, one 128-lane row each) ----
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        bw_col = jnp.zeros((smp, 1), jnp.float32)
+        bw_s_list = []
+        for s in range(n_sc):
+            sv_row = jnp.full((1, 128), _POS_BIG, jnp.float32)
+            for q in range(m):
+                chunk = pltpu.roll(
+                    theta[s * m + q:s * m + q + 1, :], shift=q * hz,
+                    axis=1,
+                )
+                in_chunk = (lane1 >= q * hz) & (lane1 < (q + 1) * hz)
+                sv_row = jnp.where(in_chunk, chunk, sv_row)
+            bw_s = _silverman_row(sv_row, m * hz)
+            bw_s_list.append(bw_s)
+            bw_col = jnp.where(s_of_prow[:, 0:1] == s, bw_s, bw_col)
+        inv_bw2_col = 1.0 / (bw_col * bw_col)
+
+        # ---- dynamics draws from each scenario's MPF prior ----
+        mpfx = mpfx_ref[:]                               # [S*mp, 128]
+        il24 = jnp.zeros((rows, 128), jnp.float32)
+        im24 = jnp.zeros((rows, 128), jnp.float32)
+        for s in range(n_sc):
+            x_s = mpfx[s * mp:(s + 1) * mp, :]
+            len_row = x_s[:, 0:1].reshape(1, mp)
+            mass_row = x_s[:, 1:2].reshape(1, mp)
+            lane_mp = jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1)
+            pbw_s = jnp.sum(
+                jnp.where(
+                    (lane8 == 2)
+                    & (jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 128), 0) == s),
+                    sim_ref[:], 0.0,
+                )
+            )
+            for p in range(n_params):
+                u = pdu[s * 8 + p:s * 8 + p + 1, 0:1]
+                idx = jnp.minimum(
+                    jnp.floor(u * float(m_mpf)), float(m_mpf - 1)
+                )
+                sel = lane_mp.astype(jnp.float32) == idx
+                lp = jnp.sum(jnp.where(sel, len_row, 0.0)) \
+                    + pbw_s * jnp.sum(pdz[s * 8 + p:s * 8 + p + 1, 0:1])
+                mq = jnp.sum(jnp.where(sel, mass_row, 0.0)) \
+                    + pbw_s * jnp.sum(pdz[s * 8 + p:s * 8 + p + 1, 1:2])
+                if mpf_log_space:
+                    lp = jnp.exp(lp)
+                    mq = jnp.exp(mq)
+                pick = (row_roll // sm == p) & (s_of_rrow == s)
+                il24 = jnp.where(pick, 1.0 / lp, il24)
+                im24 = jnp.where(pick, 1.0 / mq, im24)
+
+        # ---- rollouts: all S * n_params * n_act * m trajectories ----
+        th0_col = jnp.zeros((rows, 1), jnp.float32)
+        om0_col = jnp.zeros((rows, 1), jnp.float32)
+        for s in range(n_sc):
+            th_s = jnp.sum(jnp.where(
+                (lane8 == 0) & (jax.lax.broadcasted_iota(
+                    jnp.int32, (8, 128), 0) == s), sim_ref[:], 0.0))
+            om_s = jnp.sum(jnp.where(
+                (lane8 == 1) & (jax.lax.broadcasted_iota(
+                    jnp.int32, (8, 128), 0) == s), sim_ref[:], 0.0))
+            th0_col = jnp.where(s_of_rrow[:, 0:1] == s, th_s, th0_col)
+            om0_col = jnp.where(s_of_rrow[:, 0:1] == s, om_s, om0_col)
+
+        c_grav = -3.0 * g_model * 0.5 * dt * il24
+        c_act = 3.0 * dt * im24 * il24 * il24
+        shape = (rows, 128)
+        th_ref[:] = jnp.zeros(shape, jnp.float32) + th0_col
+        om_ref[:] = jnp.zeros(shape, jnp.float32) + om0_col
+
+        def actions_at(tt):
+            """[smp, 128] per-(s, q) action samples theta + sigma*eps
+            (eps rows tt*smp + s*m + q — one contiguous slice)."""
+            e_sm = eps_ref[pl.ds(tt * smp, smp), :]
+            th_t = jnp.sum(
+                jnp.where(lane_sm == tt, theta, 0.0), axis=1,
+                keepdims=True,
+            )                                            # [smp, 1]
+            return th_t + sigma_c * e_sm
+
+        def roll_body(tt, cost):
+            th = th_ref[:]
+            om = om_ref[:]
+            cost = cost + _SWINGUP_W * (jnp.cos(th) - 1.0) ** 2 + om * om
+            a_sm = actions_at(tt)[0:sm, :]
+            a24 = jnp.concatenate([a_sm] * n_params, axis=0)
+            a24 = jnp.clip(a24, -_MAX_TORQUE, _MAX_TORQUE)
+            om = om + c_grav * jnp.sin(th + math.pi) + c_act * a24
+            om = jnp.clip(om, -_MAX_SPEED, _MAX_SPEED)
+            om_ref[:] = om
+            th_ref[:] = th + om * dt
+            return cost
+
+        cost = jax.lax.fori_loop(
+            0, hz, roll_body, jnp.zeros(shape, jnp.float32),
+            unroll=hz if unroll else 1,
+        )
+        th = th_ref[:]
+        om = om_ref[:]
+        cost = cost + _SWINGUP_W * (jnp.cos(th) - 1.0) ** 2 + om * om
+
+        # ---- param-averaged costs [smp, 128] ----
+        mcost = cost[0:sm, :]
+        for p in range(1, n_params):
+            mcost = mcost + cost[p * sm:(p + 1) * sm, :]
+        mcost = mcost * (1.0 / n_params)
+        if smp != sm:
+            mcost = jnp.concatenate(
+                [mcost, jnp.zeros((smp - sm, 128), jnp.float32)], axis=0
+            )
+        valid = (lane_sm < n_act) & valid_sm
+        mcost_v = jnp.where(valid, mcost, _POS_BIG)
+
+        # ---- DISCO update with per-scenario normalizers ----
+        beta_col = jnp.zeros((smp, 1), jnp.float32)
+        for s in range(n_sc):
+            b_s = jnp.min(
+                jnp.where(s_of_prow == s, mcost_v, _POS_BIG)
+            )
+            beta_col = jnp.where(s_of_prow[:, 0:1] == s, b_s, beta_col)
+        lc = jnp.where(valid, -(mcost - beta_col) * inv_temp, _NEG_BIG)
+        row_max = jnp.max(lc, axis=1, keepdims=True)
+        e = jnp.where(valid, jnp.exp(lc - row_max), 0.0)
+        sum_e = jnp.sum(e, axis=1, keepdims=True)
+        eta = row_max + jnp.log(jnp.maximum(sum_e, 1e-37))
+        omega = e / jnp.maximum(sum_e, 1e-37)
+
+        wl = jnp.where(valid, -mcost * alpha, _NEG_BIG)
+        wl_max = jnp.max(wl, axis=1, keepdims=True)
+        we = jnp.where(valid, jnp.exp(wl - wl_max), 0.0)
+        we_sum = jnp.sum(we, axis=1, keepdims=True)
+        w_lik = we / jnp.maximum(we_sum, 1e-37)
+        if exp_util:
+            log_l = wl_max + jnp.log(jnp.maximum(we_sum, 1e-37)) \
+                - math.log(float(n_act))
+        else:
+            log_l = -alpha * jnp.sum(
+                jnp.where(valid, mcost, 0.0), axis=1, keepdims=True
+            ) * (1.0 / n_act)
+
+        # DISCO delta + analytic likelihood gradient (a_seq == 0
+        # asserted by the wrapper, so the delta drops the a_seq term)
+        def acc_body(tt, carry):
+            delta, wa = carry
+            a_sm = actions_at(tt)
+            dq = jnp.sum(omega * a_sm, axis=1, keepdims=True)
+            wq = jnp.sum(w_lik * a_sm, axis=1, keepdims=True)
+            delta = delta + jnp.where(lane_sm == tt, dq, 0.0)
+            wa = wa + jnp.where(lane_sm == tt, wq, 0.0)
+            return delta, wa
+
+        delta, wa = jax.lax.fori_loop(
+            0, hz, acc_body,
+            (jnp.zeros((smp, 128), jnp.float32),
+             jnp.zeros((smp, 128), jnp.float32)),
+            unroll=hz if unroll else 1,
+        )
+        glik = (wa - theta) * inv_s2
+
+        # ---- Stein direction via block-masked pairwise matrices ----
+        # Pairwise distances within a scenario block are translation
+        # invariant, and the MXU Gram identity |x|^2 - 2 x.y + |y|^2
+        # runs its dot_general in bf16 passes: the cancellation error
+        # grows with |theta|^2 while the Silverman bandwidth only
+        # tracks the SPREAD, so uncentered Gram blows up exp(-d2/2bw^2)
+        # once |theta| drifts (measured: theta -> 1e8 -> NaN on long
+        # hw-PRNG episodes). Center per scenario block first (one
+        # block-mask matmul) so every norm is spread-scale, and clamp
+        # d2 at 0.
+        blkf = blk.astype(jnp.float32) * (1.0 / m)
+        mean_t = jnp.dot(blkf, theta, preferred_element_type=jnp.float32)
+        tc = theta - mean_t
+        lc_c = locs - mean_t
+        tc_norm = jnp.sum(tc * tc, axis=1, keepdims=True)
+        lc_norm = jnp.sum(lc_c * lc_c, axis=1, keepdims=True)
+
+        # GMM prior score: responsibilities over same-scenario locs
+        g_tl = _block_dot_t(tc, lc_c)                    # [smp, smp]
+        d2_tl = jnp.maximum(
+            tc_norm - 2.0 * g_tl + lc_norm.reshape(1, smp), 0.0
+        )
+        lp_pri = jnp.where(blk, -0.5 * inv_ps2 * d2_tl + log_mix,
+                           _NEG_BIG)
+        r_max = jnp.max(lp_pri, axis=1, keepdims=True)
+        r_e = jnp.exp(lp_pri - r_max)
+        r = r_e / jnp.maximum(jnp.sum(r_e, axis=1, keepdims=True),
+                              1e-37)
+        score = glik + (
+            jnp.dot(r, lc_c, preferred_element_type=jnp.float32) - tc
+        ) * inv_ps2
+
+        # RBF Stein terms, per-scenario bandwidth
+        g_tt = _block_dot_t(tc, tc)
+        d2_tt = jnp.maximum(
+            tc_norm - 2.0 * g_tt + tc_norm.reshape(1, smp), 0.0
+        )
+        kmat = jnp.where(
+            blk, jnp.exp(-0.5 * d2_tt * inv_bw2_col), 0.0
+        )
+        k_score = jnp.dot(kmat, score,
+                          preferred_element_type=jnp.float32)
+        # centered theta here too: K @ theta - rowsum * theta is the
+        # same cancellation trap (the block-constant mean cancels
+        # exactly since K rows live within one block)
+        k_theta = jnp.dot(kmat, tc,
+                          preferred_element_type=jnp.float32)
+        rowsum_k = jnp.sum(kmat, axis=1, keepdims=True)
+        grad_k = -(k_theta - rowsum_k * tc) * inv_bw2_col
+        phi = (k_score + grad_k) * (1.0 / m)
+        theta_new = jnp.where(valid_sm & (lane_sm < ev),
+                              theta + lr * phi, 0.0)
+
+        # ---- forward: per-scenario weights / select / roll ----
+        # same per-scenario centering discipline as the Stein block
+        mean_n = jnp.dot(blkf, theta_new,
+                         preferred_element_type=jnp.float32)
+        nc = theta_new - mean_n
+        lc_n = locs - mean_n
+        tn_norm = jnp.sum(nc * nc, axis=1, keepdims=True)
+        ln_norm = jnp.sum(lc_n * lc_n, axis=1, keepdims=True)
+        g_nl = _block_dot_t(nc, lc_n)
+        d2_nl = jnp.maximum(
+            tn_norm - 2.0 * g_nl + ln_norm.reshape(1, smp), 0.0
+        )
+        lp_new = jnp.where(blk, -0.5 * inv_ps2 * d2_nl + log_mix,
+                           _NEG_BIG)
+        n_max = jnp.max(lp_new, axis=1, keepdims=True)
+        log_p = n_max + jnp.log(jnp.maximum(
+            jnp.sum(jnp.exp(lp_new - n_max), axis=1, keepdims=True),
+            1e-37,
+        ))
+        log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p, _NEG_BIG)
+
+        # per-scenario argmax selection -> a_seq_sel rows [8, 128]
+        asel = jnp.zeros((8, 128), jnp.float32)
+        act_col = jnp.zeros((8, 1), jnp.float32)
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
+        for s in range(n_sc):
+            in_s = (rowm1 >= s * m) & (rowm1 < (s + 1) * m)
+            w_s = jnp.where(in_s, log_w, _NEG_BIG)
+            w_max = jnp.max(w_s)
+            is_max = in_s & (w_s >= w_max)
+            i_star = jnp.min(jnp.where(is_max, rowm1, smp))
+            onehot = (rowm1 == i_star).astype(jnp.float32)
+            a_row = jnp.sum(onehot * theta_new, axis=0, keepdims=True)
+            asel = jnp.where(row8 == s, a_row, asel)
+            act_col = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s,
+                jnp.sum(jnp.where(lane1 == 0, a_row, 0.0)), act_col,
+            )
+
+        rolled = pltpu.roll(theta_new, shift=128 - 1, axis=1)
+        theta_fwd = jnp.where(
+            lane_sm < (hz - 1), rolled,
+            jnp.where(lane_sm < ev, theta_new, 0.0),
+        )
+
+        if warm_up > 0:
+            active = t >= warm_up
+            act_col = jnp.where(active, act_col, 0.0)
+            theta_next = jnp.where(active, theta_fwd, theta_new)
+            locs_next = jnp.where(active, theta_fwd, locs)
+        else:
+            theta_next = theta_fwd
+            locs_next = theta_fwd
+        theta_ref[:] = jnp.where(valid_sm, theta_next, 0.0)
+        locs_ref[:] = jnp.where(valid_sm, locs_next, 0.0)
+        amat_ref[:] = jnp.where(valid_sm, amat_ref[:] + delta,
+                                amat_ref[:])
+
+        # ---- simulator: all S pendulums as column physics ----
+        th_col = jnp.sum(jnp.where(lane8 == 0, sim_ref[:], 0.0),
+                         axis=1, keepdims=True)          # [8, 1]
+        om_col = jnp.sum(jnp.where(lane8 == 1, sim_ref[:], 0.0),
+                         axis=1, keepdims=True)
+        il_t = il_true_ref[:, 0:1]
+        im_t = im_true_ref[:, 0:1]
+        a_cl = jnp.clip(act_col, -_MAX_TORQUE, _MAX_TORQUE)
+        om2 = om_col + (
+            -3.0 * g_sim * 0.5 * il_t * jnp.sin(th_col + math.pi)
+            + 3.0 * im_t * il_t * il_t * a_cl
+        ) * dt
+        om2 = jnp.clip(om2, -_MAX_SPEED, _MAX_SPEED)
+        th2 = th_col + om2 * dt
+        cost_col = _SWINGUP_W * (jnp.cos(th2) - 1.0) ** 2 + om2 * om2
+
+        # ---- per-scenario MPF updates (proven column-op body) ----
+        bw_mpf_col = jnp.zeros((8, 1), jnp.float32)
+        for s in range(n_sc):
+            x_s0 = mpfx_ref[pl.ds(s * mp, mp), :]
+            if mpf_fixed_bw is not None:
+                bw_mpf = jnp.float32(mpf_fixed_bw)
+            else:
+                from .pallas_episode import _row_of_column
+
+                r0 = _row_of_column(x_s0[:, 0:1], mp)
+                r1 = _row_of_column(x_s0[:, 1:2], mp)
+                mrow = jnp.where(
+                    lane1 < m_mpf, r0,
+                    jnp.where(lane1 < 2 * m_mpf,
+                              pltpu.roll(r1, shift=m_mpf, axis=1),
+                              _POS_BIG),
+                )
+                bw_mpf = _silverman_row(mrow, 2 * m_mpf) * mpf_bw_scale
+            bw_mpf_col = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s,
+                bw_mpf, bw_mpf_col,
+            )
+            pbw_s = jnp.sum(
+                jnp.where(
+                    (lane8 == 2) & (jax.lax.broadcasted_iota(
+                        jnp.int32, (8, 128), 0) == s), sim_ref[:], 0.0)
+            )
+            th_s = jnp.sum(jnp.where(
+                (lane8 == 0) & (jax.lax.broadcasted_iota(
+                    jnp.int32, (8, 128), 0) == s), sim_ref[:], 0.0))
+            om_s = jnp.sum(jnp.where(
+                (lane8 == 1) & (jax.lax.broadcasted_iota(
+                    jnp.int32, (8, 128), 0) == s), sim_ref[:], 0.0))
+            s8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s
+            a_s = jnp.sum(jnp.where(s8, a_cl, 0.0))
+            th2_s = jnp.sum(jnp.where(s8, th2, 0.0))
+            om2_s = jnp.sum(jnp.where(s8, om2, 0.0))
+
+            c0t = x_s0[:, 0:1].reshape(1, mp)
+            c1t = x_s0[:, 1:2].reshape(1, mp)
+            prior_pbw2 = 1.0 / (pbw_s * pbw_s)
+            inv_mbw2 = 1.0 / (bw_mpf * bw_mpf)
+            inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
+            sin_t = jnp.sin(th_s + math.pi)
+            mrow_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
+            valid_row = mrow_ids < m_mpf
+            mlane = jax.lax.broadcasted_iota(jnp.int32, (mp, 128), 1)
+            mcol_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
+            valid_col = mcol_ids < m_mpf
+
+            def mpf_body(i, _, s=s, c0t=c0t, c1t=c1t,
+                         prior_pbw2=prior_pbw2, inv_mbw2=inv_mbw2,
+                         inv_os2=inv_os2, sin_t=sin_t, a_s=a_s,
+                         th_s=th_s, om_s=om_s, th2_s=th2_s,
+                         om2_s=om2_s, valid_row=valid_row,
+                         valid_col=valid_col, mlane=mlane):
+                x = mpfx_ref[pl.ds(s * mp, mp), :]
+                length = jnp.where(valid_row, x[:, 0:1], 1.0)
+                mass = jnp.where(valid_row, x[:, 1:2], 1.0)
+                if mpf_log_space:
+                    length = jnp.exp(length)
+                    mass = jnp.exp(mass)
+                ilx = 1.0 / length
+                imx = 1.0 / mass
+                tdd = -3.0 * g_model * 0.5 * ilx * sin_t \
+                    + 3.0 * imx * ilx * ilx * a_s
+                td_raw = om_s + dt * tdd
+                td = jnp.clip(td_raw, -_MAX_SPEED, _MAX_SPEED)
+                thp = th_s + td * dt
+                gate = jnp.where(
+                    (td_raw > -_MAX_SPEED) & (td_raw < _MAX_SPEED),
+                    1.0, 0.0,
+                )
+                dtd_dl = gate * dt * (
+                    3.0 * g_model * 0.5 * ilx * ilx * sin_t
+                    - 6.0 * imx * ilx * ilx * ilx * a_s
+                )
+                dtd_dm = gate * dt * (
+                    -3.0 * imx * imx * ilx * ilx * a_s
+                )
+                common = -((thp - th2_s) * dt + (td - om2_s)) * inv_os2
+                gl_l = common * dtd_dl
+                gl_m = common * dtd_dm
+                if mpf_log_space:
+                    gl_l = gl_l * length
+                    gl_m = gl_m * mass
+
+                x0 = x[:, 0:1]
+                x1 = x[:, 1:2]
+                x0t = x0.reshape(1, mp)
+                x1t = x1.reshape(1, mp)
+                d2c = (x0 - c0t) ** 2 + (x1 - c1t) ** 2
+                logits = jnp.where(
+                    valid_col, -0.5 * d2c * prior_pbw2, -jnp.inf
+                )
+                mx = jnp.max(logits, axis=1, keepdims=True)
+                pz = jnp.exp(logits - mx)
+                psum = jnp.sum(pz, axis=1, keepdims=True)
+                pc0 = jnp.sum(pz * c0t, axis=1, keepdims=True) / psum
+                pc1 = jnp.sum(pz * c1t, axis=1, keepdims=True) / psum
+                gp0 = (pc0 - x0) * prior_pbw2
+                gp1 = (pc1 - x1) * prior_pbw2
+                s0 = jnp.where(valid_row, gl_l + gp0, 0.0)
+                s1 = jnp.where(valid_row, gl_m + gp1, 0.0)
+
+                d2 = (x0 - x0t) ** 2 + (x1 - x1t) ** 2
+                k = jnp.where(valid_col,
+                              jnp.exp(-0.5 * d2 * inv_mbw2), 0.0)
+                rows_k = jnp.sum(k, axis=1, keepdims=True)
+                drive0 = jnp.sum(k * s0.reshape(1, mp), axis=1,
+                                 keepdims=True)
+                drive1 = jnp.sum(k * s1.reshape(1, mp), axis=1,
+                                 keepdims=True)
+                kx0 = jnp.sum(k * x0t, axis=1, keepdims=True)
+                kx1 = jnp.sum(k * x1t, axis=1, keepdims=True)
+                phi0 = (drive0 + (rows_k * x0 - kx0) * inv_mbw2) \
+                    / jnp.float32(m_mpf)
+                phi1 = (drive1 + (rows_k * x1 - kx1) * inv_mbw2) \
+                    / jnp.float32(m_mpf)
+                upd = jnp.where(mlane == 0, phi0, 0.0) \
+                    + jnp.where(mlane == 1, phi1, 0.0)
+                mpfx_ref[pl.ds(s * mp, mp), :] = jnp.where(
+                    valid_row, x + mpf_lr * upd, x
+                )
+                return 0
+
+            jax.lax.fori_loop(0, mpf_steps, mpf_body, 0,
+                              unroll=mpf_steps if unroll else 1)
+
+        # ---- logs + sim-state commit ----
+        def scatter8(col):
+            """[8, 1] -> [1, 128] (lane s = col[s])."""
+            mat = jnp.broadcast_to(col, (8, 128))
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            return jnp.sum(jnp.where(r8 == lane8, mat, 0.0), axis=0,
+                           keepdims=True)
+
+        cost_row = scatter8(cost_col)
+        th_row = scatter8(th2)
+        om_row = scatter8(om2)
+        act_row = scatter8(act_col)
+        bwm_row = scatter8(bw_mpf_col)
+        bws_row = jnp.zeros((1, 128), jnp.float32)
+        for s in range(n_sc):
+            bws_row = jnp.where(lane1 == s, bw_s_list[s], bws_row)
+        log_row = (
+            jnp.where(lane1 < 8, cost_row, 0.0)
+            + jnp.where((lane1 >= 8) & (lane1 < 16),
+                        pltpu.roll(th_row, shift=8, axis=1), 0.0)
+            + jnp.where((lane1 >= 16) & (lane1 < 24),
+                        pltpu.roll(om_row, shift=16, axis=1), 0.0)
+            + jnp.where((lane1 >= 24) & (lane1 < 32),
+                        pltpu.roll(act_row, shift=24, axis=1), 0.0)
+            + jnp.where((lane1 >= 32) & (lane1 < 40),
+                        pltpu.roll(bws_row, shift=32, axis=1), 0.0)
+            + jnp.where((lane1 >= 40) & (lane1 < 48),
+                        pltpu.roll(bwm_row, shift=40, axis=1), 0.0)
+        )
+        log_ref[pl.ds(t, 1), :] = log_row
+
+        sim_ref[:] = (
+            jnp.where(lane8 == 0, th2, 0.0)
+            + jnp.where(lane8 == 1, om2, 0.0)
+            + jnp.where(lane8 == 2, bw_mpf_col, 0.0)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, steps, step, 0)
+
+    theta_out_ref[:] = theta_ref[:]
+    locs_out_ref[:] = locs_ref[:]
+    amat_out_ref[:] = amat_ref[:]
+    mpfx_out_ref[:] = mpfx_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sc", "steps", "warm_up", "hz", "m", "n_params",
+                     "n_act", "m_mpf", "mpf_steps", "dt", "g_model",
+                     "g_sim", "exp_util", "mpf_log_space",
+                     "mpf_fixed_bw", "mpf_bw_scale", "unroll",
+                     "interpret"),
+)
+def fused_pendulum_sweep_episode(
+        seed, state0, theta0, locs0, a_mat0, mpfx0, prior_bw0,
+        true_lengths, true_masses, ctrl_sigma, lr, alpha, temp,
+        prior_sigma, mpf_lr, mpf_sigma, *, n_sc, steps, warm_up=0, hz,
+        m, n_params, n_act, m_mpf, mpf_steps, dt=0.05, g_model=9.8,
+        g_sim=10.0, exp_util=True, mpf_log_space=False,
+        mpf_fixed_bw=None, mpf_bw_scale=1.0, unroll=True,
+        host_eps=None, host_pdz=None, host_pdu=None, interpret=False):
+    """Run n_sc pendulum DuSt episodes in ONE Pallas program.
+
+    state0 [2] shared initial state; theta0/locs0/a_mat0 [m, hz]
+    (shared across scenarios, like the sweep harness);
+    mpfx0 [m_mpf, 2]; true_lengths/true_masses [n_sc] per-scenario
+    simulator parameters. The controller a_seq is fixed at zero (the
+    SVMPC demo semantics — asserted here).
+
+    Host-noise mode: host_eps [steps, hz, smp, 128] (rows s*m + q,
+    smp = n_sc*m rounded up to 8), host_pdz/host_pdu
+    [steps, n_sc, 8, 128].
+
+    Returns per-scenario logs: cost/th/om/action/bw_sv/bw_mpf
+    [steps, n_sc], plus final theta/locs/a_mat [n_sc, m, hz] and MPF
+    particles [n_sc, m_mpf, 2].
+    """
+    if n_sc > 8:
+        raise ValueError("sweep episode kernel: n_sc <= 8 per program "
+                         "(vmap/scan over groups for larger sweeps)")
+    if hz > 128 or n_act > 128:
+        raise ValueError("sweep episode kernel: hz<=128, n_act<=128")
+    sm = n_sc * m
+    smp = _round8(sm)
+    mp = _round8(max(m_mpf, 8))
+    steps_p = _round8(steps)
+    host_noise = host_eps is not None
+
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 2)
+    scal = jnp.stack([
+        jnp.asarray(state0[0], jnp.float32),
+        jnp.asarray(state0[1], jnp.float32),
+        jnp.asarray(ctrl_sigma, jnp.float32).reshape(()),
+        jnp.asarray(lr, jnp.float32).reshape(()),
+        jnp.asarray(alpha, jnp.float32).reshape(()),
+        1.0 / jnp.asarray(temp, jnp.float32).reshape(()),
+        1.0 / jnp.asarray(ctrl_sigma, jnp.float32).reshape(()) ** 2,
+        1.0 / jnp.asarray(prior_sigma, jnp.float32).reshape(()) ** 2,
+        jnp.asarray(mpf_lr, jnp.float32).reshape(()),
+        jnp.asarray(mpf_sigma, jnp.float32).reshape(()),
+        jnp.asarray(prior_bw0, jnp.float32).reshape(()),
+        jnp.float32(-math.log(m)),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0),
+    ]).reshape(1, 16)
+
+    il_true = jnp.zeros((8, 128), jnp.float32).at[:n_sc, :].set(
+        jnp.broadcast_to(
+            1.0 / jnp.asarray(true_lengths, jnp.float32)[:, None],
+            (n_sc, 128),
+        )
+    )
+    im_true = jnp.zeros((8, 128), jnp.float32).at[:n_sc, :].set(
+        jnp.broadcast_to(
+            1.0 / jnp.asarray(true_masses, jnp.float32)[:, None],
+            (n_sc, 128),
+        )
+    )
+
+    theta0 = jnp.asarray(theta0, jnp.float32)
+    theta_stack = jnp.tile(theta0, (n_sc, 1))            # [sm, hz]
+    locs_stack = jnp.tile(jnp.asarray(locs0, jnp.float32), (n_sc, 1))
+    amat_stack = jnp.tile(jnp.asarray(a_mat0, jnp.float32), (n_sc, 1))
+    mpfx_stack = jnp.tile(
+        jnp.asarray(mpfx0, jnp.float32), (n_sc, 1)
+    )                                                    # [n_sc*m_mpf, 2]
+    # re-tile with per-scenario mp padding
+    mpfx_rows = jnp.zeros((n_sc * mp, 128), jnp.float32)
+    for s in range(n_sc):
+        mpfx_rows = mpfx_rows.at[s * mp:s * mp + m_mpf, :2].set(
+            jnp.asarray(mpfx0, jnp.float32)
+        )
+
+    inputs = [
+        seed_arr, scal, il_true, im_true,
+        _pad_tile(theta_stack, smp), _pad_tile(locs_stack, smp),
+        _pad_tile(amat_stack, smp), mpfx_rows,
+    ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + \
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    if host_noise:
+        inputs += [
+            jnp.asarray(host_eps, jnp.float32).reshape(
+                steps * hz * smp, 128
+            ),
+            jnp.asarray(host_pdz, jnp.float32).reshape(
+                steps * n_sc * 8, 128
+            ),
+            jnp.asarray(host_pdu, jnp.float32).reshape(
+                steps * n_sc * 8, 128
+            ),
+        ]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+
+    kernel = functools.partial(
+        _pendulum_sweep_kernel,
+        n_sc=n_sc, steps=steps, warm_up=warm_up, hz=hz, m=m,
+        n_params=n_params, n_act=n_act, m_mpf=m_mpf,
+        mpf_steps=mpf_steps, dt=float(dt), g_model=float(g_model),
+        g_sim=float(g_sim), exp_util=bool(exp_util),
+        mpf_log_space=bool(mpf_log_space), mpf_fixed_bw=mpf_fixed_bw,
+        mpf_bw_scale=float(mpf_bw_scale), host_noise=host_noise,
+        unroll=bool(unroll),
+    )
+    rows = n_params * sm
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((steps_p, 128), jnp.float32),
+            jax.ShapeDtypeStruct((smp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((smp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((smp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_sc * mp, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hz * smp, 128), jnp.float32),       # eps
+            pltpu.VMEM((rows, 128), jnp.float32),           # th
+            pltpu.VMEM((rows, 128), jnp.float32),           # om
+            pltpu.VMEM((smp, 128), jnp.float32),            # theta
+            pltpu.VMEM((smp, 128), jnp.float32),            # locs
+            pltpu.VMEM((smp, 128), jnp.float32),            # amat
+            pltpu.VMEM((n_sc * mp, 128), jnp.float32),      # mpf x
+            pltpu.VMEM((8, 128), jnp.float32),              # sim state
+        ],
+        interpret=interpret,
+    )(*inputs)
+    log, theta_out, locs_out, amat_out, mpfx_out = outs
+    mpf_final = jnp.stack(
+        [mpfx_out[s * mp:s * mp + m_mpf, :2] for s in range(n_sc)]
+    )
+    return {
+        "cost": log[:steps, 0:n_sc],
+        "th": log[:steps, 8:8 + n_sc],
+        "om": log[:steps, 16:16 + n_sc],
+        "action": log[:steps, 24:24 + n_sc],
+        "bw_sv": log[:steps, 32:32 + n_sc],
+        "bw_mpf": log[:steps, 40:40 + n_sc],
+        "theta": theta_out[:sm, :hz].reshape(n_sc, m, hz),
+        "locs": locs_out[:sm, :hz].reshape(n_sc, m, hz),
+        "a_mat": amat_out[:sm, :hz].reshape(n_sc, m, hz),
+        "mpf_x": mpf_final,
+    }

@@ -1,0 +1,167 @@
+"""Scenario-batched sweep megakernel (ops/pallas_sweep_episode.py) tests.
+
+The sweep kernel advances S independent pendulum DuSt episodes inside
+one Pallas program (scenario-stacked tile rows, block-masked MXU
+pairwise matrices). Ground truth is S independent runs of the
+independently-tested single-episode megakernel
+(tests/test_pallas_episode.py) fed the matching per-scenario noise
+slices — TPU interpret mode zero-stubs the hardware PRNG, so CPU tests
+drive host-noise mode, exactly like the single-episode tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dust_tpu.ops.pallas_episode import fused_pendulum_episode
+from dust_tpu.ops.pallas_sweep_episode import fused_pendulum_sweep_episode
+
+HZ, M, NP, NA, MM = 30, 3, 8, 128, 50
+SIG, LR, ALPHA, TEMP, PSIG = 2.0, 2.0, 1.0, 1.0, 2.0
+MLR, MSIG, PBW0 = 1e-3, 0.1, 0.05
+
+
+def _setup(n_sc, steps, seed=0):
+    key = jax.random.key(seed)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    theta0 = jax.random.normal(k1, (M, HZ)) * 0.3
+    mpfx0 = jnp.stack(
+        [1.0 + 0.1 * jax.random.normal(k2, (MM,)),
+         1.0 + 0.1 * jax.random.normal(k3, (MM,))], axis=1
+    )
+    smp = -(-n_sc * M // 8) * 8
+    eps = jax.random.normal(k4, (steps, HZ, smp, 128))
+    pdz = jax.random.normal(k5, (steps, n_sc, 8, 128))
+    pdu = jax.random.uniform(k6, (steps, n_sc, 8, 128))
+    lens = jnp.linspace(0.8, 1.2, n_sc)
+    mass = jnp.linspace(0.9, 1.1, n_sc)
+    return theta0, mpfx0, eps, pdz, pdu, lens, mass
+
+
+def _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens, mass,
+               warm_up=0):
+    return fused_pendulum_sweep_episode(
+        jnp.zeros(2, jnp.int32), jnp.array([np.pi, 0.0]), theta0, theta0,
+        jnp.zeros((M, HZ)), mpfx0, PBW0, lens, mass,
+        SIG, LR, ALPHA, TEMP, PSIG, MLR, MSIG,
+        n_sc=n_sc, steps=steps, warm_up=warm_up, hz=HZ, m=M, n_params=NP,
+        n_act=NA, m_mpf=MM, mpf_steps=20, unroll=False,
+        host_eps=eps, host_pdz=pdz, host_pdu=pdu, interpret=True,
+    )
+
+
+def _run_single(steps, theta0, mpfx0, eps_s, pdz_s, pdu_s, ln, ms,
+                warm_up=0):
+    return fused_pendulum_episode(
+        jnp.zeros(2, jnp.int32), jnp.array([np.pi, 0.0]), theta0, theta0,
+        jnp.zeros((M, HZ)), jnp.zeros(HZ), mpfx0, PBW0, ln, ms,
+        SIG, LR, ALPHA, TEMP, PSIG, MLR, MSIG,
+        steps=steps, warm_up=warm_up, hz=HZ, m=M, n_params=NP, n_act=NA,
+        m_mpf=MM, mpf_steps=20, unroll=False,
+        host_eps=eps_s, host_pdz=pdz_s, host_pdu=pdu_s, interpret=True,
+    )
+
+
+@pytest.mark.parametrize("n_sc", [2, 8])
+def test_sweep_matches_independent_single_episodes(n_sc):
+    """Every scenario of the sweep kernel must reproduce an independent
+    single-episode run on the same noise. n_sc=2 exercises the
+    sublane-padding path (S*m=6 rows padded to 8); n_sc=8 is the
+    production group size. Tolerances are reassociation-level: the
+    sweep kernel computes pairwise distances via centered MXU Gram
+    matrices where the single-episode kernel uses explicit per-column
+    differences."""
+    steps = 2
+    theta0, mpfx0, eps, pdz, pdu, lens, mass = _setup(n_sc, steps)
+    out = _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens,
+                     mass)
+    for s in range(n_sc):
+        eps_s = jnp.zeros((steps, HZ, 8, 128)).at[:, :, :M, :].set(
+            eps[:, :, s * M:(s + 1) * M, :]
+        )
+        ref = _run_single(steps, theta0, mpfx0, eps_s, pdz[:, s],
+                          pdu[:, s], lens[s], mass[s])
+        for k, tol in (("cost", 1e-3), ("th", 1e-4), ("om", 1e-3),
+                       ("action", 1e-3), ("bw_sv", 1e-5),
+                       ("bw_mpf", 1e-5)):
+            np.testing.assert_allclose(
+                np.asarray(out[k][:, s]), np.asarray(ref[k]), atol=tol,
+                err_msg=f"{k} scenario {s}",
+            )
+        np.testing.assert_allclose(out["theta"][s], ref["theta"],
+                                   atol=1e-3, err_msg=f"theta {s}")
+        np.testing.assert_allclose(out["a_mat"][s], ref["a_mat"],
+                                   atol=1e-3, err_msg=f"a_mat {s}")
+        np.testing.assert_allclose(out["mpf_x"][s], ref["mpf_x"],
+                                   atol=1e-4, err_msg=f"mpf_x {s}")
+
+
+def test_sweep_scenario_isolation():
+    """Changing one scenario's true parameters must not perturb any
+    other scenario (the block masks keep scenarios independent)."""
+    n_sc, steps = 4, 2
+    theta0, mpfx0, eps, pdz, pdu, lens, mass = _setup(n_sc, steps,
+                                                      seed=3)
+    out_a = _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens,
+                       mass)
+    lens_b = lens.at[2].set(1.4)
+    mass_b = mass.at[2].set(0.7)
+    out_b = _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu,
+                       lens_b, mass_b)
+    others = np.array([0, 1, 3])
+    for k in ("cost", "th", "om", "action", "bw_sv", "bw_mpf"):
+        np.testing.assert_array_equal(
+            np.asarray(out_a[k][:, others]),
+            np.asarray(out_b[k][:, others]), err_msg=k,
+        )
+    # scenario 2 itself must react to its changed dynamics (exact
+    # inequality: at 2 steps the divergence is small but nonzero)
+    for k in ("cost", "th", "om"):
+        assert (np.asarray(out_a[k][:, 2])
+                != np.asarray(out_b[k][:, 2])).any(), k
+    np.testing.assert_array_equal(np.asarray(out_a["theta"][others]),
+                                  np.asarray(out_b["theta"][others]))
+    np.testing.assert_array_equal(np.asarray(out_a["mpf_x"][others]),
+                                  np.asarray(out_b["mpf_x"][others]))
+
+
+def test_sweep_warmup_gates_forward():
+    """During warm-up no action is applied (the simulator sees zero
+    torque) and the policy prior stays put, mirroring the
+    single-episode kernel's warm-up semantics."""
+    n_sc, steps = 2, 2
+    theta0, mpfx0, eps, pdz, pdu, lens, mass = _setup(n_sc, steps,
+                                                      seed=5)
+    out = _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens,
+                     mass, warm_up=steps)
+    np.testing.assert_array_equal(np.asarray(out["action"]), 0.0)
+    for s in range(n_sc):
+        eps_s = jnp.zeros((steps, HZ, 8, 128)).at[:, :, :M, :].set(
+            eps[:, :, s * M:(s + 1) * M, :]
+        )
+        ref = _run_single(steps, theta0, mpfx0, eps_s, pdz[:, s],
+                          pdu[:, s], lens[s], mass[s], warm_up=steps)
+        np.testing.assert_allclose(out["theta"][s], ref["theta"],
+                                   atol=1e-3)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel hardware PRNG requires a real TPU")
+def test_sweep_device_rng_deterministic():
+    n_sc, steps = 8, 4
+    theta0, mpfx0, _, _, _, lens, mass = _setup(n_sc, steps)
+
+    def run():
+        return fused_pendulum_sweep_episode(
+            jnp.array([3, 7], jnp.int32), jnp.array([np.pi, 0.0]),
+            theta0, theta0, jnp.zeros((M, HZ)), mpfx0, PBW0, lens, mass,
+            SIG, LR, ALPHA, TEMP, PSIG, MLR, MSIG,
+            n_sc=n_sc, steps=steps, hz=HZ, m=M, n_params=NP, n_act=NA,
+            m_mpf=MM, mpf_steps=20,
+        )
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(np.asarray(a["cost"]),
+                                  np.asarray(b["cost"]))
+    assert np.isfinite(np.asarray(a["cost"])).all()
