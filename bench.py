@@ -11,10 +11,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
 
 Modes timed:
-  * episode megakernel (headline, BENCH_EPISODE=mega default): the whole
-    closed-loop episode — every SVMPC solve, simulator step and MPF
-    update — is ONE Pallas program with in-kernel hardware-PRNG noise
-    (ops/pallas_episode.py);
+  * sweep megakernel (headline, BENCH_EPISODE=sweep default): the
+    scenario-batched whole-episode megakernel — 8 independent episodes
+    (per-scenario true parameters and seeds) advance in lockstep inside
+    ONE Pallas program (ops/pallas_sweep_episode.py), lax.scan over
+    BENCH_SWEEP_N/8 groups per dispatch — the chip-throughput view;
+  * episode megakernel (BENCH_EPISODE=mega): one closed-loop episode —
+    every SVMPC solve, simulator step and MPF update — per Pallas
+    program with in-kernel hardware-PRNG noise (ops/pallas_episode.py)
+    — the single-episode latency view;
   * episode-scan (BENCH_EPISODE=scan): per-step fused kernels chained by
     a lax.scan — the bitwise path the equivalence tests pin;
   * per-step dispatch (opt-in: BENCH_PER_STEP=1, costs a second ~4-min
@@ -118,6 +123,56 @@ def build(key):
         mpf_steps=stack.mpf_steps,
     )
     return config, stack, harness
+
+
+def bench_episode_sweep(stack, config):
+    """Scenario-batched sweep megakernel (ops/pallas_sweep_episode.py):
+    8 independent episodes per Pallas program (per-scenario true
+    parameters spanning the robustness range, per-scenario seeds /
+    bandwidths / MPF posteriors), lax.scan over BENCH_SWEEP_N/8 groups
+    in one dispatch. The headline chip-throughput view; unroll=False
+    compiles ~6x faster than the unrolled body at equal speed."""
+    from dust_tpu.simulation import megakernel_pendulum_sweep_fn
+
+    n_sweep = int(os.environ.get("BENCH_SWEEP_N", "256"))
+    S = 8
+    groups = max(1, n_sweep // S)
+    sweep = megakernel_pendulum_sweep_fn(
+        stack, config["exp_params"], steps=STEPS, n_sc=S, warm_up=0,
+        unroll=False,
+    )
+    lens = jnp.linspace(0.8, 1.2, S)
+    mass = jnp.linspace(0.9, 1.1, S)
+
+    @jax.jit
+    def chained(seeds):
+        def body(_, s):
+            return 0, sweep(s, lens, mass)["cost"]
+
+        _, costs = jax.lax.scan(body, 0, seeds)
+        return costs  # [groups, STEPS, S]
+
+    def run(i):
+        seeds = jnp.stack(
+            [jnp.full((groups,), i, jnp.int32),
+             jnp.arange(groups, dtype=jnp.int32) * 1000], axis=1
+        )
+        return chained(seeds)
+
+    costs = run(0)
+    costs.block_until_ready()  # compile + warm
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        costs = run(i + 1)
+        costs.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    # -> [episodes, STEPS] for the swing-up sanity check
+    import numpy as np
+
+    costs = np.moveaxis(np.asarray(costs), 2, 1).reshape(-1, STEPS)
+    return groups * S * STEPS / best, costs
 
 
 def bench_episode_mega(stack, config):
@@ -241,16 +296,21 @@ def main():
     key = jax.random.key(0)
     config, stack, harness = build(key)
 
-    # BENCH_EPISODE=mega (default): whole-episode megakernel;
+    # BENCH_EPISODE=sweep (default): scenario-batched sweep megakernel;
+    # BENCH_EPISODE=mega: single whole-episode megakernel;
     # BENCH_EPISODE=scan: per-step-kernel episode scan (the BENCH_MPF /
     # BENCH_SOLVE / BENCH_ROLLOUT knobs apply to this mode)
-    mode = os.environ.get("BENCH_EPISODE", "mega")
-    if mode == "mega":
+    mode = os.environ.get("BENCH_EPISODE", "sweep")
+    if mode == "sweep":
+        scan_solves, costs = bench_episode_sweep(stack, config)
+    elif mode == "mega":
         scan_solves, costs = bench_episode_mega(stack, config)
     elif mode == "scan":
         scan_solves, costs = bench_episode_scan(stack, harness)
     else:
-        raise SystemExit(f"BENCH_EPISODE must be mega|scan, got {mode!r}")
+        raise SystemExit(
+            f"BENCH_EPISODE must be sweep|mega|scan, got {mode!r}"
+        )
     # the per-step-dispatch view compiles a second large program (~4 min);
     # opt-in so the default bench stays well inside a 10-minute budget
     step_solves = (
@@ -275,7 +335,7 @@ def main():
         ),
         "reference_solves_per_s_cpu": REFERENCE_SOLVES_PER_S,
         "episode_steps": STEPS,
-        "episode_mode": os.environ.get("BENCH_EPISODE", "mega"),
+        "episode_mode": mode,
         "swingup_min_cost_sanity": round(swingup_cost, 4),
         "device": str(jax.devices()[0]),
     }

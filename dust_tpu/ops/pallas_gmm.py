@@ -30,12 +30,9 @@ from .pallas_svgd import _round_up
 
 def gmm_prior_score_reference(x, centers, bw):
     """jnp oracle: grad log sum_k N(x | c_k, bw^2 I) w.r.t. x."""
-    d2 = (
-        jnp.sum(x**2, axis=1, keepdims=True)
-        + jnp.sum(centers**2, axis=1)[None, :]
-        - 2.0 * x @ centers.T
-    )
-    logits = -jnp.maximum(d2, 0.0) / (2.0 * bw**2)
+    from .distance import squared_distance
+
+    logits = -squared_distance(x, centers) / (2.0 * bw**2)
     r = jax.nn.softmax(logits, axis=1)                     # [m, k]
     return (r @ centers - x) / (bw**2)
 
@@ -101,6 +98,13 @@ def gmm_prior_score_pallas(x, centers, bw, block_i=256, block_k=256,
     kp = _round_up(max(k, block_k), block_k)
     dp = max(_round_up(d, 128), 128)
 
+    # the score is invariant under a common shift of x and centers
+    # (responsibilities depend on distances; r rows sum to 1, so
+    # r @ (c - mu) - (x - mu) = r @ c - x): center so the in-kernel MXU
+    # Gram identity stays spread-scale (see ops/distance.py)
+    mu = jax.lax.stop_gradient(jnp.mean(centers, axis=0, keepdims=True))
+    x = x - mu
+    centers = centers - mu
     xp = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(x)
     cp = jnp.zeros((kp, dp), jnp.float32).at[:k, :d].set(centers)
     bw_arr = jnp.asarray(bw, jnp.float32).reshape(1, 1)

@@ -99,6 +99,11 @@ def svgd_phi_pallas(x, score, bw, block_i=256, block_j=256, interpret=False):
     mp = _round_up(mp, block_j)
     dp = max(_round_up(d, 128), 128)
 
+    # phi is translation invariant in x given the scores (K and the
+    # repulsion term depend only on differences): center so the MXU
+    # Gram identity in the kernel stays spread-scale (see
+    # ops/distance.py for the failure mode)
+    x = x - jax.lax.stop_gradient(jnp.mean(x, axis=0, keepdims=True))
     xp = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(x)
     sp = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(score)
     bw_arr = jnp.asarray(bw, jnp.float32).reshape(1, 1)

@@ -124,3 +124,25 @@ def test_rbf_gram_grad_matches_jax_autograd(rng):
     auto = jax.grad(lambda xs: rbf_gram(xs, jax.lax.stop_gradient(x), bw).sum())(x)
     _, analytic = rbf_gram_and_grad(x, x, bw)
     np.testing.assert_allclose(np.asarray(analytic), np.asarray(auto), atol=1e-5)
+
+
+def test_squared_distance_far_from_origin():
+    """The Gram identity loses the spread to cancellation when
+    ||x|| >> spread unless the operands are centered first (the op
+    centers internally; distances are translation invariant). Exact
+    check: distances of offset data == distances of centered data."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(8, 6)).astype(np.float32) * 0.1
+    offset = np.float32(1500.0)
+    d2_near = squared_distance(jnp.asarray(base), jnp.asarray(base))
+    d2_far = squared_distance(jnp.asarray(base + offset),
+                              jnp.asarray(base + offset))
+    # tolerance = input quantization: adding the offset rounds each
+    # coordinate to ~offset * 2^-23 before the op runs; without the
+    # internal centering the error would be O(1) here
+    np.testing.assert_allclose(np.asarray(d2_far), np.asarray(d2_near),
+                               atol=5e-3)
+    # explicit-diff oracle
+    diff = base[:, None, :] - base[None, :, :]
+    np.testing.assert_allclose(np.asarray(d2_far),
+                               (diff * diff).sum(-1), atol=5e-3)

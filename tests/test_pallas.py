@@ -32,3 +32,21 @@ def test_pallas_phi_odd_sizes(rng):
                             interpret=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_phi_far_from_origin(rng):
+    """phi is translation invariant given the scores; the wrapper
+    centers x so the in-kernel MXU Gram identity stays spread-scale
+    even when the particle cloud sits far from the origin."""
+    m, d = 256, 3
+    x = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32)) * 0.2
+    score = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+    bw = 0.5
+    near = svgd_phi_pallas(x, score, bw, block_i=128, block_j=128,
+                           interpret=True)
+    far = svgd_phi_pallas(x + 2000.0, score, bw, block_i=128,
+                          block_j=128, interpret=True)
+    # tolerance reflects f32 input quantization of the offset data
+    # (~2000 * 2^-23 per coordinate); uncentered this diverges by O(1)
+    np.testing.assert_allclose(np.asarray(far), np.asarray(near),
+                               atol=2e-3)

@@ -62,3 +62,22 @@ def test_fused_mpf_matches_plain_mpf(rng):
     np.testing.assert_allclose(np.asarray(ms_f.x), np.asarray(ms_p.x),
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_p), rtol=1e-3)
+
+
+def test_streaming_gmm_score_far_from_origin(rng):
+    """The GMM score is invariant under a common shift of particles
+    and centers; the wrapper centers both so the streaming kernel's
+    MXU Gram identity stays spread-scale far from the origin."""
+    m, k, d = 192, 192, 2
+    x = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32)) * 0.3
+    c = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32)) * 0.3
+    bw = 0.4
+    near = gmm_prior_score_pallas(x, c, bw, block_i=128, block_k=128,
+                                  interpret=True)
+    far = gmm_prior_score_pallas(x + 3000.0, c + 3000.0, bw,
+                                 block_i=128, block_k=128,
+                                 interpret=True)
+    # tolerance reflects f32 input quantization of the offset data
+    # (~3000 * 2^-23 per coordinate); uncentered this diverges by O(1)
+    np.testing.assert_allclose(np.asarray(far), np.asarray(near),
+                               atol=5e-3)
