@@ -23,9 +23,12 @@ parameters, Silverman bandwidths, MPF posteriors) in lockstep:
   argmax selection) reduce within row blocks via S static masked
   reductions;
 * the simulator advances all S pendulums as [8, 1] column physics;
-* the MPF posterior keeps the proven per-scenario column-op body
-  (pallas_episode.py) in a static python loop over scenarios — 1-2
-  sublane groups per op make a [S*mp, S*mp] block matmul no cheaper.
+* the MPF posterior keeps the proven column-op body
+  (pallas_episode.py) but packs TWO scenarios into each [mp, 128]
+  tile's lane halves (A at lanes 0-63, B at 64-127), halving the
+  serial scenario loop — a [S*mp, S*mp] block matmul would be no
+  cheaper (8x off-block waste), and per-scenario tiles only used
+  m_mpf of 128 lanes.
 
 RNG: one hardware-PRNG reseed per step covers all S scenarios (their
 draws come from disjoint positions of the same stream); host-noise mode
@@ -84,7 +87,8 @@ def _pendulum_sweep_kernel(
     [th0, om0, ctrl_sigma, lr, alpha, inv_temp, inv_s2, inv_ps2,
     mpf_lr, mpf_sigma, prior_bw0, log_mix, 0...]; il/im_true [8, 128]
     (row s = 1/true_length_s, 1/true_mass_s, broadcast over lanes).
-    theta0/locs0/amat0 [S*m(pad8), 128]; mpfx0 [S*mp, 128].
+    theta0/locs0/amat0 [S*m(pad8), 128]; mpfx0 [ceil(S/2)*mp, 128]
+    (scenario 2p at lanes 0:2 of block p, 2p+1 at lanes 64:66).
 
     host_noise appends eps_in [steps*hz*smp, 128] (rows
     t*smp + s*m + q), pdz_in/pdu_in [steps*n_sc*8, 128] (rows
@@ -93,7 +97,7 @@ def _pendulum_sweep_kernel(
     Outputs: log [steps_p, 128] with per-scenario lanes (cost_s at lane
     s, th_s at 8+s, om_s at 16+s, action_s at 24+s, bw_sv_s at 32+s,
     bw_mpf_s at 40+s), theta/locs/amat [S*m(pad8), 128],
-    mpfx [S*mp, 128].
+    mpfx [ceil(S/2)*mp, 128] (paired-lane layout as mpfx0).
     """
     if host_noise:
         (eps_in_ref, pdz_in_ref, pdu_in_ref,
@@ -110,7 +114,9 @@ def _pendulum_sweep_kernel(
     sm = n_sc * m                       # scenario-stacked particle rows
     smp = _round8(sm)
     rows = n_params * sm                # rollout rows
-    mp = mpfx0_ref.shape[0] // n_sc     # per-scenario MPF row block
+    # MPF rows hold TWO scenarios per block: scenario 2p at lanes 0:2,
+    # 2p+1 at lanes 64:66 of block p (see the MPF section)
+    mp = mpfx0_ref.shape[0] // ((n_sc + 1) // 2)
     ev = hz
 
     sigma_c = scal_ref[0, 2]
@@ -181,13 +187,15 @@ def _pendulum_sweep_kernel(
         inv_bw2_col = 1.0 / (bw_col * bw_col)
 
         # ---- dynamics draws from each scenario's MPF prior ----
-        mpfx = mpfx_ref[:]                               # [S*mp, 128]
+        mpfx = mpfx_ref[:]                        # [n_pair*mp, 128]
         il24 = jnp.zeros((rows, 128), jnp.float32)
         im24 = jnp.zeros((rows, 128), jnp.float32)
         for s in range(n_sc):
-            x_s = mpfx[s * mp:(s + 1) * mp, :]
-            len_row = x_s[:, 0:1].reshape(1, mp)
-            mass_row = x_s[:, 1:2].reshape(1, mp)
+            pr, gr = divmod(s, 2)
+            off = 64 * gr
+            x_s = mpfx[pr * mp:(pr + 1) * mp, :]
+            len_row = x_s[:, off:off + 1].reshape(1, mp)
+            mass_row = x_s[:, off + 1:off + 2].reshape(1, mp)
             lane_mp = jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1)
             pbw_s = jnp.sum(
                 jnp.where(
@@ -450,17 +458,24 @@ def _pendulum_sweep_kernel(
         th2 = th_col + om2 * dt
         cost_col = _SWINGUP_W * (jnp.cos(th2) - 1.0) ** 2 + om2 * om2
 
-        # ---- per-scenario MPF updates (proven column-op body) ----
+        # ---- MPF updates: TWO scenarios per tile (lane groups 0-63 /
+        # 64-127). The per-scenario column-op body is data-bound on
+        # [mp, 128] tiles that only use m_mpf lanes; pairing scenarios
+        # in the lane halves halves the serial loop (measured: the MPF
+        # section was 65% of the step at one scenario per iteration) ----
+        from .pallas_episode import _row_of_column
+
         bw_mpf_col = jnp.zeros((8, 1), jnp.float32)
+        scal_s = []                   # per-scenario MPF scalars
         for s in range(n_sc):
-            x_s0 = mpfx_ref[pl.ds(s * mp, mp), :]
+            p, g = divmod(s, 2)
+            off = 64 * g
+            x_s0 = mpfx_ref[pl.ds(p * mp, mp), :]
             if mpf_fixed_bw is not None:
                 bw_mpf = jnp.float32(mpf_fixed_bw)
             else:
-                from .pallas_episode import _row_of_column
-
-                r0 = _row_of_column(x_s0[:, 0:1], mp)
-                r1 = _row_of_column(x_s0[:, 1:2], mp)
+                r0 = _row_of_column(x_s0[:, off:off + 1], mp)
+                r1 = _row_of_column(x_s0[:, off + 1:off + 2], mp)
                 mrow = jnp.where(
                     lane1 < m_mpf, r0,
                     jnp.where(lane1 < 2 * m_mpf,
@@ -487,91 +502,166 @@ def _pendulum_sweep_kernel(
             a_s = jnp.sum(jnp.where(s8, a_cl, 0.0))
             th2_s = jnp.sum(jnp.where(s8, th2, 0.0))
             om2_s = jnp.sum(jnp.where(s8, om2, 0.0))
+            scal_s.append(dict(
+                sin_t=jnp.sin(th_s + math.pi), a=a_s, om=om_s,
+                th=th_s, th2=th2_s, om2=om2_s,
+                prior_pbw2=1.0 / (pbw_s * pbw_s),
+                inv_mbw2=1.0 / (bw_mpf * bw_mpf),
+            ))
 
-            c0t = x_s0[:, 0:1].reshape(1, mp)
-            c1t = x_s0[:, 1:2].reshape(1, mp)
-            prior_pbw2 = 1.0 / (pbw_s * pbw_s)
-            inv_mbw2 = 1.0 / (bw_mpf * bw_mpf)
-            inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
-            sin_t = jnp.sin(th_s + math.pi)
-            mrow_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
-            valid_row = mrow_ids < m_mpf
-            mlane = jax.lax.broadcasted_iota(jnp.int32, (mp, 128), 1)
-            mcol_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
-            valid_col = mcol_ids < m_mpf
+        inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
+        mrow_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
+        valid_row = mrow_ids < m_mpf
+        mlane = jax.lax.broadcasted_iota(jnp.int32, (mp, 128), 1)
+        in_a = mlane < 64
+        zs_tail = jnp.zeros((1, 128 - mp), jnp.float32)
 
-            def mpf_body(i, _, s=s, c0t=c0t, c1t=c1t,
-                         prior_pbw2=prior_pbw2, inv_mbw2=inv_mbw2,
-                         inv_os2=inv_os2, sin_t=sin_t, a_s=a_s,
-                         th_s=th_s, om_s=om_s, th2_s=th2_s,
-                         om2_s=om2_s, valid_row=valid_row,
-                         valid_col=valid_col, mlane=mlane):
-                x = mpfx_ref[pl.ds(s * mp, mp), :]
-                length = jnp.where(valid_row, x[:, 0:1], 1.0)
-                mass = jnp.where(valid_row, x[:, 1:2], 1.0)
+        def row_at(col, off):
+            """[mp, 1] -> [1, 128] with the values at lanes
+            off..off+mp-1 (off in {0, 64}; requires mp <= 64)."""
+            r = jnp.concatenate([col.reshape(1, mp), zs_tail], axis=1)
+            return r if off == 0 else pltpu.roll(r, shift=off, axis=1)
+
+        n_pair = (n_sc + 1) // 2
+        for p in range(n_pair):
+            has_b = 2 * p + 1 < n_sc
+            sa = scal_s[2 * p]
+            sb = scal_s[2 * p + 1] if has_b else sa
+
+            def grow(key):
+                """group scalar row [1, 128]: A's value at lanes < 64,
+                B's at lanes >= 64."""
+                if not has_b:
+                    return jnp.full((1, 128), sa[key], jnp.float32)
+                return jnp.where(lane1 < 64, sa[key], sb[key])
+
+            sin_row = grow("sin_t")
+            a_row = grow("a")
+            om_row = grow("om")
+            th_row_g = grow("th")
+            th2_row = grow("th2")
+            om2_row = grow("om2")
+            ppbw2_row = grow("prior_pbw2")
+            imbw2_row = grow("inv_mbw2")
+
+            gvalid = (
+                (jnp.where(mlane >= 64, mlane - 64, mlane) < m_mpf)
+                & (mlane < (128 if has_b else 64))
+            )
+
+            x_p0 = mpfx_ref[pl.ds(p * mp, mp), :]
+
+            def crow(d):
+                """prior-center row for particle dim d (0=len 1=mass)."""
+                r = row_at(x_p0[:, d:d + 1], 0)
+                if has_b:
+                    r = r + row_at(x_p0[:, 64 + d:64 + d + 1], 64)
+                return r
+
+            c0t = crow(0)
+            c1t = crow(1)
+
+            def gred(v, op=jnp.sum):
+                """per-group lane reduction of [mp, 128] -> combined
+                [mp, 128] (A's reduction at lanes < 64, B's at >= 64).
+                Each group reduces ONLY its own lanes (a total-minus-A
+                shortcut for B would leak A's values into B at
+                reassociation level and break scenario isolation)."""
+                if op is jnp.sum:
+                    ra = jnp.sum(jnp.where(in_a, v, 0.0), axis=1,
+                                 keepdims=True)
+                    if not has_b:
+                        return ra
+                    rb = jnp.sum(jnp.where(in_a, 0.0, v), axis=1,
+                                 keepdims=True)
+                else:
+                    ra = jnp.max(jnp.where(in_a, v, _NEG_BIG), axis=1,
+                                 keepdims=True)
+                    if not has_b:
+                        return ra
+                    rb = jnp.max(jnp.where(in_a, _NEG_BIG, v), axis=1,
+                                 keepdims=True)
+                return jnp.where(in_a, ra, rb)
+
+            def mpf_body(i, _, p=p, has_b=has_b, c0t=c0t, c1t=c1t,
+                         sin_row=sin_row, a_row=a_row, om_row=om_row,
+                         th_row_g=th_row_g, th2_row=th2_row,
+                         om2_row=om2_row, ppbw2_row=ppbw2_row,
+                         imbw2_row=imbw2_row, gvalid=gvalid,
+                         gred=gred):
+                x = mpfx_ref[pl.ds(p * mp, mp), :]
+                x0 = jnp.where(in_a, x[:, 0:1], x[:, 64:65])
+                x1 = jnp.where(in_a, x[:, 1:2], x[:, 65:66])
+                length = jnp.where(valid_row, x0, 1.0)
+                mass = jnp.where(valid_row, x1, 1.0)
                 if mpf_log_space:
                     length = jnp.exp(length)
                     mass = jnp.exp(mass)
                 ilx = 1.0 / length
                 imx = 1.0 / mass
-                tdd = -3.0 * g_model * 0.5 * ilx * sin_t \
-                    + 3.0 * imx * ilx * ilx * a_s
-                td_raw = om_s + dt * tdd
+                tdd = -3.0 * g_model * 0.5 * ilx * sin_row \
+                    + 3.0 * imx * ilx * ilx * a_row
+                td_raw = om_row + dt * tdd
                 td = jnp.clip(td_raw, -_MAX_SPEED, _MAX_SPEED)
-                thp = th_s + td * dt
+                thp = th_row_g + td * dt
                 gate = jnp.where(
                     (td_raw > -_MAX_SPEED) & (td_raw < _MAX_SPEED),
                     1.0, 0.0,
                 )
                 dtd_dl = gate * dt * (
-                    3.0 * g_model * 0.5 * ilx * ilx * sin_t
-                    - 6.0 * imx * ilx * ilx * ilx * a_s
+                    3.0 * g_model * 0.5 * ilx * ilx * sin_row
+                    - 6.0 * imx * ilx * ilx * ilx * a_row
                 )
                 dtd_dm = gate * dt * (
-                    -3.0 * imx * imx * ilx * ilx * a_s
+                    -3.0 * imx * imx * ilx * ilx * a_row
                 )
-                common = -((thp - th2_s) * dt + (td - om2_s)) * inv_os2
+                common = -((thp - th2_row) * dt + (td - om2_row)) \
+                    * inv_os2
                 gl_l = common * dtd_dl
                 gl_m = common * dtd_dm
                 if mpf_log_space:
                     gl_l = gl_l * length
                     gl_m = gl_m * mass
 
-                x0 = x[:, 0:1]
-                x1 = x[:, 1:2]
-                x0t = x0.reshape(1, mp)
-                x1t = x1.reshape(1, mp)
+                x0t = row_at(x[:, 0:1], 0)
+                x1t = row_at(x[:, 1:2], 0)
+                if has_b:
+                    x0t = x0t + row_at(x[:, 64:65], 64)
+                    x1t = x1t + row_at(x[:, 65:66], 64)
                 d2c = (x0 - c0t) ** 2 + (x1 - c1t) ** 2
                 logits = jnp.where(
-                    valid_col, -0.5 * d2c * prior_pbw2, -jnp.inf
+                    gvalid, -0.5 * d2c * ppbw2_row, -jnp.inf
                 )
-                mx = jnp.max(logits, axis=1, keepdims=True)
-                pz = jnp.exp(logits - mx)
-                psum = jnp.sum(pz, axis=1, keepdims=True)
-                pc0 = jnp.sum(pz * c0t, axis=1, keepdims=True) / psum
-                pc1 = jnp.sum(pz * c1t, axis=1, keepdims=True) / psum
-                gp0 = (pc0 - x0) * prior_pbw2
-                gp1 = (pc1 - x1) * prior_pbw2
+                mx = gred(logits, op=jnp.max)
+                pz = jnp.where(gvalid, jnp.exp(logits - mx), 0.0)
+                psum = gred(pz)
+                pc0 = gred(pz * c0t) / psum
+                pc1 = gred(pz * c1t) / psum
+                gp0 = (pc0 - x0) * ppbw2_row
+                gp1 = (pc1 - x1) * ppbw2_row
                 s0 = jnp.where(valid_row, gl_l + gp0, 0.0)
                 s1 = jnp.where(valid_row, gl_m + gp1, 0.0)
+                s0t = row_at(s0[:, 0:1], 0)
+                s1t = row_at(s1[:, 0:1], 0)
+                if has_b:
+                    s0t = s0t + row_at(s0[:, 64:65], 64)
+                    s1t = s1t + row_at(s1[:, 64:65], 64)
 
                 d2 = (x0 - x0t) ** 2 + (x1 - x1t) ** 2
-                k = jnp.where(valid_col,
-                              jnp.exp(-0.5 * d2 * inv_mbw2), 0.0)
-                rows_k = jnp.sum(k, axis=1, keepdims=True)
-                drive0 = jnp.sum(k * s0.reshape(1, mp), axis=1,
-                                 keepdims=True)
-                drive1 = jnp.sum(k * s1.reshape(1, mp), axis=1,
-                                 keepdims=True)
-                kx0 = jnp.sum(k * x0t, axis=1, keepdims=True)
-                kx1 = jnp.sum(k * x1t, axis=1, keepdims=True)
-                phi0 = (drive0 + (rows_k * x0 - kx0) * inv_mbw2) \
-                    / jnp.float32(m_mpf)
-                phi1 = (drive1 + (rows_k * x1 - kx1) * inv_mbw2) \
-                    / jnp.float32(m_mpf)
-                upd = jnp.where(mlane == 0, phi0, 0.0) \
-                    + jnp.where(mlane == 1, phi1, 0.0)
-                mpfx_ref[pl.ds(s * mp, mp), :] = jnp.where(
+                k = jnp.where(gvalid,
+                              jnp.exp(-0.5 * d2 * imbw2_row), 0.0)
+                rows_k = gred(k)
+                drive0 = gred(k * s0t)
+                drive1 = gred(k * s1t)
+                kx0 = gred(k * x0t)
+                kx1 = gred(k * x1t)
+                phi0 = (drive0 + (rows_k * x0 - kx0) * imbw2_row) \
+                    * (1.0 / m_mpf)
+                phi1 = (drive1 + (rows_k * x1 - kx1) * imbw2_row) \
+                    * (1.0 / m_mpf)
+                upd = jnp.where((mlane == 0) | (mlane == 64), phi0, 0.0) \
+                    + jnp.where((mlane == 1) | (mlane == 65), phi1, 0.0)
+                mpfx_ref[pl.ds(p * mp, mp), :] = jnp.where(
                     valid_row, x + mpf_lr * upd, x
                 )
                 return 0
@@ -665,6 +755,11 @@ def fused_pendulum_sweep_episode(
     sm = n_sc * m
     smp = _round8(sm)
     mp = _round8(max(m_mpf, 8))
+    if mp > 64:
+        raise ValueError("sweep episode kernel: m_mpf <= 64 (two "
+                         "scenarios share the 128 lanes of each MPF "
+                         "row block)")
+    n_pair = (n_sc + 1) // 2
     steps_p = _round8(steps)
     host_noise = host_eps is not None
 
@@ -703,15 +798,14 @@ def fused_pendulum_sweep_episode(
     theta_stack = jnp.tile(theta0, (n_sc, 1))            # [sm, hz]
     locs_stack = jnp.tile(jnp.asarray(locs0, jnp.float32), (n_sc, 1))
     amat_stack = jnp.tile(jnp.asarray(a_mat0, jnp.float32), (n_sc, 1))
-    mpfx_stack = jnp.tile(
-        jnp.asarray(mpfx0, jnp.float32), (n_sc, 1)
-    )                                                    # [n_sc*m_mpf, 2]
-    # re-tile with per-scenario mp padding
-    mpfx_rows = jnp.zeros((n_sc * mp, 128), jnp.float32)
+    # two scenarios per MPF row block: scenario 2p at lanes 0:2 of
+    # block p, scenario 2p+1 at lanes 64:66
+    mpfx_rows = jnp.zeros((n_pair * mp, 128), jnp.float32)
     for s in range(n_sc):
-        mpfx_rows = mpfx_rows.at[s * mp:s * mp + m_mpf, :2].set(
-            jnp.asarray(mpfx0, jnp.float32)
-        )
+        p, g = divmod(s, 2)
+        mpfx_rows = mpfx_rows.at[
+            p * mp:p * mp + m_mpf, 64 * g:64 * g + 2
+        ].set(jnp.asarray(mpfx0, jnp.float32))
 
     inputs = [
         seed_arr, scal, il_true, im_true,
@@ -754,7 +848,7 @@ def fused_pendulum_sweep_episode(
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_sc * mp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_pair * mp, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((hz * smp, 128), jnp.float32),       # eps
@@ -763,15 +857,17 @@ def fused_pendulum_sweep_episode(
             pltpu.VMEM((smp, 128), jnp.float32),            # theta
             pltpu.VMEM((smp, 128), jnp.float32),            # locs
             pltpu.VMEM((smp, 128), jnp.float32),            # amat
-            pltpu.VMEM((n_sc * mp, 128), jnp.float32),      # mpf x
+            pltpu.VMEM((n_pair * mp, 128), jnp.float32),    # mpf x
             pltpu.VMEM((8, 128), jnp.float32),              # sim state
         ],
         interpret=interpret,
     )(*inputs)
     log, theta_out, locs_out, amat_out, mpfx_out = outs
-    mpf_final = jnp.stack(
-        [mpfx_out[s * mp:s * mp + m_mpf, :2] for s in range(n_sc)]
-    )
+    mpf_final = jnp.stack([
+        mpfx_out[(s // 2) * mp:(s // 2) * mp + m_mpf,
+                 64 * (s % 2):64 * (s % 2) + 2]
+        for s in range(n_sc)
+    ])
     return {
         "cost": log[:steps, 0:n_sc],
         "th": log[:steps, 8:8 + n_sc],
