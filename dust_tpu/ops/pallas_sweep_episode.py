@@ -187,40 +187,77 @@ def _pendulum_sweep_kernel(
         inv_bw2_col = 1.0 / (bw_col * bw_col)
 
         # ---- dynamics draws from each scenario's MPF prior ----
+        # batched over all (scenario, param-draw) pairs: rows s*8+p of
+        # the [8*n_sc, 128] draw tiles (the pdu/pdz layout), exact
+        # masked selections only (no MXU — the values must match the
+        # single-episode kernel's per-draw scalar path bitwise)
+        from .pallas_episode import _row_of_column
+
         mpfx = mpfx_ref[:]                        # [n_pair*mp, 128]
-        il24 = jnp.zeros((rows, 128), jnp.float32)
-        im24 = jnp.zeros((rows, 128), jnp.float32)
+        nd = 8 * n_sc                             # draw rows
+        rowd = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 0)
+        laned = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 1)
+
+        # per-scenario particle rows stacked [n_sc, 128]
+        lrows, mrows = [], []
+        ztail = jnp.zeros((1, 128 - mp), jnp.float32)
         for s in range(n_sc):
             pr, gr = divmod(s, 2)
             off = 64 * gr
             x_s = mpfx[pr * mp:(pr + 1) * mp, :]
-            len_row = x_s[:, off:off + 1].reshape(1, mp)
-            mass_row = x_s[:, off + 1:off + 2].reshape(1, mp)
-            lane_mp = jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1)
-            pbw_s = jnp.sum(
-                jnp.where(
-                    (lane8 == 2)
-                    & (jax.lax.broadcasted_iota(
-                        jnp.int32, (8, 128), 0) == s),
-                    sim_ref[:], 0.0,
-                )
-            )
-            for p in range(n_params):
-                u = pdu[s * 8 + p:s * 8 + p + 1, 0:1]
-                idx = jnp.minimum(
-                    jnp.floor(u * float(m_mpf)), float(m_mpf - 1)
-                )
-                sel = lane_mp.astype(jnp.float32) == idx
-                lp = jnp.sum(jnp.where(sel, len_row, 0.0)) \
-                    + pbw_s * jnp.sum(pdz[s * 8 + p:s * 8 + p + 1, 0:1])
-                mq = jnp.sum(jnp.where(sel, mass_row, 0.0)) \
-                    + pbw_s * jnp.sum(pdz[s * 8 + p:s * 8 + p + 1, 1:2])
-                if mpf_log_space:
-                    lp = jnp.exp(lp)
-                    mq = jnp.exp(mq)
-                pick = (row_roll // sm == p) & (s_of_rrow == s)
-                il24 = jnp.where(pick, 1.0 / lp, il24)
-                im24 = jnp.where(pick, 1.0 / mq, im24)
+            lrows.append(jnp.concatenate(
+                [x_s[:, off:off + 1].reshape(1, mp), ztail], axis=1))
+            mrows.append(jnp.concatenate(
+                [x_s[:, off + 1:off + 2].reshape(1, mp), ztail], axis=1))
+        ltile = jnp.concatenate(lrows, axis=0)    # [n_sc, 128]
+        mtile = jnp.concatenate(mrows, axis=0)
+        # broadcast to draw rows: row s*8+p -> scenario s
+        l64 = jnp.zeros((nd, 128), jnp.float32)
+        m64 = jnp.zeros((nd, 128), jnp.float32)
+        for s in range(n_sc):
+            in_s = rowd // 8 == s
+            l64 = jnp.where(in_s, ltile[s:s + 1, :], l64)
+            m64 = jnp.where(in_s, mtile[s:s + 1, :], m64)
+
+        u_col = pdu[:, 0:1]                       # [nd, 1]
+        idx = jnp.minimum(jnp.floor(u_col * float(m_mpf)),
+                          float(m_mpf - 1))
+        onehot = laned.astype(jnp.float32) == idx
+        lp_sel = jnp.sum(jnp.where(onehot, l64, 0.0), axis=1,
+                         keepdims=True)
+        mq_sel = jnp.sum(jnp.where(onehot, m64, 0.0), axis=1,
+                         keepdims=True)
+
+        # prior bandwidth per draw row (scenario s -> sim lane 2)
+        pbw8 = jnp.sum(jnp.where(lane8 == 2, sim_ref[:], 0.0), axis=1,
+                       keepdims=True)             # [8, 1]
+        pbw_row = _row_of_column(pbw8, 8)         # [1, 128] lane s
+        pbw_d = jnp.sum(
+            jnp.where(laned == rowd // 8, pbw_row, 0.0), axis=1,
+            keepdims=True,
+        )                                         # [nd, 1]
+        lp = lp_sel + pbw_d * pdz[:, 0:1]
+        mq = mq_sel + pbw_d * pdz[:, 1:2]
+        if mpf_log_space:
+            lp = jnp.exp(lp)
+            mq = jnp.exp(mq)
+        il_d = 1.0 / lp                           # [nd, 1]
+        im_d = 1.0 / mq
+
+        # scatter to rollout rows: row p*sm + s*m + q -> draw s*8+p
+        il_row = _row_of_column(il_d, nd)         # [1, 128] lane s*8+p
+        im_row = _row_of_column(im_d, nd)
+        j_of_rrow = s_of_rrow * 8 + row_roll // sm
+        il24 = jnp.sum(
+            jnp.where(jax.lax.broadcasted_iota(
+                jnp.int32, (rows, 128), 1) == j_of_rrow,
+                il_row, 0.0), axis=1, keepdims=True,
+        )                                         # [rows, 1]
+        im24 = jnp.sum(
+            jnp.where(jax.lax.broadcasted_iota(
+                jnp.int32, (rows, 128), 1) == j_of_rrow,
+                im_row, 0.0), axis=1, keepdims=True,
+        )
 
         # ---- rollouts: all S * n_params * n_act * m trajectories ----
         th0_col = jnp.zeros((rows, 1), jnp.float32)

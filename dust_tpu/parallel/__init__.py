@@ -7,7 +7,12 @@ from .mesh import (
 from .rollout import make_sharded_disco_forward
 from .stein import ShardedMPF, make_sharded_svgd_phi
 from .svmpc_sharded import ShardedSVMPC
-from .sweep import ParticleScenarioSweep, ScenarioSweep, broadcast_scenarios
+from .sweep import (
+    MegakernelGroupSweep,
+    ParticleScenarioSweep,
+    ScenarioSweep,
+    broadcast_scenarios,
+)
 
 __all__ = [
     "initialize_distributed",
@@ -18,6 +23,7 @@ __all__ = [
     "ShardedMPF",
     "make_sharded_svgd_phi",
     "ShardedSVMPC",
+    "MegakernelGroupSweep",
     "ParticleScenarioSweep",
     "ScenarioSweep",
     "broadcast_scenarios",

@@ -130,3 +130,51 @@ class ParticleScenarioSweep:
                 place(mstate), place(sim_mass),
             )
         return self._fn(keys, state0, dstate, svstate, mstate, sim_mass)
+
+
+class MegakernelGroupSweep:
+    """Shard scenario-sweep MEGAKERNEL groups over a device mesh.
+
+    The sweep megakernel (`ops/pallas_sweep_episode.py`, the bench.py
+    headline) advances up to 8 episodes per Pallas program; at pod
+    scale the GROUP axis is the data-parallel unit: each device scans
+    its local groups, so N devices run N*groups_per_device*8 episodes
+    with zero cross-device communication (scenario DP, SURVEY.md §2.2).
+
+    `sweep_fn(seed2, *mapped)` is a megakernel adapter
+    (`simulation.megakernel_pendulum_sweep_fn` closure, optionally with
+    per-group host-noise arrays appended as mapped args for CPU
+    tests). shard_map is required — a Pallas call has no GSPMD
+    partitioning rule, so jit in_shardings cannot split it; explicit
+    per-device programs can.
+    """
+
+    def __init__(self, sweep_fn, mesh=None, axis="scenario"):
+        self.mesh = mesh
+        self.axis = axis
+
+        def batched(seeds, *mapped):
+            return jax.vmap(sweep_fn)(seeds, *mapped)
+
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(axis)
+            self._fn = jax.jit(shard_map(
+                batched, mesh=mesh,
+                in_specs=spec, out_specs=spec,
+                check_vma=False,
+            ))
+        else:
+            self._fn = jax.jit(batched)
+
+    def run(self, seeds, *mapped):
+        """seeds [G, 2] int32 (G divisible by mesh size when sharded);
+        mapped: optional per-group leading-axis-G arrays (host noise).
+        Returns the megakernel's log dict with a leading group axis."""
+        if self.mesh is not None:
+            shard = scenario_sharding(self.mesh, self.axis)
+            seeds = jax.device_put(seeds, shard)
+            mapped = tuple(jax.device_put(m, shard) for m in mapped)
+        return self._fn(seeds, *mapped)

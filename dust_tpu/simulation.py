@@ -257,7 +257,8 @@ def megakernel_pendulum_sweep_fn(stack, exp_params, steps, n_sc,
     amat0 = dstate.a_mat[..., 0]
     g_model = float(stack.model.params_dict["g"])
 
-    def sweep(seed, true_lengths, true_masses):
+    def sweep(seed, true_lengths, true_masses, host_eps=None,
+              host_pdz=None, host_pdu=None):
         return fused_pendulum_sweep_episode(
             seed, stack.init_state, theta0, locs0, amat0,
             stack.mpf_init, mstate.prior_bw, true_lengths, true_masses,
@@ -274,6 +275,7 @@ def megakernel_pendulum_sweep_fn(stack, exp_params, steps, n_sc,
             mpf_fixed_bw=exp.get("mpf_bandwidth"),
             mpf_bw_scale=exp["mpf_bandwidth_scaling"],
             unroll=unroll, interpret=interpret,
+            host_eps=host_eps, host_pdz=host_pdz, host_pdu=host_pdu,
         )
 
     return sweep

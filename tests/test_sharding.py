@@ -109,3 +109,54 @@ def test_scenarios_differ_by_true_params():
     states = np.asarray(out["states"])
     # same key, different lengths -> trajectories diverge
     assert not np.allclose(states[0], states[3])
+
+
+def test_sharded_megakernel_group_sweep_matches_unsharded():
+    """The sweep-megakernel group axis (the bench.py headline path)
+    shards over the mesh with zero cross-device math: sharded ==
+    unsharded exactly. Interpret mode zero-stubs the hardware PRNG, so
+    per-group host noise is threaded as mapped args."""
+    from dust_tpu.parallel.sweep import MegakernelGroupSweep
+    from dust_tpu.simulation import megakernel_pendulum_sweep_fn
+
+    assert len(jax.devices()) == 8
+    cfg = load_config(PEND_CFG)
+    exp = cfg["exp_params"]
+    stack = build_pendulum_stack(cfg, jax.random.key(0), case="dust")
+    n_sc, steps, groups = 2, 1, 8
+    hz, m = exp["horizon"], exp["n_particles"]
+    smp = -(-n_sc * m // 8) * 8
+    base = megakernel_pendulum_sweep_fn(
+        stack, exp, steps=steps, n_sc=n_sc, unroll=False,
+        interpret=True,
+    )
+    lens = jnp.linspace(0.8, 1.2, n_sc)
+    mass = jnp.linspace(0.9, 1.1, n_sc)
+
+    def sweep_fn(seed, eps, pdz, pdu):
+        out = base(seed, lens, mass, host_eps=eps, host_pdz=pdz,
+                   host_pdu=pdu)
+        return {"cost": out["cost"], "theta": out["theta"],
+                "mpf_x": out["mpf_x"]}
+
+    key = jax.random.key(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    seeds = jnp.zeros((groups, 2), jnp.int32)
+    eps = jax.random.normal(k1, (groups, steps, hz, smp, 128))
+    pdz = jax.random.normal(k2, (groups, steps, n_sc, 8, 128))
+    pdu = jax.random.uniform(k3, (groups, steps, n_sc, 8, 128))
+
+    plain = MegakernelGroupSweep(sweep_fn, mesh=None)
+    sharded = MegakernelGroupSweep(sweep_fn, mesh=make_mesh(8))
+    out_a = plain.run(seeds, eps, pdz, pdu)
+    out_b = sharded.run(seeds, eps, pdz, pdu)
+    for k in out_a:
+        # ulp-level: the unsharded program vmaps 8 groups wide while
+        # each device compiles a width-1 program — XLA fuses the
+        # interpret-mode kernel body slightly differently per width
+        np.testing.assert_allclose(np.asarray(out_a[k]),
+                                   np.asarray(out_b[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+    # groups carry different noise -> different episodes
+    assert not np.allclose(np.asarray(out_a["cost"][0]),
+                           np.asarray(out_a["cost"][1]))
