@@ -5,8 +5,8 @@ the single-episode latency headline (53 us/solve on v5e). On scenario
 sweeps the per-step-kernel stack previously won (42.2k solves/s at
 n=256) because vmapping batches its XLA glue wide while a vmapped
 megakernel would serialize whole episodes. This kernel wins the sweep
-headline: 45.0k solves/s at n=256 on v5e (32 scanned groups of S=8,
-see BASELINE.md).
+headline: 63.8k solves/s at n=256 on v5e (32 scanned groups of S=8,
+the bench.py default; see BASELINE.md).
 
 This kernel batches S scenarios INSIDE one episode megakernel: every
 tile gains a scenario axis in its rows, so each of the `steps`
@@ -57,6 +57,7 @@ from .pallas_episode import (
     _normals,
     _pad_tile,
     _round8,
+    _row_of_column,
     _silverman_row,
     _uniform01,
 )
@@ -191,8 +192,6 @@ def _pendulum_sweep_kernel(
         # the [8*n_sc, 128] draw tiles (the pdu/pdz layout), exact
         # masked selections only (no MXU — the values must match the
         # single-episode kernel's per-draw scalar path bitwise)
-        from .pallas_episode import _row_of_column
-
         mpfx = mpfx_ref[:]                        # [n_pair*mp, 128]
         nd = 8 * n_sc                             # draw rows
         rowd = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 0)
@@ -500,8 +499,6 @@ def _pendulum_sweep_kernel(
         # [mp, 128] tiles that only use m_mpf lanes; pairing scenarios
         # in the lane halves halves the serial loop (measured: the MPF
         # section was 65% of the step at one scenario per iteration) ----
-        from .pallas_episode import _row_of_column
-
         bw_mpf_col = jnp.zeros((8, 1), jnp.float32)
         scal_s = []                   # per-scenario MPF scalars
         for s in range(n_sc):
