@@ -414,19 +414,25 @@ def _time_chained_episodes_seeded(episode_scalar, repeats, chain=None):
     return _time_best(run, repeats) / chain
 
 
-def bench_sweep_mega(n_scenarios, steps, repeats):
+def bench_sweep_mega(n_scenarios, steps, repeats, svmpc_only=False):
     """Scenario-batched sweep megakernel (ops/pallas_sweep_episode.py):
     groups of 8 episodes per Pallas program, lax.scan over groups —
-    the sweep-scale counterpart of pendulum_dust_mega."""
+    the sweep-scale counterpart of pendulum_dust_mega. svmpc_only
+    degenerates to the SV-MPC single-posterior case (BASELINE.json
+    config #1 at sweep scale)."""
     from dust_tpu.simulation import megakernel_pendulum_sweep_fn
 
     S = min(8, n_scenarios)
     groups = max(1, n_scenarios // S)
     n = S * groups
     config = load_config(ROOT / "demo/pendulum_config.yaml")
-    stack = build_pendulum_stack(config, jax.random.key(0), case="dust")
+    stack = build_pendulum_stack(
+        config, jax.random.key(0),
+        case="svmpc" if svmpc_only else "dust",
+    )
     sweep = megakernel_pendulum_sweep_fn(
-        stack, config["exp_params"], steps=steps, n_sc=S
+        stack, config["exp_params"], steps=steps, n_sc=S,
+        unroll=False, svmpc_only=svmpc_only,
     )
     lens = jnp.linspace(0.8, 1.2, S)
     mass = jnp.linspace(0.9, 1.1, S)
@@ -503,6 +509,9 @@ def main():
     n = 16 if args.quick else 64
     sweeps = {
         f"sweep_mega_n{n}": lambda: bench_sweep_mega(n, steps, repeats),
+        f"svmpc_sweep_mega_n{n}": lambda: bench_sweep_mega(
+            n, steps, repeats, svmpc_only=True
+        ),
         f"sweep_n{n}": lambda: bench_sweep(n, steps, repeats, fused=True),
         f"sweep_n{n}_plain": lambda: bench_sweep(n, steps, repeats),
         f"particle_sweep_n{n}": lambda: bench_particle_sweep(

@@ -617,17 +617,33 @@ def _pendulum_sweep_kernel(
                                  keepdims=True)
                 return jnp.where(in_a, ra, rb)
 
+            # lane-valid predicate as a [1, 128] row (the likelihood
+            # math below runs in particle-on-lanes row layout: every
+            # quantity is per particle, so a 1-vreg [1, 128] row does
+            # the work the 7-vreg [mp, 128] group tile used to)
+            gvr = (
+                (jnp.where(lane1 >= 64, lane1 - 64, lane1) < m_mpf)
+                & (lane1 < (128 if has_b else 64))
+            )
+
             def mpf_body(i, _, p=p, has_b=has_b, c0t=c0t, c1t=c1t,
                          sin_row=sin_row, a_row=a_row, om_row=om_row,
                          th_row_g=th_row_g, th2_row=th2_row,
                          om2_row=om2_row, ppbw2_row=ppbw2_row,
-                         imbw2_row=imbw2_row, gvalid=gvalid,
+                         imbw2_row=imbw2_row, gvalid=gvalid, gvr=gvr,
                          gred=gred):
                 x = mpfx_ref[pl.ds(p * mp, mp), :]
                 x0 = jnp.where(in_a, x[:, 0:1], x[:, 64:65])
                 x1 = jnp.where(in_a, x[:, 1:2], x[:, 65:66])
-                length = jnp.where(valid_row, x0, 1.0)
-                mass = jnp.where(valid_row, x1, 1.0)
+                x0t = row_at(x[:, 0:1], 0)
+                x1t = row_at(x[:, 1:2], 0)
+                if has_b:
+                    x0t = x0t + row_at(x[:, 64:65], 64)
+                    x1t = x1t + row_at(x[:, 65:66], 64)
+
+                # likelihood gradient in row layout [1, 128]
+                length = jnp.where(gvr, x0t, 1.0)
+                mass = jnp.where(gvr, x1t, 1.0)
                 if mpf_log_space:
                     length = jnp.exp(length)
                     mass = jnp.exp(mass)
@@ -657,11 +673,6 @@ def _pendulum_sweep_kernel(
                     gl_l = gl_l * length
                     gl_m = gl_m * mass
 
-                x0t = row_at(x[:, 0:1], 0)
-                x1t = row_at(x[:, 1:2], 0)
-                if has_b:
-                    x0t = x0t + row_at(x[:, 64:65], 64)
-                    x1t = x1t + row_at(x[:, 65:66], 64)
                 d2c = (x0 - c0t) ** 2 + (x1 - c1t) ** 2
                 logits = jnp.where(
                     gvalid, -0.5 * d2c * ppbw2_row, -jnp.inf
@@ -671,15 +682,16 @@ def _pendulum_sweep_kernel(
                 psum = gred(pz)
                 pc0 = gred(pz * c0t) / psum
                 pc1 = gred(pz * c1t) / psum
-                gp0 = (pc0 - x0) * ppbw2_row
-                gp1 = (pc1 - x1) * ppbw2_row
-                s0 = jnp.where(valid_row, gl_l + gp0, 0.0)
-                s1 = jnp.where(valid_row, gl_m + gp1, 0.0)
-                s0t = row_at(s0[:, 0:1], 0)
-                s1t = row_at(s1[:, 0:1], 0)
+                # GMM prior score + total score, still in row layout
+                pc0_row = row_at(pc0[:, 0:1], 0)
+                pc1_row = row_at(pc1[:, 0:1], 0)
                 if has_b:
-                    s0t = s0t + row_at(s0[:, 64:65], 64)
-                    s1t = s1t + row_at(s1[:, 64:65], 64)
+                    pc0_row = pc0_row + row_at(pc0[:, 64:65], 64)
+                    pc1_row = pc1_row + row_at(pc1[:, 64:65], 64)
+                gp0 = (pc0_row - x0t) * ppbw2_row
+                gp1 = (pc1_row - x1t) * ppbw2_row
+                s0t = jnp.where(gvr, gl_l + gp0, 0.0)
+                s1t = jnp.where(gvr, gl_m + gp1, 0.0)
 
                 d2 = (x0 - x0t) ** 2 + (x1 - x1t) ** 2
                 k = jnp.where(gvalid,
@@ -701,7 +713,7 @@ def _pendulum_sweep_kernel(
                 return 0
 
             jax.lax.fori_loop(0, mpf_steps, mpf_body, 0,
-                              unroll=mpf_steps if unroll else 1)
+                              unroll=max(1, mpf_steps) if unroll else 1)
 
         # ---- logs + sim-state commit ----
         def scatter8(col):

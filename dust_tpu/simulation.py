@@ -239,43 +239,70 @@ def megakernel_pendulum_episode_fn(stack, exp_params, steps, warm_up=0,
 
 def megakernel_pendulum_sweep_fn(stack, exp_params, steps, n_sc,
                                  warm_up=0, unroll=True,
-                                 interpret=False):
+                                 interpret=False, svmpc_only=False):
     """Scenario-batched sweep megakernel adapter
     (`ops/pallas_sweep_episode.py`): n_sc <= 8 independent pendulum
     DuSt episodes — per-scenario true parameters, seeds, Silverman
     bandwidths and MPF posteriors — advance in lockstep inside ONE
     Pallas program. The pod-scale sweep path: vmap/scan over groups of
     8 for larger sweeps. Returns sweep(seed [2] int32,
-    true_lengths [n_sc], true_masses [n_sc]) -> per-scenario logs."""
+    true_lengths [n_sc], true_masses [n_sc]) -> per-scenario logs.
+
+    svmpc_only=True degenerates the dual loop into the SV-MPC
+    single-posterior case (`pendulum_example.py:191-215` semantics:
+    model default parameters, no dynamics inference) with NO kernel
+    changes: one MPF particle at the model's default (length, mass),
+    zero prior bandwidth and zero MPF steps make every dynamics draw
+    exactly the default parameters and freeze the posterior."""
     from .ops.pallas_sweep_episode import fused_pendulum_sweep_episode
 
     exp = exp_params
-    mstate = stack.mpf.init_state(stack.mpf_init, stack.init_state, 1)
     dstate = stack.controller.init_state(stack.init_policies)
     theta0 = stack.init_policies[..., 0]
     locs0 = stack.policies_prior.locs[..., 0]
     amat0 = dstate.a_mat[..., 0]
     g_model = float(stack.model.params_dict["g"])
+    if svmpc_only:
+        mpf_init = jnp.array([[
+            float(stack.model.params_dict["length"]),
+            float(stack.model.params_dict["mass"]),
+        ]], jnp.float32)
+        # mpf_fixed_bw=0 keeps the PRIOR bandwidth at exactly zero on
+        # every step (the Silverman fallback has a 1e-6 floor that
+        # would re-inject draw noise); with mpf_steps=0 the Stein
+        # division by bw^2 it would otherwise feed never runs
+        mpf_cfg = dict(m_mpf=1, mpf_steps=0, mpf_log_space=False,
+                       mpf_fixed_bw=0.0)
+        prior_bw0 = jnp.float32(0.0)
+        n_params = 1
+    else:
+        mstate = stack.mpf.init_state(stack.mpf_init, stack.init_state,
+                                      1)
+        mpf_init = stack.mpf_init
+        mpf_cfg = dict(m_mpf=exp["mpf_n_particles"],
+                       mpf_steps=exp["mpf_steps"],
+                       mpf_log_space=exp["mpf_log_space"],
+                       mpf_fixed_bw=exp.get("mpf_bandwidth"))
+        prior_bw0 = mstate.prior_bw
+        n_params = exp["params_samples"]
 
     def sweep(seed, true_lengths, true_masses, host_eps=None,
               host_pdz=None, host_pdu=None):
         return fused_pendulum_sweep_episode(
             seed, stack.init_state, theta0, locs0, amat0,
-            stack.mpf_init, mstate.prior_bw, true_lengths, true_masses,
+            mpf_init, prior_bw0, true_lengths, true_masses,
             exp["ctrl_sigma"], exp["learning_rate"], exp["alpha"],
             1.0 / exp["alpha"], exp["prior_sigma"],
             exp["mpf_learning_rate"], exp["mpf_obs_std"],
             n_sc=n_sc, steps=steps, warm_up=warm_up, hz=exp["horizon"],
-            m=exp["n_particles"], n_params=exp["params_samples"],
-            n_act=exp["action_samples"], m_mpf=exp["mpf_n_particles"],
-            mpf_steps=exp["mpf_steps"], g_model=g_model, g_sim=10.0,
+            m=exp["n_particles"], n_params=n_params,
+            n_act=exp["action_samples"], g_model=g_model, g_sim=10.0,
             exp_util=exp.get("likelihood", "ExponentiatedUtility")
             == "ExponentiatedUtility",
-            mpf_log_space=exp["mpf_log_space"],
-            mpf_fixed_bw=exp.get("mpf_bandwidth"),
             mpf_bw_scale=exp["mpf_bandwidth_scaling"],
             unroll=unroll, interpret=interpret,
             host_eps=host_eps, host_pdz=host_pdz, host_pdu=host_pdu,
+            **mpf_cfg,
         )
 
     return sweep

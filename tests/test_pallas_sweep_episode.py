@@ -165,3 +165,49 @@ def test_sweep_device_rng_deterministic():
     np.testing.assert_array_equal(np.asarray(a["cost"]),
                                   np.asarray(b["cost"]))
     assert np.isfinite(np.asarray(a["cost"])).all()
+
+
+def test_sweep_svmpc_only_mode():
+    """svmpc_only degenerates the dual loop to the SV-MPC case: one MPF
+    particle at the default params, zero prior bandwidth, zero MPF
+    steps. Pinned property: the dynamics-draw noise (pdz/pdu) has NO
+    effect (every draw is exactly the default parameters), while the
+    action noise still drives the episodes."""
+    from dust_tpu.experiments import build_pendulum_stack, load_config
+    from dust_tpu.simulation import megakernel_pendulum_sweep_fn
+
+    cfg = load_config("demo/pendulum_config.yaml")
+    exp = cfg["exp_params"]
+    stack = build_pendulum_stack(cfg, jax.random.key(0), case="svmpc")
+    n_sc, steps = 2, 2
+    hz, m = exp["horizon"], exp["n_particles"]
+    smp = -(-n_sc * m // 8) * 8
+    sweep = megakernel_pendulum_sweep_fn(
+        stack, exp, steps=steps, n_sc=n_sc, unroll=False,
+        interpret=True, svmpc_only=True,
+    )
+    lens = jnp.ones(n_sc)
+    mass = jnp.ones(n_sc)
+    key = jax.random.key(4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    eps = jax.random.normal(k1, (steps, hz, smp, 128))
+    pdz_a = jax.random.normal(k2, (steps, n_sc, 8, 128))
+    pdu_a = jax.random.uniform(k3, (steps, n_sc, 8, 128))
+    pdz_b = jax.random.normal(k4, (steps, n_sc, 8, 128))
+    pdu_b = jax.random.uniform(k5, (steps, n_sc, 8, 128))
+    seed = jnp.zeros(2, jnp.int32)
+    out_a = sweep(seed, lens, mass, host_eps=eps, host_pdz=pdz_a,
+                  host_pdu=pdu_a)
+    out_b = sweep(seed, lens, mass, host_eps=eps, host_pdz=pdz_b,
+                  host_pdu=pdu_b)
+    for k in ("cost", "th", "om", "action", "theta"):
+        np.testing.assert_array_equal(np.asarray(out_a[k]),
+                                      np.asarray(out_b[k]), err_msg=k)
+    # MPF posterior is frozen at the default params
+    np.testing.assert_array_equal(
+        np.asarray(out_a["mpf_x"]),
+        np.broadcast_to(np.array([[1.0, 1.0]], np.float32),
+                        (n_sc, 1, 2)),
+    )
+    # actions are live (nonzero swing-up torque from step 0)
+    assert np.abs(np.asarray(out_a["action"])).max() > 0.0
