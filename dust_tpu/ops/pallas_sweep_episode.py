@@ -37,7 +37,8 @@ independent runs of the single-episode kernel.
 
 Restrictions beyond the single-episode kernel: S <= 8, the controller
 `a_seq` must be zero (true for the SVMPC demo path — `DiscoState.a_seq`
-initializes to zeros and SVMPC never calls `controller.step`), and the
+initializes to zeros and SVMPC never calls `controller.step`; the
+simulation.py adapter checks the concrete initial state), and the
 policy prior is unweighted (pendulum demo).
 """
 
@@ -331,7 +332,6 @@ def _pendulum_sweep_kernel(
         row_max = jnp.max(lc, axis=1, keepdims=True)
         e = jnp.where(valid, jnp.exp(lc - row_max), 0.0)
         sum_e = jnp.sum(e, axis=1, keepdims=True)
-        eta = row_max + jnp.log(jnp.maximum(sum_e, 1e-37))
         omega = e / jnp.maximum(sum_e, 1e-37)
 
         wl = jnp.where(valid, -mcost * alpha, _NEG_BIG)
@@ -347,8 +347,10 @@ def _pendulum_sweep_kernel(
                 jnp.where(valid, mcost, 0.0), axis=1, keepdims=True
             ) * (1.0 / n_act)
 
-        # DISCO delta + analytic likelihood gradient (a_seq == 0
-        # asserted by the wrapper, so the delta drops the a_seq term)
+        # DISCO delta + analytic likelihood gradient. The delta drops
+        # the a_seq term: this kernel requires the controller a_seq to
+        # be zero (the SVMPC demo path never calls controller.step;
+        # megakernel_pendulum_sweep_fn checks the concrete init state)
         def acc_body(tt, carry):
             delta, wa = carry
             a_sm = actions_at(tt)
@@ -376,8 +378,19 @@ def _pendulum_sweep_kernel(
         # hw-PRNG episodes). Center per scenario block first (one
         # block-mask matmul) so every norm is spread-scale, and clamp
         # d2 at 0.
+        # NaN isolation: the block masks zero off-scenario MATRIX
+        # entries, but a dot's column operand still poisons every row
+        # through 0 * NaN = NaN. Sanitize the column operands of the
+        # five cross-row matmuls so a diverged scenario stays NaN in
+        # its own rows (its elementwise path keeps the NaN) without
+        # leaking into healthy scenarios (parallel/sweep.py's
+        # per-scenario failure-isolation contract).
+        def fin(v):
+            return jnp.where(jnp.isfinite(v), v, 0.0)
+
         blkf = blk.astype(jnp.float32) * (1.0 / m)
-        mean_t = jnp.dot(blkf, theta, preferred_element_type=jnp.float32)
+        mean_t = jnp.dot(blkf, fin(theta),
+                         preferred_element_type=jnp.float32)
         tc = theta - mean_t
         lc_c = locs - mean_t
         tc_norm = jnp.sum(tc * tc, axis=1, keepdims=True)
@@ -395,7 +408,8 @@ def _pendulum_sweep_kernel(
         r = r_e / jnp.maximum(jnp.sum(r_e, axis=1, keepdims=True),
                               1e-37)
         score = glik + (
-            jnp.dot(r, lc_c, preferred_element_type=jnp.float32) - tc
+            jnp.dot(r, fin(lc_c), preferred_element_type=jnp.float32)
+            - tc
         ) * inv_ps2
 
         # RBF Stein terms, per-scenario bandwidth
@@ -406,12 +420,12 @@ def _pendulum_sweep_kernel(
         kmat = jnp.where(
             blk, jnp.exp(-0.5 * d2_tt * inv_bw2_col), 0.0
         )
-        k_score = jnp.dot(kmat, score,
+        k_score = jnp.dot(kmat, fin(score),
                           preferred_element_type=jnp.float32)
         # centered theta here too: K @ theta - rowsum * theta is the
         # same cancellation trap (the block-constant mean cancels
         # exactly since K rows live within one block)
-        k_theta = jnp.dot(kmat, tc,
+        k_theta = jnp.dot(kmat, fin(tc),
                           preferred_element_type=jnp.float32)
         rowsum_k = jnp.sum(kmat, axis=1, keepdims=True)
         grad_k = -(k_theta - rowsum_k * tc) * inv_bw2_col
@@ -421,7 +435,7 @@ def _pendulum_sweep_kernel(
 
         # ---- forward: per-scenario weights / select / roll ----
         # same per-scenario centering discipline as the Stein block
-        mean_n = jnp.dot(blkf, theta_new,
+        mean_n = jnp.dot(blkf, fin(theta_new),
                          preferred_element_type=jnp.float32)
         nc = theta_new - mean_n
         lc_n = locs - mean_n
@@ -798,6 +812,14 @@ def fused_pendulum_sweep_episode(
                          "(vmap/scan over groups for larger sweeps)")
     if hz > 128 or n_act > 128:
         raise ValueError("sweep episode kernel: hz<=128, n_act<=128")
+    if n_params > 8:
+        raise ValueError("sweep episode kernel: n_params <= 8 (the "
+                         "pdz/pdu draw tiles hold 8 rows per scenario "
+                         "and rollout rows map draws as s*8 + p)")
+    if m * hz > 128:
+        raise ValueError("sweep episode kernel: m*hz <= 128 (the "
+                         "per-scenario Silverman row packs all m*hz "
+                         "policy values into one 128-lane row)")
     sm = n_sc * m
     smp = _round8(sm)
     mp = _round8(max(m_mpf, 8))

@@ -41,6 +41,15 @@ def make_sharded_svgd_phi(mesh, axis="particle"):
         s_all = jax.lax.all_gather(score_local, axis, tiled=True)   # [m, d]
         m = x_all.shape[0]
         inv = 1.0 / (bw * bw)
+        # center by the (replicated) global mean: the Gram identity's
+        # cancellation error grows with ||x||^2 while bw tracks only
+        # the spread — see ops/distance.py for the failure mode. K and
+        # the repulsion term are translation invariant, so this is
+        # exact. Same shift on every device (x_all is replicated).
+        mu = jax.lax.stop_gradient(jnp.mean(x_all, axis=0,
+                                            keepdims=True))
+        x_local = x_local - mu
+        x_all = x_all - mu
         # local row-block of K: [ml, m]
         d2 = (
             jnp.sum(x_local**2, axis=1, keepdims=True)

@@ -156,6 +156,14 @@ class ShardedSVMPC:
         score_l = score.reshape(ml, -1)
         flat_all = jax.lax.all_gather(flat_l, axis, tiled=True)
         score_all = jax.lax.all_gather(score_l, axis, tiled=True)
+        # center by the replicated global mean before the Gram
+        # identity (see ops/distance.py / parallel/stein.py: the
+        # cancellation error grows with ||theta||^2; K, the repulsion
+        # term and phi are translation invariant)
+        mu = jax.lax.stop_gradient(jnp.mean(flat_all, axis=0,
+                                            keepdims=True))
+        flat_l = flat_l - mu
+        flat_all = flat_all - mu
         d2 = (
             jnp.sum(flat_l**2, axis=1, keepdims=True)
             + jnp.sum(flat_all**2, axis=1)[None, :]

@@ -258,6 +258,14 @@ def megakernel_pendulum_sweep_fn(stack, exp_params, steps, n_sc,
 
     exp = exp_params
     dstate = stack.controller.init_state(stack.init_policies)
+    # the sweep kernel drops the a_seq term from the DISCO delta: only
+    # valid while the controller plan is zero (SVMPC never calls
+    # controller.step, so the initial zeros persist)
+    import numpy as _np
+
+    if _np.any(_np.asarray(dstate.a_seq)):
+        raise ValueError("sweep megakernel requires a zero controller "
+                         "a_seq (SVMPC demo semantics)")
     theta0 = stack.init_policies[..., 0]
     locs0 = stack.policies_prior.locs[..., 0]
     amat0 = dstate.a_mat[..., 0]

@@ -211,3 +211,28 @@ def test_sweep_svmpc_only_mode():
     )
     # actions are live (nonzero swing-up torque from step 0)
     assert np.abs(np.asarray(out_a["action"])).max() > 0.0
+
+
+def test_sweep_nan_scenario_isolation():
+    """A diverged scenario must stay NaN in its own lanes WITHOUT
+    poisoning healthy scenarios: the cross-row matmuls sanitize their
+    column operands (0 * NaN = NaN would otherwise leak through the
+    block masks). Inject NaN via one scenario's true parameters."""
+    n_sc, steps = 4, 2
+    theta0, mpfx0, eps, pdz, pdu, lens, mass = _setup(n_sc, steps,
+                                                      seed=9)
+    out_a = _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens,
+                       mass)
+    lens_b = lens.at[1].set(jnp.nan)
+    out_b = _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu,
+                       lens_b, mass)
+    others = np.array([0, 2, 3])
+    for k in ("cost", "th", "om", "action", "bw_sv"):
+        np.testing.assert_array_equal(
+            np.asarray(out_a[k][:, others]),
+            np.asarray(out_b[k][:, others]), err_msg=k,
+        )
+    np.testing.assert_array_equal(np.asarray(out_a["theta"][others]),
+                                  np.asarray(out_b["theta"][others]))
+    # the poisoned scenario itself reports NaN (not silently "healthy")
+    assert not np.isfinite(np.asarray(out_b["th"][:, 1])).all()
