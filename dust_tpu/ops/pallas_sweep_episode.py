@@ -386,7 +386,10 @@ def _pendulum_sweep_kernel(
         # leaking into healthy scenarios (parallel/sweep.py's
         # per-scenario failure-isolation contract).
         def fin(v):
-            return jnp.where(jnp.isfinite(v), v, 0.0)
+            # finite test as sub/compare/select only (v - v is 0 for
+            # finite v, NaN for inf/NaN) — guaranteed to lower in
+            # Mosaic, unlike a jnp.isfinite intrinsic
+            return jnp.where(v - v == 0.0, v, 0.0)
 
         blkf = blk.astype(jnp.float32) * (1.0 / m)
         mean_t = jnp.dot(blkf, fin(theta),
