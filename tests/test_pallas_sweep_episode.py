@@ -236,3 +236,31 @@ def test_sweep_nan_scenario_isolation():
                                   np.asarray(out_b["theta"][others]))
     # the poisoned scenario itself reports NaN (not silently "healthy")
     assert not np.isfinite(np.asarray(out_b["th"][:, 1])).all()
+
+
+def test_sweep_layout_guards_raise():
+    """The wrapper rejects configurations the tile layouts cannot
+    represent instead of silently corrupting results."""
+    n_sc, steps = 2, 1
+    theta0, mpfx0, eps, pdz, pdu, lens, mass = _setup(n_sc, steps)
+
+    def run(**over):
+        kw = dict(n_sc=n_sc, steps=steps, hz=HZ, m=M, n_params=NP,
+                  n_act=NA, m_mpf=MM, mpf_steps=20, unroll=False,
+                  host_eps=eps, host_pdz=pdz, host_pdu=pdu,
+                  interpret=True)
+        kw.update(over)
+        return fused_pendulum_sweep_episode(
+            jnp.zeros(2, jnp.int32), jnp.array([np.pi, 0.0]), theta0,
+            theta0, jnp.zeros((M, HZ)), mpfx0, PBW0, lens, mass,
+            SIG, LR, ALPHA, TEMP, PSIG, MLR, MSIG, **kw,
+        )
+
+    with pytest.raises(ValueError, match="n_params"):
+        run(n_params=9)
+    with pytest.raises(ValueError, match="m\\*hz"):
+        run(m=5)          # 5 * 30 = 150 > 128 lanes
+    with pytest.raises(ValueError, match="m_mpf"):
+        run(m_mpf=80)     # two scenarios cannot share 128 lanes
+    with pytest.raises(ValueError, match="n_sc"):
+        run(n_sc=9)
