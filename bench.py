@@ -302,7 +302,17 @@ def main():
     # BENCH_SOLVE / BENCH_ROLLOUT knobs apply to this mode)
     mode = os.environ.get("BENCH_EPISODE", "sweep")
     if mode == "sweep":
-        scan_solves, costs = bench_episode_sweep(stack, config)
+        try:
+            scan_solves, costs = bench_episode_sweep(stack, config)
+        except Exception as e:  # pragma: no cover - device-side fallback
+            # never let the headline bench die on a kernel-lowering
+            # regression: fall back to the single-episode megakernel
+            import sys
+
+            print(f"sweep mode failed ({type(e).__name__}: {e}); "
+                  "falling back to mega", file=sys.stderr)
+            mode = "mega(fallback)"
+            scan_solves, costs = bench_episode_mega(stack, config)
     elif mode == "mega":
         scan_solves, costs = bench_episode_mega(stack, config)
     elif mode == "scan":
