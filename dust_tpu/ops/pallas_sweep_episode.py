@@ -25,10 +25,13 @@ parameters, Silverman bandwidths, MPF posteriors) in lockstep:
 * the simulator advances all S pendulums as [8, 1] column physics;
 * the MPF posterior keeps the proven column-op body
   (pallas_episode.py) but packs TWO scenarios into each [mp, 128]
-  tile's lane halves (A at lanes 0-63, B at 64-127), halving the
-  serial scenario loop — a [S*mp, S*mp] block matmul would be no
-  cheaper (8x off-block waste), and per-scenario tiles only used
-  m_mpf of 128 lanes.
+  tile's lane halves (A at lanes 0-63, B at 64-127) — a
+  [S*mp, S*mp] block matmul would be no cheaper (8x off-block
+  waste), and per-scenario tiles only used m_mpf of 128 lanes — and
+  stacks ALL pairs on the sublane axis into one fori body: the serial
+  scenario loop collapses to mpf_steps iterations total, with the
+  row-layout likelihood math on [8, 128] single-vreg tiles and the
+  pairwise kernel math on [n_pair*mp, 128] stacked tiles.
 
 RNG: one hardware-PRNG reseed per step covers all S scenarios (their
 draws come from disjoint positions of the same stream); host-noise mode
@@ -512,10 +515,14 @@ def _pendulum_sweep_kernel(
         cost_col = _SWINGUP_W * (jnp.cos(th2) - 1.0) ** 2 + om2 * om2
 
         # ---- MPF updates: TWO scenarios per tile (lane groups 0-63 /
-        # 64-127). The per-scenario column-op body is data-bound on
-        # [mp, 128] tiles that only use m_mpf lanes; pairing scenarios
-        # in the lane halves halves the serial loop (measured: the MPF
-        # section was 65% of the step at one scenario per iteration) ----
+        # 64-127) and ALL pairs stacked on the sublane axis into ONE
+        # fori body. Pairing scenarios in the lane halves halved the
+        # serial loop (the MPF section was 65% of the step at one
+        # scenario per iteration); stacking the n_pair tiles halves it
+        # again at 52.9%: every [1, 128] row-layout op becomes one
+        # [8, 128] op (still a single vreg) and every [mp, 128]
+        # pairwise op one [n_pair*mp, 128] op — same vector work,
+        # ~n_pair x fewer serialized instructions ----
         bw_mpf_col = jnp.zeros((8, 1), jnp.float32)
         scal_s = []                   # per-scenario MPF scalars
         for s in range(n_sc):
@@ -561,176 +568,179 @@ def _pendulum_sweep_kernel(
             ))
 
         inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
-        mrow_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
-        valid_row = mrow_ids < m_mpf
-        mlane = jax.lax.broadcasted_iota(jnp.int32, (mp, 128), 1)
-        in_a = mlane < 64
+        n_pair = (n_sc + 1) // 2
+        nmr = n_pair * mp
+        rowN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 0)
+        laneN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 1)
+        pair_of_row = rowN // mp
+        r_in_pair = rowN - pair_of_row * mp
+        in_aN = laneN < 64
+        valid_rowN = r_in_pair < m_mpf
+        # pairs 0..n_sc//2-1 have a B scenario in lanes 64..127; an odd
+        # trailing scenario leaves its pair's B half invalid
+        allowN = (pair_of_row < n_sc // 2) | in_aN
+        gvalidN = (jnp.where(in_aN, laneN, laneN - 64) < m_mpf) & allowN
+        gvr8 = (
+            (jnp.where(lane8 < 64, lane8, lane8 - 64) < m_mpf)
+            & ((row8 < n_sc // 2) | (lane8 < 64))
+            & (row8 < n_pair)
+        )
         zs_tail = jnp.zeros((1, 128 - mp), jnp.float32)
 
-        def row_at(col, off):
-            """[mp, 1] -> [1, 128] with the values at lanes
-            off..off+mp-1 (off in {0, 64}; requires mp <= 64)."""
-            r = jnp.concatenate([col.reshape(1, mp), zs_tail], axis=1)
-            return r if off == 0 else pltpu.roll(r, shift=off, axis=1)
+        def stack_rows(key):
+            """per-scenario scalar -> [8, 128] tile: pair p's row holds
+            scenario 2p's value at lanes < 64, 2p+1's at lanes >= 64 (a
+            missing B mirrors its pair's A scenario, like the old
+            single-group fallback; the values are masked off anyway but
+            must stay finite)."""
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for s in range(2 * n_pair):
+                val = scal_s[min(s, n_sc - 1)][key]
+                mask = (row8 == s // 2) & ((lane8 < 64) == (s % 2 == 0))
+                acc = jnp.where(mask, val, acc)
+            return acc
 
-        n_pair = (n_sc + 1) // 2
-        for p in range(n_pair):
-            has_b = 2 * p + 1 < n_sc
-            sa = scal_s[2 * p]
-            sb = scal_s[2 * p + 1] if has_b else sa
+        sin8 = stack_rows("sin_t")
+        a8 = stack_rows("a")
+        om8 = stack_rows("om")
+        th8 = stack_rows("th")
+        th28 = stack_rows("th2")
+        om28 = stack_rows("om2")
+        ppbw28 = stack_rows("prior_pbw2")
+        imbw28 = stack_rows("inv_mbw2")
 
-            def grow(key):
-                """group scalar row [1, 128]: A's value at lanes < 64,
-                B's at lanes >= 64."""
-                if not has_b:
-                    return jnp.full((1, 128), sa[key], jnp.float32)
-                return jnp.where(lane1 < 64, sa[key], sb[key])
+        def to_blocks(rows8_t):
+            """[8, 128] pair rows -> [nmr, 128]: every row of pair
+            block p holds pair p's row. Static per-pair selects only —
+            a NaN'd pair's values never touch other pairs' blocks."""
+            out = jnp.zeros((nmr, 128), jnp.float32)
+            for p in range(n_pair):
+                out = jnp.where(pair_of_row == p, rows8_t[p:p + 1, :],
+                                out)
+            return out
 
-            sin_row = grow("sin_t")
-            a_row = grow("a")
-            om_row = grow("om")
-            th_row_g = grow("th")
-            th2_row = grow("th2")
-            om2_row = grow("om2")
-            ppbw2_row = grow("prior_pbw2")
-            imbw2_row = grow("inv_mbw2")
+        def pair_rows(col_a, col_b):
+            """per-particle [nmr, 1] A/B columns -> [8, 128] pair rows
+            (pair p: A values at lanes 0..mp-1, B at 64..64+mp-1).
+            Per-pair reshapes keep a diverged pair's NaN out of other
+            pairs' rows (no cross-pair arithmetic at all); within a
+            pair the A/B lane sets are disjoint, so the add only ever
+            combines a value with an exact 0.0."""
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for p in range(n_pair):
+                ra = jnp.concatenate(
+                    [col_a[p * mp:(p + 1) * mp, 0:1].reshape(1, mp),
+                     zs_tail], axis=1)
+                rb = jnp.concatenate(
+                    [col_b[p * mp:(p + 1) * mp, 0:1].reshape(1, mp),
+                     zs_tail], axis=1)
+                acc = jnp.where(row8 == p,
+                                ra + pltpu.roll(rb, shift=64, axis=1),
+                                acc)
+            return acc
 
-            gvalid = (
-                (jnp.where(mlane >= 64, mlane - 64, mlane) < m_mpf)
-                & (mlane < (128 if has_b else 64))
+        def gredN(v, op=jnp.sum):
+            """per-lane-half reduction of [nmr, 128] -> [nmr, 128]
+            (A's reduction at lanes < 64, B's at >= 64). Each half
+            reduces ONLY its own lanes (a total-minus-A shortcut for B
+            would leak A's values into B at reassociation level and
+            break scenario isolation)."""
+            if op is jnp.sum:
+                ra = jnp.sum(jnp.where(in_aN, v, 0.0), axis=1,
+                             keepdims=True)
+                rb = jnp.sum(jnp.where(in_aN, 0.0, v), axis=1,
+                             keepdims=True)
+            else:
+                ra = jnp.max(jnp.where(in_aN, v, _NEG_BIG), axis=1,
+                             keepdims=True)
+                rb = jnp.max(jnp.where(in_aN, _NEG_BIG, v), axis=1,
+                             keepdims=True)
+            return jnp.where(in_aN, ra, rb)
+
+        # prior centers are the step-start particles (fixed across the
+        # mpf_steps SVGD iterations)
+        xsnap = mpfx_ref[:]
+        c0r8 = pair_rows(xsnap[:, 0:1], xsnap[:, 64:65])
+        c1r8 = pair_rows(xsnap[:, 1:2], xsnap[:, 65:66])
+        c0N = to_blocks(c0r8)
+        c1N = to_blocks(c1r8)
+        ppbw2N = to_blocks(ppbw28)
+        imbw2N = to_blocks(imbw28)
+
+        def mpf_body(i, _):
+            x = mpfx_ref[:]
+            x0 = jnp.where(in_aN, x[:, 0:1], x[:, 64:65])
+            x1 = jnp.where(in_aN, x[:, 1:2], x[:, 65:66])
+            x0r = pair_rows(x[:, 0:1], x[:, 64:65])
+            x1r = pair_rows(x[:, 1:2], x[:, 65:66])
+
+            # GMM prior responsibilities and weighted prior means
+            d2c = (x0 - c0N) ** 2 + (x1 - c1N) ** 2
+            logits = jnp.where(gvalidN, -0.5 * d2c * ppbw2N, -jnp.inf)
+            mx = gredN(logits, op=jnp.max)
+            pz = jnp.where(gvalidN, jnp.exp(logits - mx), 0.0)
+            psum = gredN(pz)
+            pc0 = gredN(pz * c0N) / psum
+            pc1 = gredN(pz * c1N) / psum
+            pc0r = pair_rows(pc0[:, 0:1], pc0[:, 64:65])
+            pc1r = pair_rows(pc1[:, 0:1], pc1[:, 64:65])
+
+            # likelihood gradient in stacked row layout [8, 128]
+            length = jnp.where(gvr8, x0r, 1.0)
+            mass = jnp.where(gvr8, x1r, 1.0)
+            if mpf_log_space:
+                length = jnp.exp(length)
+                mass = jnp.exp(mass)
+            ilx = 1.0 / length
+            imx = 1.0 / mass
+            tdd = -3.0 * g_model * 0.5 * ilx * sin8 \
+                + 3.0 * imx * ilx * ilx * a8
+            td_raw = om8 + dt * tdd
+            td = jnp.clip(td_raw, -_MAX_SPEED, _MAX_SPEED)
+            thp = th8 + td * dt
+            gate = jnp.where(
+                (td_raw > -_MAX_SPEED) & (td_raw < _MAX_SPEED),
+                1.0, 0.0,
             )
-
-            x_p0 = mpfx_ref[pl.ds(p * mp, mp), :]
-
-            def crow(d):
-                """prior-center row for particle dim d (0=len 1=mass)."""
-                r = row_at(x_p0[:, d:d + 1], 0)
-                if has_b:
-                    r = r + row_at(x_p0[:, 64 + d:64 + d + 1], 64)
-                return r
-
-            c0t = crow(0)
-            c1t = crow(1)
-
-            def gred(v, op=jnp.sum):
-                """per-group lane reduction of [mp, 128] -> combined
-                [mp, 128] (A's reduction at lanes < 64, B's at >= 64).
-                Each group reduces ONLY its own lanes (a total-minus-A
-                shortcut for B would leak A's values into B at
-                reassociation level and break scenario isolation)."""
-                if op is jnp.sum:
-                    ra = jnp.sum(jnp.where(in_a, v, 0.0), axis=1,
-                                 keepdims=True)
-                    if not has_b:
-                        return ra
-                    rb = jnp.sum(jnp.where(in_a, 0.0, v), axis=1,
-                                 keepdims=True)
-                else:
-                    ra = jnp.max(jnp.where(in_a, v, _NEG_BIG), axis=1,
-                                 keepdims=True)
-                    if not has_b:
-                        return ra
-                    rb = jnp.max(jnp.where(in_a, _NEG_BIG, v), axis=1,
-                                 keepdims=True)
-                return jnp.where(in_a, ra, rb)
-
-            # lane-valid predicate as a [1, 128] row (the likelihood
-            # math below runs in particle-on-lanes row layout: every
-            # quantity is per particle, so a 1-vreg [1, 128] row does
-            # the work the 7-vreg [mp, 128] group tile used to)
-            gvr = (
-                (jnp.where(lane1 >= 64, lane1 - 64, lane1) < m_mpf)
-                & (lane1 < (128 if has_b else 64))
+            dtd_dl = gate * dt * (
+                3.0 * g_model * 0.5 * ilx * ilx * sin8
+                - 6.0 * imx * ilx * ilx * ilx * a8
             )
+            dtd_dm = gate * dt * (-3.0 * imx * imx * ilx * ilx * a8)
+            common = -((thp - th28) * dt + (td - om28)) * inv_os2
+            gl_l = common * dtd_dl
+            gl_m = common * dtd_dm
+            if mpf_log_space:
+                gl_l = gl_l * length
+                gl_m = gl_m * mass
+            gp0 = (pc0r - x0r) * ppbw28
+            gp1 = (pc1r - x1r) * ppbw28
+            s0r = jnp.where(gvr8, gl_l + gp0, 0.0)
+            s1r = jnp.where(gvr8, gl_m + gp1, 0.0)
 
-            def mpf_body(i, _, p=p, has_b=has_b, c0t=c0t, c1t=c1t,
-                         sin_row=sin_row, a_row=a_row, om_row=om_row,
-                         th_row_g=th_row_g, th2_row=th2_row,
-                         om2_row=om2_row, ppbw2_row=ppbw2_row,
-                         imbw2_row=imbw2_row, gvalid=gvalid, gvr=gvr,
-                         gred=gred):
-                x = mpfx_ref[pl.ds(p * mp, mp), :]
-                x0 = jnp.where(in_a, x[:, 0:1], x[:, 64:65])
-                x1 = jnp.where(in_a, x[:, 1:2], x[:, 65:66])
-                x0t = row_at(x[:, 0:1], 0)
-                x1t = row_at(x[:, 1:2], 0)
-                if has_b:
-                    x0t = x0t + row_at(x[:, 64:65], 64)
-                    x1t = x1t + row_at(x[:, 65:66], 64)
+            # RBF Stein update on the stacked pairwise tiles
+            x0N = to_blocks(x0r)
+            x1N = to_blocks(x1r)
+            s0N = to_blocks(s0r)
+            s1N = to_blocks(s1r)
+            d2 = (x0 - x0N) ** 2 + (x1 - x1N) ** 2
+            k = jnp.where(gvalidN, jnp.exp(-0.5 * d2 * imbw2N), 0.0)
+            rows_k = gredN(k)
+            drive0 = gredN(k * s0N)
+            drive1 = gredN(k * s1N)
+            kx0 = gredN(k * x0N)
+            kx1 = gredN(k * x1N)
+            phi0 = (drive0 + (rows_k * x0 - kx0) * imbw2N) \
+                * (1.0 / m_mpf)
+            phi1 = (drive1 + (rows_k * x1 - kx1) * imbw2N) \
+                * (1.0 / m_mpf)
+            upd = jnp.where((laneN == 0) | (laneN == 64), phi0, 0.0) \
+                + jnp.where((laneN == 1) | (laneN == 65), phi1, 0.0)
+            mpfx_ref[:] = jnp.where(valid_rowN, x + mpf_lr * upd, x)
+            return 0
 
-                # likelihood gradient in row layout [1, 128]
-                length = jnp.where(gvr, x0t, 1.0)
-                mass = jnp.where(gvr, x1t, 1.0)
-                if mpf_log_space:
-                    length = jnp.exp(length)
-                    mass = jnp.exp(mass)
-                ilx = 1.0 / length
-                imx = 1.0 / mass
-                tdd = -3.0 * g_model * 0.5 * ilx * sin_row \
-                    + 3.0 * imx * ilx * ilx * a_row
-                td_raw = om_row + dt * tdd
-                td = jnp.clip(td_raw, -_MAX_SPEED, _MAX_SPEED)
-                thp = th_row_g + td * dt
-                gate = jnp.where(
-                    (td_raw > -_MAX_SPEED) & (td_raw < _MAX_SPEED),
-                    1.0, 0.0,
-                )
-                dtd_dl = gate * dt * (
-                    3.0 * g_model * 0.5 * ilx * ilx * sin_row
-                    - 6.0 * imx * ilx * ilx * ilx * a_row
-                )
-                dtd_dm = gate * dt * (
-                    -3.0 * imx * imx * ilx * ilx * a_row
-                )
-                common = -((thp - th2_row) * dt + (td - om2_row)) \
-                    * inv_os2
-                gl_l = common * dtd_dl
-                gl_m = common * dtd_dm
-                if mpf_log_space:
-                    gl_l = gl_l * length
-                    gl_m = gl_m * mass
-
-                d2c = (x0 - c0t) ** 2 + (x1 - c1t) ** 2
-                logits = jnp.where(
-                    gvalid, -0.5 * d2c * ppbw2_row, -jnp.inf
-                )
-                mx = gred(logits, op=jnp.max)
-                pz = jnp.where(gvalid, jnp.exp(logits - mx), 0.0)
-                psum = gred(pz)
-                pc0 = gred(pz * c0t) / psum
-                pc1 = gred(pz * c1t) / psum
-                # GMM prior score + total score, still in row layout
-                pc0_row = row_at(pc0[:, 0:1], 0)
-                pc1_row = row_at(pc1[:, 0:1], 0)
-                if has_b:
-                    pc0_row = pc0_row + row_at(pc0[:, 64:65], 64)
-                    pc1_row = pc1_row + row_at(pc1[:, 64:65], 64)
-                gp0 = (pc0_row - x0t) * ppbw2_row
-                gp1 = (pc1_row - x1t) * ppbw2_row
-                s0t = jnp.where(gvr, gl_l + gp0, 0.0)
-                s1t = jnp.where(gvr, gl_m + gp1, 0.0)
-
-                d2 = (x0 - x0t) ** 2 + (x1 - x1t) ** 2
-                k = jnp.where(gvalid,
-                              jnp.exp(-0.5 * d2 * imbw2_row), 0.0)
-                rows_k = gred(k)
-                drive0 = gred(k * s0t)
-                drive1 = gred(k * s1t)
-                kx0 = gred(k * x0t)
-                kx1 = gred(k * x1t)
-                phi0 = (drive0 + (rows_k * x0 - kx0) * imbw2_row) \
-                    * (1.0 / m_mpf)
-                phi1 = (drive1 + (rows_k * x1 - kx1) * imbw2_row) \
-                    * (1.0 / m_mpf)
-                upd = jnp.where((mlane == 0) | (mlane == 64), phi0, 0.0) \
-                    + jnp.where((mlane == 1) | (mlane == 65), phi1, 0.0)
-                mpfx_ref[pl.ds(p * mp, mp), :] = jnp.where(
-                    valid_row, x + mpf_lr * upd, x
-                )
-                return 0
-
-            jax.lax.fori_loop(0, mpf_steps, mpf_body, 0,
-                              unroll=max(1, mpf_steps) if unroll else 1)
+        jax.lax.fori_loop(0, mpf_steps, mpf_body, 0,
+                          unroll=max(1, mpf_steps) if unroll else 1)
 
         # ---- logs + sim-state commit ----
         def scatter8(col):
