@@ -616,16 +616,19 @@ def _pendulum_episode_kernel(
             s0 = jnp.where(valid_row, gl_l + gp0, 0.0)
             s1 = jnp.where(valid_row, gl_m + gp1, 0.0)
 
+            # repulsion folds into the drive sum (see
+            # pallas_sweep_episode.py): phi = sum_j k_rj*(s_j - x_j/bw^2)
+            # + (sum_j k_rj)*x_r/bw^2 — two fewer reduced products
             d2 = (x0 - x0t) ** 2 + (x1 - x1t) ** 2
             k = jnp.where(valid_col, jnp.exp(-0.5 * d2 * inv_mbw2), 0.0)
             rows_k = jnp.sum(k, axis=1, keepdims=True)
-            drive0 = jnp.sum(k * s0.reshape(1, mp), axis=1, keepdims=True)
-            drive1 = jnp.sum(k * s1.reshape(1, mp), axis=1, keepdims=True)
-            kx0 = jnp.sum(k * x0t, axis=1, keepdims=True)
-            kx1 = jnp.sum(k * x1t, axis=1, keepdims=True)
-            phi0 = (drive0 + (rows_k * x0 - kx0) * inv_mbw2) \
+            t0t = s0.reshape(1, mp) - x0t * inv_mbw2
+            t1t = s1.reshape(1, mp) - x1t * inv_mbw2
+            drive0 = jnp.sum(k * t0t, axis=1, keepdims=True)
+            drive1 = jnp.sum(k * t1t, axis=1, keepdims=True)
+            phi0 = (drive0 + rows_k * x0 * inv_mbw2) \
                 / jnp.float32(m_mpf)
-            phi1 = (drive1 + (rows_k * x1 - kx1) * inv_mbw2) \
+            phi1 = (drive1 + rows_k * x1 * inv_mbw2) \
                 / jnp.float32(m_mpf)
 
             upd = jnp.where(mlane == 0, phi0, 0.0) \

@@ -139,16 +139,18 @@ def _mpf_kernel(scal_ref, x0_ref, centers_ref, x_out_ref, x_ref,
         s0 = jnp.where(valid_row, s0, 0.0)
         s1 = jnp.where(valid_row, s1, 0.0)
 
-        # RBF kernel Stein direction
+        # RBF kernel Stein direction; the repulsion folds into the
+        # drive sum (see pallas_sweep_episode.py):
+        # phi = sum_j k_rj*(s_j - x_j/bw^2) + (sum_j k_rj)*x_r/bw^2
         d2 = (x0 - x0t) ** 2 + (x1 - x1t) ** 2
         k = jnp.where(valid_col, jnp.exp(-0.5 * d2 * inv_bw2), 0.0)
         rows = jnp.sum(k, axis=1, keepdims=True)
-        drive0 = jnp.sum(k * s0.reshape(1, mp), axis=1, keepdims=True)
-        drive1 = jnp.sum(k * s1.reshape(1, mp), axis=1, keepdims=True)
-        kx0 = jnp.sum(k * x0t, axis=1, keepdims=True)
-        kx1 = jnp.sum(k * x1t, axis=1, keepdims=True)
-        phi0 = (drive0 + (rows * x0 - kx0) * inv_bw2) / jnp.float32(m)
-        phi1 = (drive1 + (rows * x1 - kx1) * inv_bw2) / jnp.float32(m)
+        t0t = s0.reshape(1, mp) - x0t * inv_bw2
+        t1t = s1.reshape(1, mp) - x1t * inv_bw2
+        drive0 = jnp.sum(k * t0t, axis=1, keepdims=True)
+        drive1 = jnp.sum(k * t1t, axis=1, keepdims=True)
+        phi0 = (drive0 + rows * x0 * inv_bw2) / jnp.float32(m)
+        phi1 = (drive1 + rows * x1 * inv_bw2) / jnp.float32(m)
 
         upd = jnp.concatenate(
             [phi0, phi1, jnp.zeros((mp, 126), jnp.float32)], axis=1

@@ -537,13 +537,14 @@ def _particle_episode_kernel(
             gp0 = (pc0 - x0) * prior_pbw2
             s0 = jnp.where(valid_row, gl + gp0, 0.0)
 
+            # repulsion folds into the drive sum (see
+            # pallas_sweep_episode.py): one fewer reduced product
             d2 = (x0 - x0t) ** 2
             k = jnp.where(valid_col, jnp.exp(-0.5 * d2 * inv_mbw2), 0.0)
             rows_k = jnp.sum(k, axis=1, keepdims=True)
-            drive0 = jnp.sum(k * s0.reshape(1, mp), axis=1,
-                             keepdims=True)
-            kx0 = jnp.sum(k * x0t, axis=1, keepdims=True)
-            phi0 = (drive0 + (rows_k * x0 - kx0) * inv_mbw2) \
+            t0t = s0.reshape(1, mp) - x0t * inv_mbw2
+            drive0 = jnp.sum(k * t0t, axis=1, keepdims=True)
+            phi0 = (drive0 + rows_k * x0 * inv_mbw2) \
                 / jnp.float32(m_mpf)
             upd = jnp.where(mlane == 0, phi0, 0.0)
             mpfx_ref[:] = jnp.where(

@@ -114,13 +114,14 @@ def _particle_mpf_kernel(scal_ref, x0_ref, centers_ref, x_out_ref, x_ref,
 
         s0 = jnp.where(valid_row, gl + gp0, 0.0)  # score column [mp, 1]
 
-        # RBF kernel Stein direction
+        # RBF kernel Stein direction; the repulsion folds into the
+        # drive sum (see pallas_sweep_episode.py): one fewer reduction
         d2 = (x0 - x0t) ** 2
         k = jnp.where(valid_col, jnp.exp(-0.5 * d2 * inv_bw2), 0.0)
         rows = jnp.sum(k, axis=1, keepdims=True)
-        drive0 = jnp.sum(k * s0.reshape(1, mp), axis=1, keepdims=True)
-        kx0 = jnp.sum(k * x0t, axis=1, keepdims=True)
-        phi0 = (drive0 + (rows * x0 - kx0) * inv_bw2) / jnp.float32(m)
+        t0t = s0.reshape(1, mp) - x0t * inv_bw2
+        drive0 = jnp.sum(k * t0t, axis=1, keepdims=True)
+        phi0 = (drive0 + rows * x0 * inv_bw2) / jnp.float32(m)
 
         upd = jnp.concatenate(
             [phi0, jnp.zeros((mp, 127), jnp.float32)], axis=1

@@ -585,7 +585,6 @@ def _pendulum_sweep_kernel(
             & ((row8 < n_sc // 2) | (lane8 < 64))
             & (row8 < n_pair)
         )
-        zs_tail = jnp.zeros((1, 128 - mp), jnp.float32)
 
         def stack_rows(key):
             """per-scenario scalar -> [8, 128] tile: pair p's row holds
@@ -611,33 +610,33 @@ def _pendulum_sweep_kernel(
 
         def to_blocks(rows8_t):
             """[8, 128] pair rows -> [nmr, 128]: every row of pair
-            block p holds pair p's row. Static per-pair selects only —
+            block p holds pair p's row. Per-pair broadcast + concat
+            (pure data movement, no select chain over the full tile) —
             a NaN'd pair's values never touch other pairs' blocks."""
-            out = jnp.zeros((nmr, 128), jnp.float32)
-            for p in range(n_pair):
-                out = jnp.where(pair_of_row == p, rows8_t[p:p + 1, :],
-                                out)
-            return out
+            return jnp.concatenate(
+                [jnp.broadcast_to(rows8_t[p:p + 1, :], (mp, 128))
+                 for p in range(n_pair)], axis=0)
 
         def pair_rows(col_a, col_b):
             """per-particle [nmr, 1] A/B columns -> [8, 128] pair rows
             (pair p: A values at lanes 0..mp-1, B at 64..64+mp-1).
-            Per-pair reshapes keep a diverged pair's NaN out of other
-            pairs' rows (no cross-pair arithmetic at all); within a
-            pair the A/B lane sets are disjoint, so the add only ever
-            combines a value with an exact 0.0."""
-            acc = jnp.zeros((8, 128), jnp.float32)
-            for p in range(n_pair):
-                ra = jnp.concatenate(
-                    [col_a[p * mp:(p + 1) * mp, 0:1].reshape(1, mp),
-                     zs_tail], axis=1)
-                rb = jnp.concatenate(
-                    [col_b[p * mp:(p + 1) * mp, 0:1].reshape(1, mp),
-                     zs_tail], axis=1)
-                acc = jnp.where(row8 == p,
-                                ra + pltpu.roll(rb, shift=64, axis=1),
-                                acc)
-            return acc
+            One whole-column reshape per operand replaces the old
+            per-pair slice/reshape chain; the reshape moves each pair's
+            mp values into its own row with no cross-pair arithmetic,
+            so a diverged pair's NaN stays out of other pairs' rows.
+            Within a pair the A/B lane sets are disjoint, so the add
+            only ever combines a value with an exact 0.0."""
+            zs = jnp.zeros((n_pair, 128 - mp), jnp.float32)
+            ra = jnp.concatenate(
+                [col_a[:, 0:1].reshape(n_pair, mp), zs], axis=1)
+            rb = jnp.concatenate(
+                [col_b[:, 0:1].reshape(n_pair, mp), zs], axis=1)
+            rows = ra + pltpu.roll(rb, shift=64, axis=1)
+            if n_pair < 8:
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((8 - n_pair, 128), jnp.float32)],
+                    axis=0)
+            return rows
 
         def gredN(v, op=jnp.sum):
             """per-lane-half reduction of [nmr, 128] -> [nmr, 128]
@@ -718,22 +717,26 @@ def _pendulum_sweep_kernel(
             s0r = jnp.where(gvr8, gl_l + gp0, 0.0)
             s1r = jnp.where(gvr8, gl_m + gp1, 0.0)
 
-            # RBF Stein update on the stacked pairwise tiles
+            # RBF Stein update on the stacked pairwise tiles. The
+            # repulsion sum folds into the drive sum:
+            #   phi = sum_j k_rj*(s_j + (x_r - x_j)/bw^2)
+            #       = sum_j k_rj*(s_j - x_j/bw^2) + (sum_j k_rj)*x_r/bw^2
+            # so k needs only TWO reduced products (t0N/t1N) instead of
+            # four (s0N/s1N/kx0/kx1) — two fewer lane reductions and two
+            # fewer [nmr,128] products per SVGD iteration. imbw2N is
+            # constant within a (pair, lane-half) block, so it is valid
+            # in both row and column orientation.
             x0N = to_blocks(x0r)
             x1N = to_blocks(x1r)
-            s0N = to_blocks(s0r)
-            s1N = to_blocks(s1r)
+            t0N = to_blocks(s0r) - x0N * imbw2N
+            t1N = to_blocks(s1r) - x1N * imbw2N
             d2 = (x0 - x0N) ** 2 + (x1 - x1N) ** 2
             k = jnp.where(gvalidN, jnp.exp(-0.5 * d2 * imbw2N), 0.0)
             rows_k = gredN(k)
-            drive0 = gredN(k * s0N)
-            drive1 = gredN(k * s1N)
-            kx0 = gredN(k * x0N)
-            kx1 = gredN(k * x1N)
-            phi0 = (drive0 + (rows_k * x0 - kx0) * imbw2N) \
-                * (1.0 / m_mpf)
-            phi1 = (drive1 + (rows_k * x1 - kx1) * imbw2N) \
-                * (1.0 / m_mpf)
+            drive0 = gredN(k * t0N)
+            drive1 = gredN(k * t1N)
+            phi0 = (drive0 + rows_k * x0 * imbw2N) * (1.0 / m_mpf)
+            phi1 = (drive1 + rows_k * x1 * imbw2N) * (1.0 / m_mpf)
             upd = jnp.where((laneN == 0) | (laneN == 64), phi0, 0.0) \
                 + jnp.where((laneN == 1) | (laneN == 65), phi1, 0.0)
             mpfx_ref[:] = jnp.where(valid_rowN, x + mpf_lr * upd, x)
