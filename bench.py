@@ -130,8 +130,9 @@ def bench_episode_sweep(stack, config):
     8 independent episodes per Pallas program (per-scenario true
     parameters spanning the robustness range, per-scenario seeds /
     bandwidths / MPF posteriors), lax.scan over BENCH_SWEEP_N/8 groups
-    in one dispatch. The headline chip-throughput view; unroll=False
-    compiles ~6x faster than the unrolled body at equal speed."""
+    in one dispatch. The headline chip-throughput view; unrolled inner
+    loops are ~6% faster since the glue slimming (compile ~45 s vs
+    ~12 s; BENCH_SWEEP_UNROLL=0 restores the rolled body)."""
     from dust_tpu.simulation import megakernel_pendulum_sweep_fn
 
     n_sweep = int(os.environ.get("BENCH_SWEEP_N", "256"))
@@ -139,7 +140,7 @@ def bench_episode_sweep(stack, config):
     groups = max(1, n_sweep // S)
     sweep = megakernel_pendulum_sweep_fn(
         stack, config["exp_params"], steps=STEPS, n_sc=S, warm_up=0,
-        unroll=False,
+        unroll=os.environ.get("BENCH_SWEEP_UNROLL", "1") == "1",
     )
     lens = jnp.linspace(0.8, 1.2, S)
     mass = jnp.linspace(0.9, 1.1, S)

@@ -403,30 +403,31 @@ def _pendulum_episode_kernel(
             ) * (1.0 / n_act)
 
         # DISCO delta and analytic likelihood gradient, accumulated by
-        # re-walking the eps scratch per timestep (no matmul layout)
+        # re-walking the eps scratch per timestep. The weights are
+        # normalized (sum_l omega = sum_l w_lik = 1), so
+        # sum_l w*(theta_t + sigma*eps - aseq_t) = theta_t - aseq_t +
+        # sigma*sum_l w*eps — the per-iteration theta/aseq broadcasts
+        # drop out of the loop and theta cancels exactly in the
+        # likelihood gradient (see pallas_sweep_episode.py).
         def acc_body(tt, carry):
-            delta, wa = carry
+            de, we_acc = carry
             e8 = eps_ref[pl.ds(tt * 8, 8), :]
-            th_t8 = jnp.sum(
-                jnp.where(lane8 == tt, theta8, 0.0), axis=1, keepdims=True
-            )
-            a_m = th_t8[0:m, :] + sigma_c * e8[0:m, :]   # [m, 128] lanes i
-            aseq_t = jnp.sum(
-                jnp.where(lane_m[0:1, :] == tt, aseq_row, 0.0)
-            )
-            dq = jnp.sum(omega * (a_m - aseq_t), axis=1, keepdims=True)
-            wq = jnp.sum(w_lik * a_m, axis=1, keepdims=True)
-            delta = delta + jnp.where(lane_m == tt, dq, 0.0)
-            wa = wa + jnp.where(lane_m == tt, wq, 0.0)
-            return delta, wa
+            dq = jnp.sum(omega * e8[0:m, :], axis=1, keepdims=True)
+            wq = jnp.sum(w_lik * e8[0:m, :], axis=1, keepdims=True)
+            de = de + jnp.where(lane_m == tt, dq, 0.0)
+            we_acc = we_acc + jnp.where(lane_m == tt, wq, 0.0)
+            return de, we_acc
 
-        delta, wa = jax.lax.fori_loop(
+        d_eps, w_eps = jax.lax.fori_loop(
             0, hz, acc_body,
             (jnp.zeros((m, 128), jnp.float32),
              jnp.zeros((m, 128), jnp.float32)),
             unroll=hz if unroll else 1,
         )
-        glik = (wa - theta) * inv_s2
+        delta = jnp.where(
+            lane_m < hz, theta + sigma_c * d_eps - aseq_row, 0.0
+        )
+        glik = sigma_c * w_eps * inv_s2
 
         eta_max = jnp.max(eta, axis=0, keepdims=True)
         eta_e = jnp.exp(eta - eta_max)

@@ -201,26 +201,32 @@ def _pendulum_sweep_kernel(
         rowd = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 0)
         laned = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 1)
 
-        # per-scenario particle rows stacked [n_sc, 128]
-        lrows, mrows = [], []
-        ztail = jnp.zeros((1, 128 - mp), jnp.float32)
-        for s in range(n_sc):
-            pr, gr = divmod(s, 2)
-            off = 64 * gr
-            x_s = mpfx[pr * mp:(pr + 1) * mp, :]
-            lrows.append(jnp.concatenate(
-                [x_s[:, off:off + 1].reshape(1, mp), ztail], axis=1))
-            mrows.append(jnp.concatenate(
-                [x_s[:, off + 1:off + 2].reshape(1, mp), ztail], axis=1))
-        ltile = jnp.concatenate(lrows, axis=0)    # [n_sc, 128]
-        mtile = jnp.concatenate(mrows, axis=0)
-        # broadcast to draw rows: row s*8+p -> scenario s
-        l64 = jnp.zeros((nd, 128), jnp.float32)
-        m64 = jnp.zeros((nd, 128), jnp.float32)
-        for s in range(n_sc):
-            in_s = rowd // 8 == s
-            l64 = jnp.where(in_s, ltile[s:s + 1, :], l64)
-            m64 = jnp.where(in_s, mtile[s:s + 1, :], m64)
+        # per-scenario particle rows: one whole-column reshape per
+        # (dim, lane-half) puts pair p's mp values into row p (same
+        # pure-movement trick as pair_rows); scenario s = 2p lives in
+        # row p of the A tiles, s = 2p+1 in row p of the B tiles
+        n_pair_d = (n_sc + 1) // 2
+        zpad = jnp.zeros((n_pair_d, 128 - mp), jnp.float32)
+
+        def cols_to_rows(col):
+            return jnp.concatenate(
+                [col.reshape(n_pair_d, mp), zpad], axis=1)
+
+        l_a = cols_to_rows(mpfx[:, 0:1])          # [n_pair, 128]
+        m_a = cols_to_rows(mpfx[:, 1:2])
+        l_b = cols_to_rows(mpfx[:, 64:65])
+        m_b = cols_to_rows(mpfx[:, 65:66])
+        # broadcast to draw rows: row s*8+p -> scenario s (per-scenario
+        # broadcast+concat, no select chain; pure movement keeps a
+        # NaN'd scenario out of the others' draw rows)
+        l64 = jnp.concatenate(
+            [jnp.broadcast_to(
+                (l_a if s % 2 == 0 else l_b)[s // 2:s // 2 + 1, :],
+                (8, 128)) for s in range(n_sc)], axis=0)
+        m64 = jnp.concatenate(
+            [jnp.broadcast_to(
+                (m_a if s % 2 == 0 else m_b)[s // 2:s // 2 + 1, :],
+                (8, 128)) for s in range(n_sc)], axis=0)
 
         u_col = pdu[:, 0:1]                       # [nd, 1]
         idx = jnp.minimum(jnp.floor(u_col * float(m_mpf)),
@@ -353,23 +359,29 @@ def _pendulum_sweep_kernel(
         # DISCO delta + analytic likelihood gradient. The delta drops
         # the a_seq term: this kernel requires the controller a_seq to
         # be zero (the SVMPC demo path never calls controller.step;
-        # megakernel_pendulum_sweep_fn checks the concrete init state)
+        # megakernel_pendulum_sweep_fn checks the concrete init state).
+        # The weights are normalized (sum_l omega = sum_l w_lik = 1 over
+        # valid lanes), so sum_l w*(theta_t + sigma*eps) = theta_t +
+        # sigma*sum_l w*eps — the per-iteration theta broadcast drops
+        # out of the loop and theta cancels exactly in the likelihood
+        # gradient (wa - theta = sigma*sum w*eps).
         def acc_body(tt, carry):
-            delta, wa = carry
-            a_sm = actions_at(tt)
-            dq = jnp.sum(omega * a_sm, axis=1, keepdims=True)
-            wq = jnp.sum(w_lik * a_sm, axis=1, keepdims=True)
-            delta = delta + jnp.where(lane_sm == tt, dq, 0.0)
-            wa = wa + jnp.where(lane_sm == tt, wq, 0.0)
-            return delta, wa
+            de, we_acc = carry
+            e_sm = eps_ref[pl.ds(tt * smp, smp), :]
+            dq = jnp.sum(omega * e_sm, axis=1, keepdims=True)
+            wq = jnp.sum(w_lik * e_sm, axis=1, keepdims=True)
+            de = de + jnp.where(lane_sm == tt, dq, 0.0)
+            we_acc = we_acc + jnp.where(lane_sm == tt, wq, 0.0)
+            return de, we_acc
 
-        delta, wa = jax.lax.fori_loop(
+        d_eps, w_eps = jax.lax.fori_loop(
             0, hz, acc_body,
             (jnp.zeros((smp, 128), jnp.float32),
              jnp.zeros((smp, 128), jnp.float32)),
             unroll=hz if unroll else 1,
         )
-        glik = (wa - theta) * inv_s2
+        delta = jnp.where(lane_sm < hz, theta + sigma_c * d_eps, 0.0)
+        glik = sigma_c * w_eps * inv_s2
 
         # ---- Stein direction via block-masked pairwise matrices ----
         # Pairwise distances within a scenario block are translation
