@@ -27,7 +27,7 @@ def mk(mpf_steps, n_params, n_act):
             n_params=n_params, n_act=n_act,
             m_mpf=exp["mpf_n_particles"], mpf_steps=mpf_steps,
             g_model=g_model, mpf_log_space=exp["mpf_log_space"],
-            unroll=False,
+            unroll=os.environ.get("UNROLL", "1") == "1",
         )["cost"]
     @jax.jit
     def sweep(seeds):

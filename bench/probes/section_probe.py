@@ -12,6 +12,7 @@ scan over GROUPS whole-episode programs per dispatch.
 
 Run on real TPU: python - < bench/probes/section_probe.py
 """
+import os
 import time
 
 import jax
@@ -38,7 +39,7 @@ def run(tag, n_params=8, m_mpf=MM, mpf_steps=20, mpf_fixed_bw=None):
             2.0, 2.0, 1.0, 1.0, 2.0, 1e-3, 0.1,
             n_sc=N_SC, steps=STEPS, hz=HZ, m=M, n_params=n_params,
             n_act=NA, m_mpf=m_mpf, mpf_steps=mpf_steps,
-            mpf_fixed_bw=mpf_fixed_bw, unroll=False,
+            mpf_fixed_bw=mpf_fixed_bw, unroll=os.environ.get("UNROLL", "1") == "1",
         )["cost"]
 
     @jax.jit

@@ -26,7 +26,7 @@ fn = jax.jit(lambda seed: fused_pendulum_sweep_episode(
     n_params=exp["params_samples"], n_act=exp["action_samples"],
     m_mpf=exp["mpf_n_particles"], mpf_steps=exp["mpf_steps"],
     g_model=g_model, mpf_log_space=exp["mpf_log_space"],
-    unroll=False,
+    unroll=os.environ.get("UNROLL", "1") == "1",
 ))
 t0=time.perf_counter()
 for i in range(1, 3):

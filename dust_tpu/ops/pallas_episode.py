@@ -169,6 +169,58 @@ def _percentile_ks(n, q):
     return lo + 1, min(lo + 2, n), frac
 
 
+def _bitonic_sort_rows(v):
+    """Ascending bitonic sort of every row of v [R, 128] independently:
+    28 lane-wise compare-exchange stages (roll-pair partner exchange) —
+    all R rows sort in parallel in the same single-vreg ops, vs the
+    rank-count trick's per-row [128, 128] passes. Row-local only (rolls
+    move lanes within a row), so a NaN'd row cannot leak sideways."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    k = 2
+    while k <= 128:
+        j = k // 2
+        while j >= 1:
+            low = lane & j == 0            # lower lane of each pair
+            w = jnp.where(low, pltpu.roll(v, shift=128 - j, axis=1),
+                          pltpu.roll(v, shift=j, axis=1))
+            take_min = (lane & k == 0) == low
+            v = jnp.where(take_min, jnp.minimum(v, w),
+                          jnp.maximum(v, w))
+            j //= 2
+        k *= 2
+    return v
+
+
+def _silverman_rows(v_tile, n):
+    """Row-batched `_silverman_row`: one KDEpy-convention Silverman
+    bandwidth per ROW of v_tile [R, 128] (first n lanes valid per row,
+    pad lanes must hold +_POS_BIG). Row-parallel moments plus ONE
+    bitonic sort give exact per-row order statistics for all R rows at
+    once. Returns [R, 1]."""
+    lanei = jax.lax.broadcasted_iota(jnp.int32, v_tile.shape, 1)
+    valid = lanei < n
+    v0 = jnp.where(valid, v_tile, 0.0)
+    s1 = jnp.sum(v0, axis=1, keepdims=True)
+    s2 = jnp.sum(v0 * v0, axis=1, keepdims=True)
+    mean = s1 / float(n)
+    var = (s2 - float(n) * mean * mean) / float(n - 1)
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+
+    k25lo, k25hi, f25 = _percentile_ks(n, 25.0)
+    k75lo, k75hi, f75 = _percentile_ks(n, 75.0)
+    srt = _bitonic_sort_rows(v_tile)
+
+    def at(kk):
+        return jnp.sum(jnp.where(lanei == kk - 1, srt, 0.0), axis=1,
+                       keepdims=True)
+
+    q25 = at(k25lo) * (1.0 - f25) + at(k25hi) * f25
+    q75 = at(k75lo) * (1.0 - f75) + at(k75hi) * f75
+    iqr = (q75 - q25) * (1.0 / _IQR_NORM)
+    sigma = jnp.where(iqr > 0, jnp.minimum(std, iqr), std)
+    return jnp.maximum(sigma * (n * 3.0 / 4.0) ** (-0.2), 1e-6)
+
+
 def _silverman_row(v_tile, n):
     """KDEpy-convention Silverman bandwidth
     (`ops/bandwidth.py:silvermans_rule`) of the first n row-major

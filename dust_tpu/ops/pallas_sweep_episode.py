@@ -62,7 +62,7 @@ from .pallas_episode import (
     _pad_tile,
     _round8,
     _row_of_column,
-    _silverman_row,
+    _silverman_rows,
     _uniform01,
 )
 
@@ -173,10 +173,10 @@ def _pendulum_sweep_kernel(
         locs = jnp.where(valid_sm, locs_ref[:], 0.0)
 
         # ---- per-scenario Silverman bandwidths (m*hz flattened values
-        # per scenario, one 128-lane row each) ----
+        # per scenario, one 128-lane row each; ONE row-batched bitonic
+        # sort computes all scenarios' order statistics at once) ----
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        bw_col = jnp.zeros((smp, 1), jnp.float32)
-        bw_s_list = []
+        sv_rows = []
         for s in range(n_sc):
             sv_row = jnp.full((1, 128), _POS_BIG, jnp.float32)
             for q in range(m):
@@ -186,9 +186,13 @@ def _pendulum_sweep_kernel(
                 )
                 in_chunk = (lane1 >= q * hz) & (lane1 < (q + 1) * hz)
                 sv_row = jnp.where(in_chunk, chunk, sv_row)
-            bw_s = _silverman_row(sv_row, m * hz)
-            bw_s_list.append(bw_s)
-            bw_col = jnp.where(s_of_prow[:, 0:1] == s, bw_s, bw_col)
+            sv_rows.append(sv_row)
+        bw8 = _silverman_rows(jnp.concatenate(sv_rows, axis=0), m * hz)
+        bw_s_list = [bw8[s:s + 1, :] for s in range(n_sc)]
+        bw_col = jnp.zeros((smp, 1), jnp.float32)
+        for s in range(n_sc):
+            bw_col = jnp.where(s_of_prow[:, 0:1] == s, bw_s_list[s],
+                               bw_col)
         inv_bw2_col = 1.0 / (bw_col * bw_col)
 
         # ---- dynamics draws from each scenario's MPF prior ----
@@ -535,24 +539,33 @@ def _pendulum_sweep_kernel(
         # [8, 128] op (still a single vreg) and every [mp, 128]
         # pairwise op one [n_pair*mp, 128] op — same vector work,
         # ~n_pair x fewer serialized instructions ----
+        # per-scenario MPF Silverman: the draws section's l_a/m_a/l_b/
+        # m_b row tiles already hold every scenario's particle values
+        # along lanes (mpfx_ref is unwritten since they were built), so
+        # the bandwidth rows need no _row_of_column transposes — and
+        # ONE row-batched bitonic sort covers all scenarios
+        if mpf_fixed_bw is None:
+            mrows = []
+            for s in range(n_sc):
+                p, g = divmod(s, 2)
+                lrow = (l_a if g == 0 else l_b)[p:p + 1, :]
+                mrow_v = (m_a if g == 0 else m_b)[p:p + 1, :]
+                mrows.append(jnp.where(
+                    lane1 < m_mpf, lrow,
+                    jnp.where(lane1 < 2 * m_mpf,
+                              pltpu.roll(mrow_v, shift=m_mpf, axis=1),
+                              _POS_BIG),
+                ))
+            bwm8 = _silverman_rows(
+                jnp.concatenate(mrows, axis=0), 2 * m_mpf
+            ) * mpf_bw_scale
         bw_mpf_col = jnp.zeros((8, 1), jnp.float32)
         scal_s = []                   # per-scenario MPF scalars
         for s in range(n_sc):
-            p, g = divmod(s, 2)
-            off = 64 * g
-            x_s0 = mpfx_ref[pl.ds(p * mp, mp), :]
             if mpf_fixed_bw is not None:
                 bw_mpf = jnp.float32(mpf_fixed_bw)
             else:
-                r0 = _row_of_column(x_s0[:, off:off + 1], mp)
-                r1 = _row_of_column(x_s0[:, off + 1:off + 2], mp)
-                mrow = jnp.where(
-                    lane1 < m_mpf, r0,
-                    jnp.where(lane1 < 2 * m_mpf,
-                              pltpu.roll(r1, shift=m_mpf, axis=1),
-                              _POS_BIG),
-                )
-                bw_mpf = _silverman_row(mrow, 2 * m_mpf) * mpf_bw_scale
+                bw_mpf = bwm8[s:s + 1, :]
             bw_mpf_col = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s,
                 bw_mpf, bw_mpf_col,

@@ -193,3 +193,35 @@ def test_episode_device_rng_deterministic():
     np.testing.assert_array_equal(np.asarray(a["cost"]),
                                   np.asarray(b["cost"]))
     assert np.isfinite(np.asarray(a["cost"])).all()
+
+
+def test_bitonic_silverman_rows_match_reference():
+    """_silverman_rows (one bitonic sort for all rows) must reproduce
+    ops/bandwidth.silvermans_rule per row, including duplicate values
+    and the +_POS_BIG lane padding."""
+    import functools
+    from jax.experimental import pallas as pl
+    from dust_tpu.ops.pallas_episode import _POS_BIG, _silverman_rows
+
+    n = 90
+    key = jax.random.key(7)
+    vals = jax.random.normal(key, (8, n)) * jnp.arange(
+        1, 9, dtype=jnp.float32
+    )[:, None]
+    vals = vals.at[3, 10:20].set(vals[3, 0])      # duplicates
+    tile = jnp.full((8, 128), jnp.float32(_POS_BIG))
+    tile = tile.at[:, :n].set(vals)
+
+    def kernel(v_ref, out_ref):
+        out_ref[:] = jnp.broadcast_to(
+            _silverman_rows(v_ref[:], n), (8, 128)
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=True,
+    )(tile)[:, 0]
+    expect = np.array([silvermans_rule(np.asarray(vals[r]))
+                       for r in range(8)])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
