@@ -191,6 +191,33 @@ def _bitonic_sort_rows(v):
     return v
 
 
+def _rot_sincos(x, xmax):
+    """sin/cos of the per-rollout-step rotation angle x = om * dt.
+
+    The rollout advances theta only by om * dt with |om| clamped to
+    _MAX_SPEED, so |x| <= _MAX_SPEED * dt (xmax, static). Tracking
+    (cos th, sin th) by plane rotation and evaluating the rotation
+    trig with short Taylor polynomials replaces the two full-range
+    transcendentals per rollout step (measured: 45% of the whole
+    sweep-megakernel group-step) with ~10 fused mul/adds. Truncation
+    is below float32 rounding for the production dt (xmax = 0.4:
+    sin err <= xmax^9/9! ~ 7e-10, cos err <= xmax^8/8! ~ 1.6e-8);
+    larger static dt falls back to exact trig."""
+    if xmax > 1.0:
+        return jnp.sin(x), jnp.cos(x)
+    x2 = x * x
+    if xmax <= 0.5:
+        s = x * (1.0 + x2 * (-1.0 / 6.0
+                             + x2 * (1.0 / 120.0 - x2 * (1.0 / 5040.0))))
+        c = 1.0 + x2 * (-0.5 + x2 * (1.0 / 24.0 - x2 * (1.0 / 720.0)))
+    else:
+        s = x * (1.0 + x2 * (-1.0 / 6.0 + x2 * (
+            1.0 / 120.0 + x2 * (-1.0 / 5040.0 + x2 * (1.0 / 362880.0)))))
+        c = 1.0 + x2 * (-0.5 + x2 * (1.0 / 24.0 + x2 * (
+            -1.0 / 720.0 + x2 * (1.0 / 40320.0))))
+    return s, c
+
+
 def _silverman_rows(v_tile, n):
     """Row-batched `_silverman_row`: one KDEpy-convention Silverman
     bandwidth per ROW of v_tile [R, 128] (first n lanes valid per row,
@@ -270,19 +297,18 @@ def _pendulum_episode_kernel(
 
     Outputs: log [steps_p, 128] (lanes: th, om, action, cost, bw_sv,
     bw_mpf), theta_out/locs_out/amat_out [8, 128], mpfx_out [mp, 128].
-    Scratch: eps [hz*8, 128], th24/om24 [rows, 128], sstate SMEM
-    (th_sim, om_sim, prior_bw).
+    Scratch: eps [hz*8, 128], sstate SMEM (th_sim, om_sim, prior_bw).
     """
     if host_noise:
         (eps_in_ref, pdz_in_ref, pdu_in_ref,
          log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
          mpfx_out_ref,
-         eps_ref, th24_ref, om24_ref, theta_ref, locs_ref, amat_ref,
+         eps_ref, theta_ref, locs_ref, amat_ref,
          mpfx_ref, sstate_ref) = rest
     else:
         (log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
          mpfx_out_ref,
-         eps_ref, th24_ref, om24_ref, theta_ref, locs_ref, amat_ref,
+         eps_ref, theta_ref, locs_ref, amat_ref,
          mpfx_ref, sstate_ref) = rest
 
     rows = n_params * m
@@ -395,13 +421,18 @@ def _pendulum_episode_kernel(
         # (`PendulumModel.step` physics + swing-up cost) ----
         c_grav = -3.0 * g_model * 0.5 * dt * il24
         c_act = 3.0 * dt * im24 * il24 * il24
-        th24_ref[:] = jnp.zeros((rows, 128), jnp.float32) + sstate_ref[0, 0]
-        om24_ref[:] = jnp.zeros((rows, 128), jnp.float32) + sstate_ref[0, 1]
+        # Rollout state is (cos th, sin th, om) advanced by bounded-angle
+        # plane rotation (_rot_sincos): the cost needs cos th, the torque
+        # balance needs sin(th + pi) = -sin th, and th only moves by
+        # om * dt per step — two full-tile transcendentals at init
+        # replace 2 * hz of them. Vector trig on the splatted angle
+        # (Mosaic has no scalar-core transcendentals).
+        zs24 = jnp.zeros((rows, 128), jnp.float32)
+        th0_full = zs24 + sstate_ref[0, 0]
 
-        def roll_body(tt, cost):
-            th = th24_ref[:]
-            om = om24_ref[:]
-            cost = cost + _SWINGUP_W * (jnp.cos(th) - 1.0) ** 2 + om * om
+        def roll_body(tt, carry):
+            cost, cth, sth, om = carry
+            cost = cost + _SWINGUP_W * (cth - 1.0) ** 2 + om * om
             e8 = eps_ref[pl.ds(tt * 8, 8), :]            # [8, 128]
             th_t = jnp.sum(
                 jnp.where(lane8 == tt, theta8, 0.0), axis=1, keepdims=True
@@ -411,19 +442,18 @@ def _pendulum_episode_kernel(
             for q in range(m):
                 a24 = jnp.where(q_of_row == q, a8[q:q + 1, :], a24)
             a24 = jnp.clip(a24, -_MAX_TORQUE, _MAX_TORQUE)
-            om = om + c_grav * jnp.sin(th + math.pi) + c_act * a24
+            om = om + c_grav * (-sth) + c_act * a24
             om = jnp.clip(om, -_MAX_SPEED, _MAX_SPEED)
-            om24_ref[:] = om
-            th24_ref[:] = th + om * dt
-            return cost
+            sd, cd = _rot_sincos(om * dt, _MAX_SPEED * dt)
+            return cost, cth * cd - sth * sd, sth * cd + cth * sd, om
 
-        cost = jax.lax.fori_loop(
-            0, hz, roll_body, jnp.zeros((rows, 128), jnp.float32),
+        cost, cth, _, om = jax.lax.fori_loop(
+            0, hz, roll_body,
+            (zs24, jnp.cos(th0_full), jnp.sin(th0_full),
+             zs24 + sstate_ref[0, 1]),
             unroll=hz if unroll else 1,
         )
-        th = th24_ref[:]
-        om = om24_ref[:]
-        cost = cost + _SWINGUP_W * (jnp.cos(th) - 1.0) ** 2 + om * om
+        cost = cost + _SWINGUP_W * (cth - 1.0) ** 2 + om * om
 
         # ---- param-averaged costs + DISCO softmax update
         # (`disco.py:348-394`) ----
@@ -829,8 +859,6 @@ def fused_pendulum_episode(
         ],
         scratch_shapes=[
             pltpu.VMEM((hz * 8, 128), jnp.float32),        # eps
-            pltpu.VMEM((n_params * m, 128), jnp.float32),  # th24
-            pltpu.VMEM((n_params * m, 128), jnp.float32),  # om24
             pltpu.VMEM((8, 128), jnp.float32),             # theta
             pltpu.VMEM((8, 128), jnp.float32),             # locs
             pltpu.VMEM((8, 128), jnp.float32),             # amat

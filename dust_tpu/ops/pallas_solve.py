@@ -62,6 +62,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.pendulum import PendulumModel
+from .pallas_episode import _rot_sincos
 
 _MAX_SPEED = PendulumModel.MAX_SPEED
 _MAX_TORQUE = PendulumModel.MAX_TORQUE
@@ -259,9 +260,8 @@ def _solve_tail(cost, scal_ref, acts_mm_ref,
 def _pendulum_solve_kernel(scal_ref, acts_t_ref, acts_mm_ref, il_ref,
                            im_ref, theta_ref, locs_ref, amat_ref, aseq_ref,
                            theta_opt_ref, theta_fwd_ref, amat_out_ref,
-                           aseq_out_ref, misc_ref, mcost_ref, th_ref,
-                           om_ref, *, hz, m, n_params, n_act, dt, g,
-                           exp_util):
+                           aseq_out_ref, misc_ref, mcost_ref, *, hz, m,
+                           n_params, n_act, dt, g, exp_util):
     """scal (SMEM [1, 16]): [theta0, theta_d0, bw, lr, alpha, inv_temp,
     inv_s2, inv_ps2, log_softmax(prior logits) x m].
 
@@ -278,27 +278,31 @@ def _pendulum_solve_kernel(scal_ref, acts_t_ref, acts_mm_ref, il_ref,
     c_grav = -3.0 * g * 0.5 * dt * il
     c_act = 3.0 * dt * im * il * il
 
+    # Rollout state is (cos th, sin th, om): the cost needs cos th, the
+    # torque balance needs sin(th + pi) = -sin th, and th itself only
+    # ever advances by the bounded angle om * dt — so the loop rotates
+    # the (cos, sin) pair by short-polynomial trig (_rot_sincos) instead
+    # of evaluating two full-range transcendentals per step.
     shape = (rows, 128)
-    th_ref[:] = jnp.zeros(shape, jnp.float32) + th0
-    om_ref[:] = jnp.zeros(shape, jnp.float32) + om0
-    cost = jnp.zeros(shape, jnp.float32)
+    zs = jnp.zeros(shape, jnp.float32)
+    cost = zs
 
-    def body(t, cost):
-        th = th_ref[:]
-        om = om_ref[:]
-        cost = cost + _SWINGUP_W * (jnp.cos(th) - 1.0) ** 2 + om * om
+    def body(t, carry):
+        cost, c, s, om = carry
+        cost = cost + _SWINGUP_W * (c - 1.0) ** 2 + om * om
         a = acts_t_ref[pl.ds(t, 1), :, :].reshape(shape)
         a = jnp.clip(a, -_MAX_TORQUE, _MAX_TORQUE)
-        om = om + c_grav * jnp.sin(th + math.pi) + c_act * a
+        om = om + c_grav * (-s) + c_act * a
         om = jnp.clip(om, -_MAX_SPEED, _MAX_SPEED)
-        om_ref[:] = om
-        th_ref[:] = th + om * dt
-        return cost
+        sd, cd = _rot_sincos(om * dt, _MAX_SPEED * dt)
+        return cost, c * cd - s * sd, s * cd + c * sd, om
 
-    cost = jax.lax.fori_loop(0, hz, body, cost)
-    th = th_ref[:]
-    om = om_ref[:]
-    cost = cost + _SWINGUP_W * (jnp.cos(th) - 1.0) ** 2 + om * om
+    # vector trig on the broadcast tile: Mosaic has no scalar-core
+    # transcendentals, so evaluate cos/sin once on the splatted angle
+    cost, c, _, om = jax.lax.fori_loop(
+        0, hz, body, (cost, jnp.cos(zs + th0), jnp.sin(zs + th0), zs + om0)
+    )
+    cost = cost + _SWINGUP_W * (c - 1.0) ** 2 + om * om
 
     _solve_tail(
         cost, scal_ref, acts_mm_ref, theta_ref, locs_ref, amat_ref,
@@ -418,10 +422,6 @@ def fused_pendulum_solve(state0, theta, locs, log_mix, a_mat, a_seq,
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        scratch_shapes=[
-            pltpu.VMEM((rows, 128), jnp.float32),
-            pltpu.VMEM((rows, 128), jnp.float32),
-        ],
         interpret=interpret,
         **_SOLVE_OUTS,
     )(scal, acts_t, acts_mm, il, im, _pad8(theta), _pad8(locs),

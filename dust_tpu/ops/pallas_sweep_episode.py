@@ -60,6 +60,7 @@ from .pallas_episode import (
     _POS_BIG,
     _normals,
     _pad_tile,
+    _rot_sincos,
     _round8,
     _row_of_column,
     _silverman_rows,
@@ -108,12 +109,12 @@ def _pendulum_sweep_kernel(
         (eps_in_ref, pdz_in_ref, pdu_in_ref,
          log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
          mpfx_out_ref,
-         eps_ref, th_ref, om_ref, theta_ref, locs_ref, amat_ref,
+         eps_ref, theta_ref, locs_ref, amat_ref,
          mpfx_ref, sim_ref) = rest
     else:
         (log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
          mpfx_out_ref,
-         eps_ref, th_ref, om_ref, theta_ref, locs_ref, amat_ref,
+         eps_ref, theta_ref, locs_ref, amat_ref,
          mpfx_ref, sim_ref) = rest
 
     sm = n_sc * m                       # scenario-stacked particle rows
@@ -288,8 +289,7 @@ def _pendulum_sweep_kernel(
         c_grav = -3.0 * g_model * 0.5 * dt * il24
         c_act = 3.0 * dt * im24 * il24 * il24
         shape = (rows, 128)
-        th_ref[:] = jnp.zeros(shape, jnp.float32) + th0_col
-        om_ref[:] = jnp.zeros(shape, jnp.float32) + om0_col
+        zsr = jnp.zeros(shape, jnp.float32)
 
         def actions_at(tt):
             """[smp, 128] per-(s, q) action samples theta + sigma*eps
@@ -301,26 +301,31 @@ def _pendulum_sweep_kernel(
             )                                            # [smp, 1]
             return th_t + sigma_c * e_sm
 
-        def roll_body(tt, cost):
-            th = th_ref[:]
-            om = om_ref[:]
-            cost = cost + _SWINGUP_W * (jnp.cos(th) - 1.0) ** 2 + om * om
-            a_sm = actions_at(tt)[0:sm, :]
+        # Rollout state is (cos th, sin th, om) advanced by
+        # bounded-angle plane rotation (_rot_sincos): the cost needs
+        # cos th, the torque balance needs sin(th + pi) = -sin th, and
+        # th only moves by om * dt per step — two full-tile
+        # transcendentals at init (vector trig on the splatted angle;
+        # Mosaic has no scalar-core transcendentals) replace 2 * hz of
+        # them (measured: 45% of the whole group-step).
+        def roll_body(tt, carry):
+            cost, cth, sth, om = carry
+            cost = cost + _SWINGUP_W * (cth - 1.0) ** 2 + om * om
+            a_sm = jnp.clip(actions_at(tt)[0:sm, :],
+                            -_MAX_TORQUE, _MAX_TORQUE)
             a24 = jnp.concatenate([a_sm] * n_params, axis=0)
-            a24 = jnp.clip(a24, -_MAX_TORQUE, _MAX_TORQUE)
-            om = om + c_grav * jnp.sin(th + math.pi) + c_act * a24
+            om = om + c_grav * (-sth) + c_act * a24
             om = jnp.clip(om, -_MAX_SPEED, _MAX_SPEED)
-            om_ref[:] = om
-            th_ref[:] = th + om * dt
-            return cost
+            sd, cd = _rot_sincos(om * dt, _MAX_SPEED * dt)
+            return cost, cth * cd - sth * sd, sth * cd + cth * sd, om
 
-        cost = jax.lax.fori_loop(
-            0, hz, roll_body, jnp.zeros(shape, jnp.float32),
+        cost, cth, _, om = jax.lax.fori_loop(
+            0, hz, roll_body,
+            (zsr, jnp.cos(zsr + th0_col), jnp.sin(zsr + th0_col),
+             zsr + om0_col),
             unroll=hz if unroll else 1,
         )
-        th = th_ref[:]
-        om = om_ref[:]
-        cost = cost + _SWINGUP_W * (jnp.cos(th) - 1.0) ** 2 + om * om
+        cost = cost + _SWINGUP_W * (cth - 1.0) ** 2 + om * om
 
         # ---- param-averaged costs [smp, 128] ----
         mcost = cost[0:sm, :]
@@ -961,8 +966,6 @@ def fused_pendulum_sweep_episode(
         ],
         scratch_shapes=[
             pltpu.VMEM((hz * smp, 128), jnp.float32),       # eps
-            pltpu.VMEM((rows, 128), jnp.float32),           # th
-            pltpu.VMEM((rows, 128), jnp.float32),           # om
             pltpu.VMEM((smp, 128), jnp.float32),            # theta
             pltpu.VMEM((smp, 128), jnp.float32),            # locs
             pltpu.VMEM((smp, 128), jnp.float32),            # amat
