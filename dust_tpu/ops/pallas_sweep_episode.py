@@ -696,23 +696,32 @@ def _pendulum_sweep_kernel(
         ppbw2N = to_blocks(ppbw28)
         imbw2N = to_blocks(imbw28)
 
-        def mpf_body(i, _):
-            x = mpfx_ref[:]
-            x0 = jnp.where(in_aN, x[:, 0:1], x[:, 64:65])
-            x1 = jnp.where(in_aN, x[:, 1:2], x[:, 65:66])
-            x0r = pair_rows(x[:, 0:1], x[:, 64:65])
-            x1r = pair_rows(x[:, 1:2], x[:, 65:66])
+        def mpf_body(i, carry):
+            # the four particle layouts ride the fori carry (updated
+            # incrementally below) instead of being re-derived from
+            # mpfx_ref each iteration — pair_rows is exactly linear
+            # (disjoint-lane reshape/roll/add), so x0r + pair_rows(d0)
+            # is bitwise pair_rows(x0 + d0)
+            x0, x1, x0r, x1r = carry
 
-            # GMM prior responsibilities and weighted prior means
+            # GMM prior responsibilities and weighted prior means. No
+            # max-subtraction: logits = -0.5*d2c*ppbw2 <= 0 with the
+            # self-distance diagonal exactly 0 on every valid row, so
+            # the row max is exactly 0.0 and exp(logits - mx) ==
+            # exp(logits) bitwise (reference softmax at mpf.py:31-38
+            # via torch logsumexp is tolerance-matched by tests)
             d2c = (x0 - c0N) ** 2 + (x1 - c1N) ** 2
-            logits = jnp.where(gvalidN, -0.5 * d2c * ppbw2N, -jnp.inf)
-            mx = gredN(logits, op=jnp.max)
-            pz = jnp.where(gvalidN, jnp.exp(logits - mx), 0.0)
+            pz = jnp.where(gvalidN, jnp.exp(-0.5 * d2c * ppbw2N), 0.0)
             psum = gredN(pz)
-            pc0 = gredN(pz * c0N) / psum
-            pc1 = gredN(pz * c1N) / psum
-            pc0r = pair_rows(pc0[:, 0:1], pc0[:, 64:65])
-            pc1r = pair_rows(pc1[:, 0:1], pc1[:, 64:65])
+            num0 = gredN(pz * c0N)
+            num1 = gredN(pz * c1N)
+            # divide AFTER the row transpose: the same two floats are
+            # divided per particle either way (bitwise identical on
+            # valid lanes; pad lanes' 0/0 NaN is masked by gvr8 below),
+            # but as [8,128] row ops instead of [nmr,128] column ops
+            psum_r = pair_rows(psum[:, 0:1], psum[:, 64:65])
+            pc0r = pair_rows(num0[:, 0:1], num0[:, 64:65]) / psum_r
+            pc1r = pair_rows(num1[:, 0:1], num1[:, 64:65]) / psum_r
 
             # likelihood gradient in stacked row layout [8, 128]
             length = jnp.where(gvr8, x0r, 1.0)
@@ -756,10 +765,14 @@ def _pendulum_sweep_kernel(
             # fewer [nmr,128] products per SVGD iteration. imbw2N is
             # constant within a (pair, lane-half) block, so it is valid
             # in both row and column orientation.
+            # fold the -x/bw^2 term in ROW space before the block
+            # broadcast: imbw2 is constant per (pair, lane-half), so
+            # (s0r - x0r*imbw28) broadcast to blocks is bitwise
+            # to_blocks(s0r) - to_blocks(x0r)*imbw2N, at [8,128] cost
             x0N = to_blocks(x0r)
             x1N = to_blocks(x1r)
-            t0N = to_blocks(s0r) - x0N * imbw2N
-            t1N = to_blocks(s1r) - x1N * imbw2N
+            t0N = to_blocks(s0r - x0r * imbw28)
+            t1N = to_blocks(s1r - x1r * imbw28)
             d2 = (x0 - x0N) ** 2 + (x1 - x1N) ** 2
             k = jnp.where(gvalidN, jnp.exp(-0.5 * d2 * imbw2N), 0.0)
             rows_k = gredN(k)
@@ -767,13 +780,30 @@ def _pendulum_sweep_kernel(
             drive1 = gredN(k * t1N)
             phi0 = (drive0 + rows_k * x0 * imbw2N) * (1.0 / m_mpf)
             phi1 = (drive1 + rows_k * x1 * imbw2N) * (1.0 / m_mpf)
-            upd = jnp.where((laneN == 0) | (laneN == 64), phi0, 0.0) \
-                + jnp.where((laneN == 1) | (laneN == 65), phi1, 0.0)
-            mpfx_ref[:] = jnp.where(valid_rowN, x + mpf_lr * upd, x)
-            return 0
+            d0 = jnp.where(valid_rowN, mpf_lr * phi0, 0.0)
+            d1 = jnp.where(valid_rowN, mpf_lr * phi1, 0.0)
+            return (
+                x0 + d0, x1 + d1,
+                x0r + pair_rows(d0[:, 0:1], d0[:, 64:65]),
+                x1r + pair_rows(d1[:, 0:1], d1[:, 64:65]),
+            )
 
-        jax.lax.fori_loop(0, mpf_steps, mpf_body, 0,
-                          unroll=max(1, mpf_steps) if unroll else 1)
+        x0f, x1f, _, _ = jax.lax.fori_loop(
+            0, mpf_steps, mpf_body,
+            (
+                jnp.where(in_aN, xsnap[:, 0:1], xsnap[:, 64:65]),
+                jnp.where(in_aN, xsnap[:, 1:2], xsnap[:, 65:66]),
+                c0r8, c1r8,
+            ),
+            unroll=max(1, mpf_steps) if unroll else 1)
+        # commit once: particle lanes (0/1 and 64/65) on valid rows take
+        # the final carry; every other lane/row keeps its step-start
+        # value exactly as the per-iteration masked write used to
+        mpfx_ref[:] = jnp.where(
+            valid_rowN & ((laneN == 0) | (laneN == 64)), x0f,
+            jnp.where(
+                valid_rowN & ((laneN == 1) | (laneN == 65)), x1f,
+                xsnap))
 
         # ---- logs + sim-state commit ----
         def scatter8(col):
