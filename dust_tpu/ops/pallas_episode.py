@@ -636,8 +636,6 @@ def _pendulum_episode_kernel(
         # optimize, `mpf.py:85`); this step's bw_mpf becomes the new
         # prior bandwidth below.
         centers = mpfx                                   # fixed in loop
-        c0t = centers[:, 0:1].reshape(1, mp)             # [1, mp]
-        c1t = centers[:, 1:2].reshape(1, mp)
         prior_pbw2 = 1.0 / (prior_bw * prior_bw)
         inv_mbw2 = 1.0 / (bw_mpf * bw_mpf)
         inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
@@ -646,13 +644,37 @@ def _pendulum_episode_kernel(
         mrow_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
         valid_row = mrow_ids < m_mpf
         mlane = jax.lax.broadcasted_iota(jnp.int32, (mp, 128), 1)
-        mcol_ids = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
-        valid_col = mcol_ids < m_mpf
+        lane_mp1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        valid_lane1 = lane_mp1 < m_mpf
+        c0col = centers[:, 0:1]
+        c1col = centers[:, 1:2]
+        # colfull: [1, mp] row -> [mp, 128] column broadcast via one
+        # diagonal select + one MXU matmul (no sublane<->lane relayout;
+        # ones128 sums the single nonzero diagonal entry per row and
+        # broadcasts it across all lanes). Single scenario: no NaN
+        # isolation concern (a NaN already poisons the whole episode).
+        mdiag_mp = (mlane == mrow_ids)
+        ones128 = jnp.ones((128, 128), jnp.float32)
 
-        def mpf_body(i, _):
-            x = mpfx_ref[:]
-            length = jnp.where(valid_row, x[:, 0:1], 1.0)
-            mass = jnp.where(valid_row, x[:, 1:2], 1.0)
+        def colfull(row_t):
+            d = jnp.where(mdiag_mp, jnp.broadcast_to(row_t, (mp, 128)),
+                          0.0)
+            return jax.lax.dot_general(
+                d, ones128, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def mpf_body(i, carry):
+            # TRANSPOSED body (see pallas_sweep_episode.py): the state
+            # rides the carry in ROW layout [1, mp]; pairwise matrices
+            # put the SUMMED particle index on the sublane axis so all
+            # reductions are axis-0 row sums; the column operands are
+            # rebuilt with colfull (MXU) instead of the old
+            # [mp,1]->[1,mp] reshapes, and the old per-iteration
+            # mpfx_ref read-modify-write becomes one commit after the
+            # loop.
+            x0t, x1t = carry
+            length = jnp.where(valid_lane1, x0t, 1.0)
+            mass = jnp.where(valid_lane1, x1t, 1.0)
             if mpf_log_space:
                 length = jnp.exp(length)
                 mass = jnp.exp(mass)
@@ -680,49 +702,54 @@ def _pendulum_episode_kernel(
                 gl_l = gl_l * length
                 gl_m = gl_m * mass
 
-            x0 = x[:, 0:1]
-            x1 = x[:, 1:2]
-            x0t = x0.reshape(1, mp)
-            x1t = x1.reshape(1, mp)
-
-            d2c = (x0 - c0t) ** 2 + (x1 - c1t) ** 2
-            logits = jnp.where(valid_col, -0.5 * d2c * prior_pbw2,
+            # prior responsibilities, transposed: rows = centers q
+            # (fixed columns c0col/c1col), lanes = current particles
+            d2c = (x0t - c0col) ** 2 + (x1t - c1col) ** 2
+            logits = jnp.where(valid_row, -0.5 * d2c * prior_pbw2,
                                -jnp.inf)
-            mx = jnp.max(logits, axis=1, keepdims=True)
+            mx = jnp.max(logits, axis=0, keepdims=True)
             pz = jnp.exp(logits - mx)
-            psum = jnp.sum(pz, axis=1, keepdims=True)
-            pc0 = jnp.sum(pz * c0t, axis=1, keepdims=True) / psum
-            pc1 = jnp.sum(pz * c1t, axis=1, keepdims=True) / psum
-            gp0 = (pc0 - x0) * prior_pbw2
-            gp1 = (pc1 - x1) * prior_pbw2
+            psum = jnp.sum(pz, axis=0, keepdims=True)
+            pc0 = jnp.sum(pz * c0col, axis=0, keepdims=True) / psum
+            pc1 = jnp.sum(pz * c1col, axis=0, keepdims=True) / psum
+            gp0 = (pc0 - x0t) * prior_pbw2
+            gp1 = (pc1 - x1t) * prior_pbw2
 
-            s0 = jnp.where(valid_row, gl_l + gp0, 0.0)
-            s1 = jnp.where(valid_row, gl_m + gp1, 0.0)
+            s0 = jnp.where(valid_lane1, gl_l + gp0, 0.0)
+            s1 = jnp.where(valid_lane1, gl_m + gp1, 0.0)
 
             # repulsion folds into the drive sum (see
-            # pallas_sweep_episode.py): phi = sum_j k_rj*(s_j - x_j/bw^2)
-            # + (sum_j k_rj)*x_r/bw^2 — two fewer reduced products
-            d2 = (x0 - x0t) ** 2 + (x1 - x1t) ** 2
-            k = jnp.where(valid_col, jnp.exp(-0.5 * d2 * inv_mbw2), 0.0)
-            rows_k = jnp.sum(k, axis=1, keepdims=True)
-            t0t = s0.reshape(1, mp) - x0t * inv_mbw2
-            t1t = s1.reshape(1, mp) - x1t * inv_mbw2
-            drive0 = jnp.sum(k * t0t, axis=1, keepdims=True)
-            drive1 = jnp.sum(k * t1t, axis=1, keepdims=True)
-            phi0 = (drive0 + rows_k * x0 * inv_mbw2) \
+            # pallas_sweep_episode.py): phi(l) = sum_q k_ql*(s_q -
+            # x_q/bw^2) + (sum_q k_ql)*x_l/bw^2
+            x0c = colfull(x0t)
+            x1c = colfull(x1t)
+            t0c = colfull(s0 - x0t * inv_mbw2)
+            t1c = colfull(s1 - x1t * inv_mbw2)
+            d2 = (x0c - x0t) ** 2 + (x1c - x1t) ** 2
+            k = jnp.where(valid_row, jnp.exp(-0.5 * d2 * inv_mbw2), 0.0)
+            rows_k = jnp.sum(k, axis=0, keepdims=True)
+            drive0 = jnp.sum(k * t0c, axis=0, keepdims=True)
+            drive1 = jnp.sum(k * t1c, axis=0, keepdims=True)
+            phi0 = (drive0 + rows_k * x0t * inv_mbw2) \
                 / jnp.float32(m_mpf)
-            phi1 = (drive1 + rows_k * x1 * inv_mbw2) \
+            phi1 = (drive1 + rows_k * x1t * inv_mbw2) \
                 / jnp.float32(m_mpf)
-
-            upd = jnp.where(mlane == 0, phi0, 0.0) \
-                + jnp.where(mlane == 1, phi1, 0.0)
-            mpfx_ref[:] = jnp.where(
-                valid_row, mpfx_ref[:] + mpf_lr * upd, mpfx_ref[:]
+            return (
+                x0t + jnp.where(valid_lane1, mpf_lr * phi0, 0.0),
+                x1t + jnp.where(valid_lane1, mpf_lr * phi1, 0.0),
             )
-            return 0
 
-        jax.lax.fori_loop(0, mpf_steps, mpf_body, 0,
-                          unroll=mpf_steps if unroll else 1)
+        zlane = jnp.zeros((1, 128 - mp), jnp.float32)
+        x0t_f, x1t_f = jax.lax.fori_loop(
+            0, mpf_steps, mpf_body,
+            (jnp.concatenate([c0col.reshape(1, mp), zlane], axis=1),
+             jnp.concatenate([c1col.reshape(1, mp), zlane], axis=1)),
+            unroll=mpf_steps if unroll else 1)
+        x0f = colfull(x0t_f)
+        x1f = colfull(x1t_f)
+        mpfx_ref[:] = jnp.where(
+            valid_row & (mlane == 0), x0f,
+            jnp.where(valid_row & (mlane == 1), x1f, mpfx_ref[:]))
 
         # ---- per-step log + carried scalars ----
         log_row = (

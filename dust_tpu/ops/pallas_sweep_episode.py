@@ -5,8 +5,8 @@ the single-episode latency headline (53 us/solve on v5e). On scenario
 sweeps the per-step-kernel stack previously won (42.2k solves/s at
 n=256) because vmapping batches its XLA glue wide while a vmapped
 megakernel would serialize whole episodes. This kernel wins the sweep
-headline: 63.8k solves/s at n=256 on v5e (32 scanned groups of S=8,
-the bench.py default; see BASELINE.md).
+headline: 312.8k solves/s at n=256 on v5e (32 scanned groups of S=8,
+the bench.py default; 350.8k at n=1024 — see BASELINE.md).
 
 This kernel batches S scenarios INSIDE one episode megakernel: every
 tile gains a scenario axis in its rows, so each of the `steps`
@@ -23,15 +23,18 @@ parameters, Silverman bandwidths, MPF posteriors) in lockstep:
   argmax selection) reduce within row blocks via S static masked
   reductions;
 * the simulator advances all S pendulums as [8, 1] column physics;
-* the MPF posterior keeps the proven column-op body
-  (pallas_episode.py) but packs TWO scenarios into each [mp, 128]
-  tile's lane halves (A at lanes 0-63, B at 64-127) — a
-  [S*mp, S*mp] block matmul would be no cheaper (8x off-block
-  waste), and per-scenario tiles only used m_mpf of 128 lanes — and
-  stacks ALL pairs on the sublane axis into one fori body: the serial
-  scenario loop collapses to mpf_steps iterations total, with the
-  row-layout likelihood math on [8, 128] single-vreg tiles and the
-  pairwise kernel math on [n_pair*mp, 128] stacked tiles.
+* the MPF posterior packs TWO scenarios into each [mp, 128] tile's
+  lane halves (A at lanes 0-63, B at 64-127) — a [S*mp, S*mp] block
+  matmul would be no cheaper (8x off-block waste), and per-scenario
+  tiles only used m_mpf of 128 lanes — stacks ALL pairs on the
+  sublane axis into one fori body (the serial scenario loop collapses
+  to mpf_steps iterations total, row-layout likelihood math on
+  [8, 128] single-vreg tiles), and runs a TRANSPOSED SVGD body: every
+  pairwise matrix puts the SUMMED particle index on the sublane axis
+  so all six per-iteration reductions are per-pair-block row sums
+  (3.8x cheaper than lane-half reductions, bench/probes/
+  mpf_transpose_probe.py) with column-broadcast operands rebuilt from
+  row space by one diagonal-select MXU matmul each (`colbcast`).
 
 RNG: one hardware-PRNG reseed per step covers all S scenarios (their
 draws come from disjoint positions of the same stream); host-noise mode
@@ -606,15 +609,18 @@ def _pendulum_sweep_kernel(
         r_in_pair = rowN - pair_of_row * mp
         in_aN = laneN < 64
         valid_rowN = r_in_pair < m_mpf
-        # pairs 0..n_sc//2-1 have a B scenario in lanes 64..127; an odd
-        # trailing scenario leaves its pair's B half invalid
-        allowN = (pair_of_row < n_sc // 2) | in_aN
-        gvalidN = (jnp.where(in_aN, laneN, laneN - 64) < m_mpf) & allowN
         gvr8 = (
             (jnp.where(lane8 < 64, lane8, lane8 - 64) < m_mpf)
             & ((row8 < n_sc // 2) | (lane8 < 64))
             & (row8 < n_pair)
         )
+        # transposed-body constants: mdiagN picks each row particle's
+        # own lane within each half; h_matN sums within lane halves
+        mdiagN = jnp.where(in_aN, laneN, laneN - 64) == r_in_pair
+        h_matN = (
+            (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) < 64)
+            == (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) < 64)
+        ).astype(jnp.float32)
 
         def stack_rows(key):
             """per-scenario scalar -> [8, 128] tile: pair p's row holds
@@ -668,60 +674,82 @@ def _pendulum_sweep_kernel(
                     axis=0)
             return rows
 
-        def gredN(v, op=jnp.sum):
-            """per-lane-half reduction of [nmr, 128] -> [nmr, 128]
-            (A's reduction at lanes < 64, B's at >= 64). Each half
-            reduces ONLY its own lanes (a total-minus-A shortcut for B
-            would leak A's values into B at reassociation level and
-            break scenario isolation)."""
-            if op is jnp.sum:
-                ra = jnp.sum(jnp.where(in_aN, v, 0.0), axis=1,
-                             keepdims=True)
-                rb = jnp.sum(jnp.where(in_aN, 0.0, v), axis=1,
-                             keepdims=True)
-            else:
-                ra = jnp.max(jnp.where(in_aN, v, _NEG_BIG), axis=1,
-                             keepdims=True)
-                rb = jnp.max(jnp.where(in_aN, _NEG_BIG, v), axis=1,
-                             keepdims=True)
-            return jnp.where(in_aN, ra, rb)
+        def brs(v):
+            """per-pair-block row sum of [nmr, 128] -> [8, 128] row
+            tile (pair p's sums on row p, per-lane). Sums touch only
+            the pair's own rows (pure reshape + axis sum), so pairs
+            stay isolated; within a pair, lanes never mix, so the two
+            scenarios sharing the lane halves stay isolated too."""
+            s = jnp.sum(v.reshape(n_pair, mp, 128), axis=1)
+            if n_pair < 8:
+                s = jnp.concatenate(
+                    [s, jnp.zeros((8 - n_pair, 128), jnp.float32)],
+                    axis=0)
+            return s
+
+        def colbcast(blocks):
+            """to_blocks(r8) -> column-broadcast tile: value of the ROW
+            particle (q = r_in_pair) in the scenario selected by the
+            LANE half, via one diagonal select + one MXU matmul against
+            h_matN. NaN isolation: ANY NaN in a matmul row operand
+            poisons every output lane of that row (each contraction
+            touches every input lane through 0 * NaN terms), so the
+            operand is sanitized with the sub/compare/select finite
+            test first and the diverged half's NaN re-injected after
+            with `blocks * 0.0` — NaN exactly at the diverged half's
+            lanes, an exact +0.0 everywhere else."""
+            d = jnp.where(mdiagN,
+                          jnp.where(blocks - blocks == 0.0, blocks, 0.0),
+                          0.0)
+            return jax.lax.dot_general(
+                d, h_matN, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + blocks * 0.0
 
         # prior centers are the step-start particles (fixed across the
         # mpf_steps SVGD iterations)
         xsnap = mpfx_ref[:]
         c0r8 = pair_rows(xsnap[:, 0:1], xsnap[:, 64:65])
         c1r8 = pair_rows(xsnap[:, 1:2], xsnap[:, 65:66])
-        c0N = to_blocks(c0r8)
-        c1N = to_blocks(c1r8)
+        c0c = colbcast(to_blocks(c0r8))   # q-indexed (column-broadcast)
+        c1c = colbcast(to_blocks(c1r8))
         ppbw2N = to_blocks(ppbw28)
         imbw2N = to_blocks(imbw28)
 
         def mpf_body(i, carry):
-            # the four particle layouts ride the fori carry (updated
-            # incrementally below) instead of being re-derived from
-            # mpfx_ref each iteration — pair_rows is exactly linear
-            # (disjoint-lane reshape/roll/add), so x0r + pair_rows(d0)
-            # is bitwise pair_rows(x0 + d0)
-            x0, x1, x0r, x1r = carry
+            # TRANSPOSED body: the particle state rides the carry in
+            # ROW layout only ([8, 128]: pair rows, A particles at
+            # lanes < 64, B at >= 64). Every pairwise matrix is built
+            # with the SUMMED particle index on the sublane axis, so
+            # all six per-iteration reductions are per-pair-block row
+            # sums (brs) instead of lane-half reductions — measured
+            # 3.8x cheaper per iteration (bench/probes/
+            # mpf_transpose_probe.py: 449 vs 1688 ns on the
+            # shape-faithful body; the MPF loop was 65% of the
+            # group-step). Column-broadcast operands are rebuilt from
+            # row space with colbcast (MXU matmuls, VPU-free).
+            x0r, x1r = carry
+            x0N = to_blocks(x0r)          # lane-indexed particles
+            x1N = to_blocks(x1r)
+            x0c = colbcast(x0N)           # row(q)-indexed particles
+            x1c = colbcast(x1N)
 
-            # GMM prior responsibilities and weighted prior means. No
-            # max-subtraction: logits = -0.5*d2c*ppbw2 <= 0 with the
+            # GMM prior responsibilities and weighted prior means,
+            # transposed: rows = centers q, lanes = current particles.
+            # No max-subtraction: logits = -0.5*d2c*ppbw2 <= 0 with the
             # self-distance diagonal exactly 0 on every valid row, so
-            # the row max is exactly 0.0 and exp(logits - mx) ==
+            # the max is exactly 0.0 and exp(logits - mx) ==
             # exp(logits) bitwise (reference softmax at mpf.py:31-38
-            # via torch logsumexp is tolerance-matched by tests)
-            d2c = (x0 - c0N) ** 2 + (x1 - c1N) ** 2
-            pz = jnp.where(gvalidN, jnp.exp(-0.5 * d2c * ppbw2N), 0.0)
-            psum = gredN(pz)
-            num0 = gredN(pz * c0N)
-            num1 = gredN(pz * c1N)
-            # divide AFTER the row transpose: the same two floats are
-            # divided per particle either way (bitwise identical on
-            # valid lanes; pad lanes' 0/0 NaN is masked by gvr8 below),
-            # but as [8,128] row ops instead of [nmr,128] column ops
-            psum_r = pair_rows(psum[:, 0:1], psum[:, 64:65])
-            pc0r = pair_rows(num0[:, 0:1], num0[:, 64:65]) / psum_r
-            pc1r = pair_rows(num1[:, 0:1], num1[:, 64:65]) / psum_r
+            # via torch logsumexp is tolerance-matched by tests).
+            # Invalid LANES (pad particles / missing B) produce finite
+            # junk columns masked by gvr8 at the score; invalid center
+            # ROWS are excluded from the sums here.
+            d2c = (x0N - c0c) ** 2 + (x1N - c1c) ** 2
+            pz = jnp.where(valid_rowN,
+                           jnp.exp(-0.5 * d2c * ppbw2N), 0.0)
+            psum_r = brs(pz)
+            pc0r = brs(pz * c0c) / psum_r
+            pc1r = brs(pz * c1c) / psum_r
 
             # likelihood gradient in stacked row layout [8, 128]
             length = jnp.where(gvr8, x0r, 1.0)
@@ -756,49 +784,40 @@ def _pendulum_sweep_kernel(
             s0r = jnp.where(gvr8, gl_l + gp0, 0.0)
             s1r = jnp.where(gvr8, gl_m + gp1, 0.0)
 
-            # RBF Stein update on the stacked pairwise tiles. The
-            # repulsion sum folds into the drive sum:
-            #   phi = sum_j k_rj*(s_j + (x_r - x_j)/bw^2)
-            #       = sum_j k_rj*(s_j - x_j/bw^2) + (sum_j k_rj)*x_r/bw^2
-            # so k needs only TWO reduced products (t0N/t1N) instead of
-            # four (s0N/s1N/kx0/kx1) — two fewer lane reductions and two
-            # fewer [nmr,128] products per SVGD iteration. imbw2N is
-            # constant within a (pair, lane-half) block, so it is valid
-            # in both row and column orientation.
-            # fold the -x/bw^2 term in ROW space before the block
-            # broadcast: imbw2 is constant per (pair, lane-half), so
-            # (s0r - x0r*imbw28) broadcast to blocks is bitwise
-            # to_blocks(s0r) - to_blocks(x0r)*imbw2N, at [8,128] cost
-            x0N = to_blocks(x0r)
-            x1N = to_blocks(x1r)
-            t0N = to_blocks(s0r - x0r * imbw28)
-            t1N = to_blocks(s1r - x1r * imbw28)
-            d2 = (x0 - x0N) ** 2 + (x1 - x1N) ** 2
-            k = jnp.where(gvalidN, jnp.exp(-0.5 * d2 * imbw2N), 0.0)
-            rows_k = gredN(k)
-            drive0 = gredN(k * t0N)
-            drive1 = gredN(k * t1N)
-            phi0 = (drive0 + rows_k * x0 * imbw2N) * (1.0 / m_mpf)
-            phi1 = (drive1 + rows_k * x1 * imbw2N) * (1.0 / m_mpf)
-            d0 = jnp.where(valid_rowN, mpf_lr * phi0, 0.0)
-            d1 = jnp.where(valid_rowN, mpf_lr * phi1, 0.0)
+            # RBF Stein update, transposed (rows = summed particles q,
+            # lanes = updated particles l). The repulsion sum folds
+            # into the drive sum:
+            #   phi(l) = sum_q k_ql*(s_q + (x_l - x_q)/bw^2)
+            #          = sum_q k_ql*(s_q - x_q/bw^2)
+            #            + (sum_q k_ql)*x_l/bw^2
+            # with the fold applied in ROW space before the broadcast
+            # (imbw2 is constant per (pair, lane-half), so it is valid
+            # in both orientations); x_l rides x0r/x1r directly, so the
+            # whole update closes in row space with no relayout.
+            t0c = colbcast(to_blocks(s0r - x0r * imbw28))
+            t1c = colbcast(to_blocks(s1r - x1r * imbw28))
+            d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
+            k = jnp.where(valid_rowN,
+                          jnp.exp(-0.5 * d2 * imbw2N), 0.0)
+            rows_k = brs(k)
+            drive0 = brs(k * t0c)
+            drive1 = brs(k * t1c)
+            phi0 = (drive0 + rows_k * x0r * imbw28) * (1.0 / m_mpf)
+            phi1 = (drive1 + rows_k * x1r * imbw28) * (1.0 / m_mpf)
             return (
-                x0 + d0, x1 + d1,
-                x0r + pair_rows(d0[:, 0:1], d0[:, 64:65]),
-                x1r + pair_rows(d1[:, 0:1], d1[:, 64:65]),
+                x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0),
+                x1r + jnp.where(gvr8, mpf_lr * phi1, 0.0),
             )
 
-        x0f, x1f, _, _ = jax.lax.fori_loop(
-            0, mpf_steps, mpf_body,
-            (
-                jnp.where(in_aN, xsnap[:, 0:1], xsnap[:, 64:65]),
-                jnp.where(in_aN, xsnap[:, 1:2], xsnap[:, 65:66]),
-                c0r8, c1r8,
-            ),
+        x0f_r, x1f_r = jax.lax.fori_loop(
+            0, mpf_steps, mpf_body, (c0r8, c1r8),
             unroll=max(1, mpf_steps) if unroll else 1)
         # commit once: particle lanes (0/1 and 64/65) on valid rows take
-        # the final carry; every other lane/row keeps its step-start
-        # value exactly as the per-iteration masked write used to
+        # the final carry (converted back to the paired-lane column
+        # layout via colbcast); every other lane/row keeps its
+        # step-start value exactly as the old masked write used to
+        x0f = colbcast(to_blocks(x0f_r))
+        x1f = colbcast(to_blocks(x1f_r))
         mpfx_ref[:] = jnp.where(
             valid_rowN & ((laneN == 0) | (laneN == 64)), x0f,
             jnp.where(
