@@ -77,18 +77,21 @@ def _kernel(x_ref, out_ref, *, variant, iters):
 
     def colbcast(blocks):
         """to_blocks(r8) -> column-broadcast tile: value of ROW particle
-        (q = r_in_pair) of the scenario selected by the LANE half. Two
-        half-masked matmuls: a single matmul would leak one scenario's
-        NaN into its lane-half partner through 0 * NaN terms of the
-        contraction."""
-        d = jnp.where(mdiag, blocks, 0.0)
-        da = jnp.where(in_a, d, 0.0)
-        db = jnp.where(in_a, 0.0, d)
-        mm = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return mm(da, h_mat) + mm(db, h_mat)
+        (q = r_in_pair) of the scenario selected by the LANE half.
+        Matches the SHIPPED kernel body (pallas_sweep_episode.py
+        `colbcast`): ONE matmul whose operand is sanitized with the
+        sub/compare/select finite test, with the diverged half's NaN
+        re-injected afterwards via `blocks * 0.0` — so re-validating
+        this probe measures the production structure. (An earlier probe
+        revision used two half-masked matmuls for the same isolation;
+        the 449 ns / 3.8x result was first measured on that body.)"""
+        d = jnp.where(mdiag,
+                      jnp.where(blocks - blocks == 0.0, blocks, 0.0),
+                      0.0)
+        return jax.lax.dot_general(
+            d, h_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + blocks * 0.0
 
     c0 = jnp.where(in_a, 0.3, -0.2)
     c0r = jnp.where(

@@ -103,7 +103,8 @@ def build_pendulum_stack(config_data, key, case="dust",
 
     if case == "disco_utf":
         params_sampling = MerweScaledUTF(
-            n=config_data["utf"]["n"], alpha=config_data["utf"]["alpha"]
+            n=config_data["utf"]["n"], alpha=config_data["utf"]["alpha"],
+            correct_sqrt=config_data["utf"].get("correct_sqrt", False),
         )
     elif case == "dust":
         params_sampling = True

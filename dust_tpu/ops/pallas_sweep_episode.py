@@ -890,7 +890,8 @@ def fused_pendulum_sweep_episode(
 
     state0 [2] shared initial state; theta0/locs0/a_mat0 [m, hz]
     (shared across scenarios, like the sweep harness);
-    mpfx0 [m_mpf, 2]; true_lengths/true_masses [n_sc] per-scenario
+    mpfx0 [m_mpf, 2] shared or [n_sc, m_mpf, 2] per-scenario;
+    true_lengths/true_masses [n_sc] per-scenario
     simulator parameters. The controller a_seq is fixed at zero (the
     SVMPC demo semantics — asserted here).
 
@@ -963,12 +964,13 @@ def fused_pendulum_sweep_episode(
     amat_stack = jnp.tile(jnp.asarray(a_mat0, jnp.float32), (n_sc, 1))
     # two scenarios per MPF row block: scenario 2p at lanes 0:2 of
     # block p, scenario 2p+1 at lanes 64:66
+    mpfx0 = jnp.asarray(mpfx0, jnp.float32)
     mpfx_rows = jnp.zeros((n_pair * mp, 128), jnp.float32)
     for s in range(n_sc):
         p, g = divmod(s, 2)
         mpfx_rows = mpfx_rows.at[
             p * mp:p * mp + m_mpf, 64 * g:64 * g + 2
-        ].set(jnp.asarray(mpfx0, jnp.float32))
+        ].set(mpfx0[s] if mpfx0.ndim == 3 else mpfx0)
 
     inputs = [
         seed_arr, scal, il_true, im_true,

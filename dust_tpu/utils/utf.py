@@ -13,10 +13,25 @@ import jax.numpy as jnp
 
 
 class MerweScaledUTF:
-    """Sigma-point transformer: 2n+1 points for an n-dim distribution."""
+    """Sigma-point transformer: 2n+1 points for an n-dim distribution.
 
-    def __init__(self, n, alpha=1e-3, beta=2.0, kappa=0.0):
+    `correct_sqrt` selects the matrix-square-root convention:
+
+    * False (default — reference parity, PARITY.md #7): sigma offsets are
+      the *columns* of the upper Cholesky factor U of (lambda + n) K, as in
+      `dust/utils/utf.py:121-122`. Since U^T U = (lambda+n) K but the
+      offsets reconstruct U U^T, the sigma points do NOT reproduce the
+      covariance under `unscented_transform`.
+    * True: offsets are the columns of the *lower* Cholesky factor L
+      (L L^T = (lambda+n) K), the mathematically intended Merwe
+      construction — `unscented_transform(compute_sigma_points(mu, K))`
+      round-trips (mu, K) exactly (up to float error).
+    """
+
+    def __init__(self, n, alpha=1e-3, beta=2.0, kappa=0.0,
+                 correct_sqrt=False):
         self.n = int(n)
+        self.correct_sqrt = bool(correct_sqrt)
         self.pts = 2 * self.n + 1
         self.alpha = float(alpha)
         self.beta = float(beta)
@@ -41,8 +56,14 @@ class MerweScaledUTF:
         """
         mu = jnp.asarray(mu, dtype=jnp.float32).reshape(self.n)
         cov = jnp.asarray(cov, dtype=jnp.float32)
-        # upper-triangular square root: chol(A^T)^T
-        u = jnp.linalg.cholesky((self._lambda + self.n) * cov.T).T
+        if self.correct_sqrt:
+            # lower Cholesky factor: columns c_i satisfy sum c_i c_i^T =
+            # L L^T = (lambda + n) K, so the sigma points reconstruct K
+            u = jnp.linalg.cholesky((self._lambda + self.n) * cov)
+        else:
+            # upper-triangular square root: chol(A^T)^T — columns used as
+            # offsets reproduce the reference quirk (PARITY.md #7)
+            u = jnp.linalg.cholesky((self._lambda + self.n) * cov.T).T
         plus = u + mu[:, None]
         minus = -u + mu[:, None]
         return jnp.concatenate([mu[:, None], plus, minus], axis=1)

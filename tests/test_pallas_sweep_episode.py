@@ -63,12 +63,14 @@ def _run_single(steps, theta0, mpfx0, eps_s, pdz_s, pdu_s, ln, ms,
     )
 
 
-@pytest.mark.parametrize("n_sc", [2, 8])
+@pytest.mark.parametrize("n_sc", [2, 3, 5, 8])
 def test_sweep_matches_independent_single_episodes(n_sc):
     """Every scenario of the sweep kernel must reproduce an independent
     single-episode run on the same noise. n_sc=2 exercises the
     sublane-padding path (S*m=6 rows padded to 8); n_sc=8 is the
-    production group size. Tolerances are reassociation-level: the
+    production group size; odd n_sc (3, 5) exercises the MPF pairing's
+    missing-B-half path (the last pair block has junk lanes 64:128 that
+    must stay masked out of scenario results). Tolerances are reassociation-level: the
     sweep kernel computes pairwise distances via centered MXU Gram
     matrices where the single-episode kernel uses explicit per-column
     differences."""
@@ -236,6 +238,39 @@ def test_sweep_nan_scenario_isolation():
                                   np.asarray(out_b["theta"][others]))
     # the poisoned scenario itself reports NaN (not silently "healthy")
     assert not np.isfinite(np.asarray(out_b["th"][:, 1])).all()
+
+
+def test_sweep_mpf_nan_partner_isolation():
+    """NaN injected directly into one scenario's MPF *particles* must not
+    leak into its lane-half partner (scenarios 2p / 2p+1 share each MPF
+    tile's lanes 0:64 / 64:128): the colbcast rebuild sanitizes its
+    operand and re-injects NaN via `blocks * 0.0`, keeping the partner's
+    half bitwise intact. This is the sharpest isolation case — the
+    partner shares every matmul of the MPF body, not just the block
+    masks the finite-divergence test exercises."""
+    n_sc, steps = 4, 2
+    theta0, mpfx0, eps, pdz, pdu, lens, mass = _setup(n_sc, steps,
+                                                      seed=11)
+    mpfx_per = jnp.broadcast_to(mpfx0, (n_sc, MM, 2))
+    out_a = _run_sweep(n_sc, steps, theta0, mpfx_per, eps, pdz, pdu,
+                       lens, mass)
+    # poison scenario 1's MPF particles (partner of scenario 0 in pair
+    # block 0; scenarios 2 and 3 live in pair block 1)
+    mpfx_nan = mpfx_per.at[1].set(jnp.nan)
+    out_b = _run_sweep(n_sc, steps, theta0, mpfx_nan, eps, pdz, pdu,
+                       lens, mass)
+    others = np.array([0, 2, 3])
+    for k in ("cost", "th", "om", "action", "bw_sv"):
+        np.testing.assert_array_equal(
+            np.asarray(out_a[k][:, others]),
+            np.asarray(out_b[k][:, others]), err_msg=k,
+        )
+    np.testing.assert_array_equal(np.asarray(out_a["theta"][others]),
+                                  np.asarray(out_b["theta"][others]))
+    np.testing.assert_array_equal(np.asarray(out_a["mpf_x"][others]),
+                                  np.asarray(out_b["mpf_x"][others]))
+    # the poisoned scenario stays NaN (not silently repaired)
+    assert not np.isfinite(np.asarray(out_b["mpf_x"][1])).all()
 
 
 def test_sweep_layout_guards_raise():

@@ -55,3 +55,26 @@ def test_unscented_transform_roundtrip(reference, rng):
     # `dust/utils/utf.py:121-122`, so the reconstruction is U U^T rather
     # than U^T U = cov — a reference quirk we mirror for parity.)
     np.testing.assert_allclose(np.asarray(mu_out), mu, atol=1e-4)
+
+
+def test_correct_sqrt_mode_reconstructs_covariance(rng):
+    """correct_sqrt=True (the fixed mode, PARITY.md #7): sigma points
+    round-trip (mu, cov) through unscented_transform — the property the
+    reference's column-of-upper-Cholesky offsets break."""
+    n = 3
+    mu = rng.normal(size=n).astype(np.float32)
+    a = rng.normal(size=(n, n)).astype(np.float32)
+    cov = a @ a.T + np.eye(n, dtype=np.float32)
+
+    fixed = MerweScaledUTF(n=n, alpha=0.5, correct_sqrt=True)
+    sp = fixed.compute_sigma_points(jnp.asarray(mu), jnp.asarray(cov))
+    mu_out, cov_out = fixed.unscented_transform(sp)
+    np.testing.assert_allclose(np.asarray(mu_out), mu, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cov_out), cov, rtol=1e-3,
+                               atol=1e-3)
+
+    # the parity-default mode does NOT reconstruct (documents the quirk)
+    quirky = MerweScaledUTF(n=n, alpha=0.5)
+    sq = quirky.compute_sigma_points(jnp.asarray(mu), jnp.asarray(cov))
+    _, cov_q = quirky.unscented_transform(sq)
+    assert not np.allclose(np.asarray(cov_q), cov, rtol=1e-3, atol=1e-3)
