@@ -49,6 +49,9 @@ class SVMPCState:
     theta: jax.Array          # [m, H, A]
     opt_state: optax.OptState
     prior: GMM                # over event [H, A]
+    # True once update_prior has run at least once — drives the
+    # reference_compat live-prior quirk in get_weights (PARITY #19)
+    prior_updated: jax.Array = struct.field(default=None)
 
 
 class SVMPC:
@@ -85,7 +88,8 @@ class SVMPC:
     def init_state(self, init_particles, prior: GMM) -> SVMPCState:
         theta = jnp.asarray(init_particles, jnp.float32)
         return SVMPCState(
-            theta=theta, opt_state=self.optimizer.init(theta), prior=prior
+            theta=theta, opt_state=self.optimizer.init(theta), prior=prior,
+            prior_updated=jnp.asarray(False),
         )
 
     # -- Stein direction (`svmpc.py:32-85`) -------------------------------
@@ -164,6 +168,22 @@ class SVMPC:
     def get_weights(self, svstate, costs):
         log_l = self.likelihood.log_prob(costs)             # [m]
         log_p = svstate.prior.log_prob(svstate.theta)       # [m]
+        if self.reference_compat and svstate.prior_updated is not None:
+            # PARITY #19: the reference's update_prior calls
+            # get_gmm(self.theta, ...) (`svmpc.py:166-170`), so after the
+            # first prior refresh the prior's component locs SHARE the
+            # tensor that the next optimize() mutates in place — by
+            # get_weights time (`svmpc.py:139`) the prior is centered on
+            # the CURRENT particles, not the roll-time ones. (Exact for
+            # the demos' n_steps=1; with n_steps>1 the intermediate
+            # phi() prior grads alias too.)
+            live = GMM(
+                locs=svstate.theta,
+                scale_tril=svstate.prior.scale_tril,
+                logits=svstate.prior.logits,
+            )
+            log_p = jnp.where(svstate.prior_updated,
+                              live.log_prob(svstate.theta), log_p)
         log_w = log_l + log_p
         return jnp.exp(log_w - jax.nn.logsumexp(log_w))
 
@@ -195,7 +215,8 @@ class SVMPC:
             scale_tril=svstate.prior.scale_tril,
             logits=logits,
         )
-        return svstate.replace(prior=prior)
+        return svstate.replace(prior=prior,
+                               prior_updated=jnp.asarray(True))
 
     def forward(self, svstate, costs, key=None, steps=-1):
         """Select the best particle, roll, refresh the prior
