@@ -24,11 +24,26 @@ import optax
 
 from dust_tpu.experiments import build_pendulum_stack, load_config
 from dust_tpu.simulation import PendulumSimulation
-from dust_tpu.tuning import parallel_lr_sweep, random_search
+from dust_tpu.tuning import (
+    parallel_lr_sweep,
+    pendulum_asha_objective,
+    random_search,
+    successive_halving,
+)
 
 SPACE = {
     "learning_rate": (0.1, 10.0, "log"),
     "alpha": (0.25, 4.0, "log"),
+    "prior_sigma": (0.5, 5.0),
+    "horizon": [20, 30, 40],
+}
+
+# the ASHA space samples the compile-static params (alpha, horizon)
+# from grids so each rung batches trials sharing them into one wide
+# vmapped program (see `pendulum_asha_objective`)
+ASHA_SPACE = {
+    "learning_rate": (0.1, 10.0, "log"),
+    "alpha": [0.25, 0.5, 1.0, 2.0, 4.0],
     "prior_sigma": (0.5, 5.0),
     "horizon": [20, 30, 40],
 }
@@ -41,11 +56,30 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--parallel-lr", type=int, default=0,
                         help="evaluate N learning rates in one program")
+    parser.add_argument("--asha", type=int, default=0,
+                        help="batched successive halving over N configs")
+    parser.add_argument("--max-budget", type=int, default=0,
+                        help="ASHA full-episode budget (default --steps)")
     args = parser.parse_args()
 
     config_path = Path(__file__).parent / "pendulum_config.yaml"
     base_config = load_config(config_path)
     true_params = {"length": 1.0, "mass": 1.0}
+
+    if args.asha:
+        max_budget = args.max_budget or args.steps
+        objective = pendulum_asha_objective(
+            base_config, true_params, seed=args.seed
+        )
+        best, value, history, episode_eq = successive_halving(
+            objective, ASHA_SPACE, args.asha, eta=3,
+            min_budget=max(1, max_budget // 9), max_budget=max_budget,
+            seed=args.seed, verbose=True,
+        )
+        print(f"\nbest: {best} -> {value:.3f} "
+              f"({episode_eq:.1f} episode-equivalents for {args.asha} "
+              f"configs; the reference's Optuna study spends 200)")
+        return
 
     if args.parallel_lr:
         # one compiled program, N lanes, each with its own lr

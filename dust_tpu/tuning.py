@@ -72,12 +72,164 @@ def random_search(objective, space, n_trials, seed=0, verbose=False):
     return best_params, best_value, history
 
 
+def successive_halving(batch_objective, space, n_configs, eta=3,
+                       min_budget=25, max_budget=200, seed=0,
+                       verbose=False):
+    """Batched successive halving (the ASHA rung schedule run
+    rung-synchronously — the natural shape for a vmapped accelerator,
+    where one rung is ONE wide device program rather than Optuna's
+    sequential trials, `demo/pendulum_tuning.py:179-180` in the
+    reference).
+
+    Minimizes `batch_objective(trials: list[dict], budget: int) ->
+    per-trial scores [len(trials)]` where `budget` is in episode steps.
+    Rung k evaluates the survivors at budget `min_budget * eta^k`
+    (clipped to `max_budget`) and keeps the best `1/eta` fraction.
+    Non-finite scores count as +inf (the reference's failed-trial
+    guard, `demo/particle_tuning.py:93-105`).
+
+    Returns `(best_params, best_value, history, episode_equivalents)`
+    where `history` is a list of `(budget, [(trial, score), ...])` per
+    rung and `episode_equivalents` is the total steps evaluated divided
+    by `max_budget` — directly comparable against the reference's
+    200-full-episode Optuna study.
+    """
+    rng = np.random.default_rng(seed)
+    survivors = [sample_space(rng, space) for _ in range(n_configs)]
+
+    budgets = []
+    b = int(min_budget)
+    while b < int(max_budget):
+        budgets.append(b)
+        b *= eta
+    budgets.append(int(max_budget))
+
+    history = []
+    total_steps = 0
+    best_params, best_value = None, float("inf")
+    for k, budget in enumerate(budgets):
+        scores = np.asarray(batch_objective(survivors, budget),
+                            dtype=float)
+        scores = np.where(np.isfinite(scores), scores, np.inf)
+        total_steps += budget * len(survivors)
+        history.append((budget, list(zip(survivors, scores))))
+        order = np.argsort(scores, kind="stable")
+        if budget == budgets[-1] and np.isfinite(scores[order[0]]):
+            # full-budget scores are the real objective
+            best_params = survivors[int(order[0])]
+            best_value = float(scores[order[0]])
+        if verbose:
+            print(f"rung {k} (budget {budget}, {len(survivors)} "
+                  f"trials): best {scores[order[0]]:.4f} "
+                  f"{survivors[int(order[0])]}")
+        keep = max(1, int(math.ceil(len(survivors) / eta)))
+        survivors = [survivors[int(i)] for i in order[:keep]]
+    return best_params, best_value, history, total_steps / max_budget
+
+
 def set_injected_lr(opt_state, lr):
     """Overwrite the learning rate inside an
     `optax.inject_hyperparams(...)` optimizer state."""
     hyperparams = dict(opt_state.hyperparams)
     hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state._replace(hyperparams=hyperparams)
+
+
+def pendulum_asha_objective(base_config, true_params, seed=0,
+                            case="svmpc", mesh=None):
+    """Build a `successive_halving` batch objective for the pendulum
+    SV-MPC task (the reference's tuning target,
+    `demo/pendulum_tuning.py:30-43`).
+
+    Trials may vary `learning_rate`, `prior_sigma` (lane-vmapped: the
+    lr rides in the optax injected-hyperparams state, the prior sigma
+    in the SVMPC state's prior scale_tril and the matching init-particle
+    spread), and `alpha` / `horizon` (compile-static: trials sharing
+    them evaluate as lanes of ONE device program, so a rung costs one
+    program launch per distinct (alpha, horizon) combo — sample them
+    from small grids to keep rungs wide). Budget is episode steps; all
+    lanes share one episode noise stream (common random numbers), so
+    rung comparisons are paired.
+    """
+    import copy
+
+    import optax
+
+    from .experiments import build_pendulum_stack
+    from .parallel.sweep import ScenarioSweep, broadcast_scenarios
+    from .simulation import PendulumSimulation
+
+    base_exp = base_config["exp_params"]
+
+    def batch_objective(trials, budget):
+        scores = np.full(len(trials), np.inf)
+        groups = {}
+        for i, t in enumerate(trials):
+            gkey = (round(float(t.get("alpha", base_exp["alpha"])), 8),
+                    int(t.get("horizon", base_exp["horizon"])))
+            groups.setdefault(gkey, []).append(i)
+        for (alpha, horizon), idxs in groups.items():
+            config = copy.deepcopy(base_config)
+            config["exp_params"].update(alpha=alpha, horizon=horizon)
+            stack = build_pendulum_stack(
+                config, jax.random.key(seed), case=case
+            )
+            stack.svmpc.optimizer = optax.inject_hyperparams(optax.sgd)(
+                learning_rate=1.0
+            )
+            harness = PendulumSimulation(
+                controller=stack.controller, svmpc=stack.svmpc,
+                model=stack.model, steps=int(budget), warm_up=0,
+            )
+            svstate0 = stack.svmpc.init_state(
+                stack.init_policies, stack.policies_prior
+            )
+            base_sigma = float(config["exp_params"]["prior_sigma"])
+            lrs = jnp.asarray(
+                [trials[i].get("learning_rate", base_exp["learning_rate"])
+                 for i in idxs], jnp.float32)
+            ratio = jnp.asarray(
+                [trials[i].get("prior_sigma", base_sigma) / base_sigma
+                 for i in idxs], jnp.float32)
+            locs = stack.policies_prior.locs
+
+            def make_lane(lr, r):
+                prior = svstate0.prior.replace(
+                    scale_tril=r * svstate0.prior.scale_tril
+                )
+                theta = locs + r * (svstate0.theta - locs)
+                return svstate0.replace(
+                    theta=theta, prior=prior,
+                    opt_state=set_injected_lr(svstate0.opt_state, lr),
+                )
+
+            svstates = jax.vmap(make_lane)(lrs, ratio)
+            k = len(idxs)
+            keys = jnp.broadcast_to(jax.random.key(seed + 1), (k,))
+            params = {name: jnp.full((k,), v)
+                      for name, v in true_params.items()}
+            init_obs = jnp.broadcast_to(
+                stack.init_state.reshape(1, 1, -1),
+                (k, 1, stack.init_state.shape[0]),
+            )
+            dstate = broadcast_scenarios(
+                stack.controller.init_state(stack.init_policies), k
+            )
+            mstate = (
+                broadcast_scenarios(
+                    stack.mpf.init_state(stack.mpf_init, stack.init_state,
+                                         stack.controller.dim_a), k
+                )
+                if stack.mpf is not None else broadcast_scenarios((), k)
+            )
+            sweep = ScenarioSweep(harness, stack.dynamics_prior,
+                                  mesh=mesh)
+            out = sweep.run(keys, params, init_obs, dstate, svstates,
+                            mstate)
+            scores[np.asarray(idxs)] = np.asarray(out["avg_cum_cost"])
+        return scores
+
+    return batch_objective
 
 
 def parallel_lr_sweep(harness, stack, lrs, key, true_params,

@@ -8,7 +8,13 @@ import optax
 
 from dust_tpu.experiments import build_pendulum_stack, load_config
 from dust_tpu.simulation import PendulumSimulation
-from dust_tpu.tuning import parallel_lr_sweep, random_search, sample_space
+from dust_tpu.tuning import (
+    parallel_lr_sweep,
+    pendulum_asha_objective,
+    random_search,
+    sample_space,
+    successive_halving,
+)
 
 
 def test_sample_space_types():
@@ -42,6 +48,85 @@ def test_random_search_handles_failures():
     assert len(history) == 10
     assert value == best["x"] <= 0.5
     assert any(v == float("inf") for _, v in history)
+
+
+def test_successive_halving_promotes_and_converges():
+    """On a known analytic objective (budget-dependent noise shrinking
+    toward |x - 0.3|), SH promotes the right region, spends the
+    advertised budget schedule, and the episode-equivalents accounting
+    is exact."""
+    evals = []
+
+    def batch_objective(trials, budget):
+        evals.append((budget, len(trials)))
+        # deterministic 'noise' that decays with budget: low-budget
+        # rungs are a biased view of the true objective, as in real
+        # short-episode evaluations
+        return np.array([
+            abs(t["x"] - 0.3) + np.cos(97.0 * t["x"]) / budget
+            for t in trials
+        ])
+
+    best, value, history, episode_eq = successive_halving(
+        batch_objective, {"x": (0.0, 1.0)}, 27, eta=3,
+        min_budget=4, max_budget=100, seed=0,
+    )
+    # rung schedule 4, 12, 36, 100 with 27 -> 9 -> 3 -> 1 survivors
+    assert [b for b, _ in evals] == [4, 12, 36, 100]
+    assert [n for _, n in evals] == [27, 9, 3, 1]
+    assert episode_eq == (4 * 27 + 12 * 9 + 36 * 3 + 100 * 1) / 100
+    assert abs(best["x"] - 0.3) < 0.25
+    assert value == abs(best["x"] - 0.3) + np.cos(97.0 * best["x"]) / 100
+    # non-finite scores are eliminated, never promoted
+    def nan_objective(trials, budget):
+        return np.array([
+            np.nan if t["x"] > 0.5 else t["x"] for t in trials
+        ])
+
+    best2, value2, hist2, _ = successive_halving(
+        nan_objective, {"x": (0.0, 1.0)}, 9, eta=3,
+        min_budget=2, max_budget=8, seed=1,
+    )
+    assert best2["x"] <= 0.5 and np.isfinite(value2)
+
+
+def test_pendulum_asha_objective_batches_groups():
+    """The pendulum batch objective scores every trial finitely, groups
+    compile-static params, and agrees with the single-lane parallel-lr
+    path at a matched config."""
+    cfg = load_config("demo/pendulum_config.yaml")
+    cfg["exp_params"].update(horizon=8, action_samples=8, n_particles=2)
+    true_params = {"length": 1.0, "mass": 1.0}
+    objective = pendulum_asha_objective(cfg, true_params, seed=0)
+    base_alpha = cfg["exp_params"]["alpha"]
+    base_sigma = cfg["exp_params"]["prior_sigma"]
+    trials = [
+        {"learning_rate": 0.5, "alpha": base_alpha, "horizon": 8,
+         "prior_sigma": base_sigma},
+        {"learning_rate": 2.0, "alpha": base_alpha, "horizon": 8,
+         "prior_sigma": base_sigma},
+        {"learning_rate": 2.0, "alpha": 2.0 * base_alpha, "horizon": 8,
+         "prior_sigma": 2.0},
+    ]
+    scores = objective(trials, budget=6)
+    assert scores.shape == (3,)
+    assert np.isfinite(scores).all()
+    assert len(np.unique(scores.round(4))) == 3
+
+    # cross-check lane 0/1 against parallel_lr_sweep on the same stack
+    stack = build_pendulum_stack(cfg, jax.random.key(0), case="svmpc")
+    stack.svmpc.optimizer = optax.inject_hyperparams(optax.sgd)(
+        learning_rate=1.0
+    )
+    harness = PendulumSimulation(
+        controller=stack.controller, svmpc=stack.svmpc,
+        model=stack.model, steps=6, warm_up=0,
+    )
+    ref = parallel_lr_sweep(
+        harness, stack, jnp.array([0.5, 2.0]), jax.random.key(1),
+        true_params,
+    )
+    np.testing.assert_allclose(scores[:2], np.asarray(ref), rtol=1e-5)
 
 
 def test_parallel_lr_sweep_orders_sanely():
