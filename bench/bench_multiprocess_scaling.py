@@ -1,0 +1,209 @@
+"""Timed multi-PROCESS weak-scaling curve for the scenario-sharded sweep.
+
+VERDICT r1 #4: `tests/test_multiprocess.py` proves 2-process gloo
+*correctness*; this records the *efficiency* evidence. Real multi-host
+TPU slices are unavailable this round, so this is the CPU proxy bound
+for the DCN-path overhead: P OS processes (P = 1, 2, 4), each pinned to
+ONE dedicated core (taskset) and contributing one single-threaded XLA
+CPU device, form a P-device global mesh via
+`parallel/mesh.py:initialize_distributed` + gloo collectives — the same
+runtime stack a multi-host TPU pod uses across DCN (SURVEY.md §2.2
+multi-host row), minus the chips.
+
+Weak scaling: each process owns a FIXED number of scenarios (whole
+closed-loop pendulum DuSt episodes; zero cross-process traffic except
+the final replicated mean — exactly the production sharding layout), so
+ideal scaling is rate(P) = P * rate(1) and
+
+    efficiency(P) = rate(P) / (P * rate(1)).
+
+The measured efficiency bounds the per-step cost of process coordination
+(gloo barrier + result all-reduce) for the scenario-DP design; it does
+NOT measure ICI/DCN bandwidth (no real interconnect is exercised).
+
+Run: python bench/bench_multiprocess_scaling.py
+     [--procs 1,2,4] [--per-proc 4] [--steps 20] [--repeats 3]
+Prints one JSON line per P plus a summary line with efficiencies.
+"""
+
+import argparse
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import sys, time, json
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+per_proc = int(sys.argv[4]); steps = int(sys.argv[5])
+repeats = int(sys.argv[6])
+import jax
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+sys.path.insert(0, "__ROOT__")
+if nproc > 1:
+    from dust_tpu.parallel.mesh import initialize_distributed
+    assert initialize_distributed(f"localhost:{port}",
+                                  num_processes=nproc, process_id=pid)
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dust_tpu.experiments import build_pendulum_stack, load_config
+from dust_tpu.parallel.sweep import broadcast_scenarios
+from dust_tpu.simulation import PendulumSimulation
+
+devs = jax.devices()
+assert len(devs) == nproc, (len(devs), nproc)
+mesh = Mesh(devs, ("scenario",))
+shard = NamedSharding(mesh, P("scenario"))
+rep = NamedSharding(mesh, P())
+
+config = load_config("__ROOT__/demo/pendulum_config.yaml")
+config["exp_params"].update(
+    horizon=16, action_samples=32, params_samples=4,
+    mpf_n_particles=16, mpf_steps=5, n_particles=3,
+)
+stack = build_pendulum_stack(config, jax.random.key(0), case="dust")
+harness = PendulumSimulation(
+    controller=stack.controller, svmpc=stack.svmpc, mpf=stack.mpf,
+    model=stack.model, steps=steps, warm_up=0, mpf_bw=stack.mpf_bw,
+    mpf_steps=5,
+)
+episode = harness.episode_fn(stack.dynamics_prior)
+
+n = per_proc * nproc
+keys = jax.random.split(jax.random.key(7), n)
+true_params = {"length": jnp.linspace(0.8, 1.2, n),
+               "mass": jnp.linspace(0.9, 1.1, n)}
+init_obs = jnp.broadcast_to(stack.init_state.reshape(1, 1, -1), (n, 1, 2))
+dstate = broadcast_scenarios(
+    stack.controller.init_state(stack.init_policies), n)
+svstate = broadcast_scenarios(
+    stack.svmpc.init_state(stack.init_policies, stack.policies_prior), n)
+mstate = broadcast_scenarios(
+    stack.mpf.init_state(stack.mpf_init, stack.init_state, 1), n)
+
+
+def place(tree, sh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_callback(
+            jnp.shape(x), sh, lambda idx, x=x: jnp.asarray(x)[idx]
+        ),
+        tree,
+    )
+
+
+inputs = place((keys, true_params, init_obs, dstate, svstate, mstate),
+               shard)
+
+
+def fn(keys, true_params, init_obs, dstate, svstate, mstate):
+    _, logs = jax.vmap(episode)(
+        keys, true_params, init_obs, dstate, svstate, mstate
+    )
+    return jnp.mean(logs[2])
+
+
+run = jax.jit(fn, out_shardings=rep)
+out = run(*inputs)          # compile + warm (collective: all procs)
+jax.block_until_ready(out)
+best = float("inf")
+for i in range(repeats):
+    t0 = time.perf_counter()
+    out = run(*inputs)
+    jax.block_until_ready(out)
+    best = min(best, time.perf_counter() - t0)
+if pid == 0:
+    rate = n * steps / best
+    print(json.dumps({"procs": nproc, "episodes": n, "steps": steps,
+                      "solves_per_s": round(rate, 2),
+                      "mean_cost": float(out)}), flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_cluster(nproc, per_proc, steps, repeats, worker_path):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # one single-threaded device per process: scaling then measures
+    # coordination overhead, not core oversubscription
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=1 "
+                        "--xla_cpu_multi_thread_eigen=false")
+    env["PYTHONPATH"] = str(ROOT)
+    env["OMP_NUM_THREADS"] = "1"
+    port = _free_port()
+    procs = []
+    for i in range(nproc):
+        cmd = [sys.executable, str(worker_path), str(i), str(nproc),
+               str(port), str(per_proc), str(steps), str(repeats)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", str(i)] + cmd
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(ROOT), env=env, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{out}")
+    for out in outs:
+        m = re.search(r'(\{"procs".*\})', out)
+        if m:
+            return json.loads(m.group(1))
+    raise RuntimeError("no result line:\n" + "\n".join(outs))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--procs", default="1,2,4")
+    parser.add_argument("--per-proc", type=int, default=4)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args()
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        worker_path = Path(tmp) / "scaling_worker.py"
+        worker_path.write_text(WORKER.replace("__ROOT__", str(ROOT)))
+        results = {}
+        for nproc in [int(p) for p in args.procs.split(",")]:
+            r = run_cluster(nproc, args.per_proc, args.steps,
+                            args.repeats, worker_path)
+            results[nproc] = r
+            print(json.dumps(r), flush=True)
+
+    base = min(results)
+    base_rate = results[base]["solves_per_s"] / base
+    summary = {
+        "weak_scaling_efficiency": {
+            str(p): round(r["solves_per_s"] / (p * base_rate), 4)
+            for p, r in results.items()
+        },
+        "per_proc_episodes": args.per_proc,
+        "steps": args.steps,
+        "collectives": "gloo" if len(results) > 1 else "none",
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
