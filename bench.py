@@ -252,6 +252,67 @@ def bench_episode_scan(stack, harness):
     return CHAIN * STEPS / best, costs
 
 
+def bench_per_step_mega(stack, config):
+    """Real-time replanning latency view at megakernel granularity
+    (VERDICT r1 #5): a steps=1 whole-solve episode megakernel —
+    SVMPC optimize + forward + simulator + 20-step MPF update in ONE
+    Pallas program — measured two ways:
+
+    * device_us_per_solve: DEVICE_REPS fresh solves chained by lax.scan
+      inside one dispatch — the on-chip per-solve latency, tunnel
+      excluded (the deployment-relevant number for a co-located host);
+    * per_step_dispatch_solves_per_s: one host dispatch per solve —
+      the through-the-tunnel replanning rate (dominated by the axon
+      tunnel's flat 2-28 ms per-dispatch overhead; on a co-located host
+      PCIe dispatch is ~100 us).
+
+    Compile cost is seconds (steps=1), vs ~4 min for the full per-step
+    jit program the opt-in BENCH_PER_STEP=1 view times — so this runs
+    in the default bench.
+    """
+    from dust_tpu.simulation import megakernel_pendulum_episode_fn
+
+    episode = megakernel_pendulum_episode_fn(
+        stack, config["exp_params"], steps=1, warm_up=0
+    )
+    reps = int(os.environ.get("BENCH_DEVICE_REPS", "512"))
+
+    @jax.jit
+    def chained(seeds):
+        def body(_, s):
+            return 0, episode(s)["cost"]
+
+        _, costs = jax.lax.scan(body, 0, seeds)
+        return costs  # [reps, 1]
+
+    def run(i):
+        seeds = jnp.stack(
+            [jnp.full((reps,), i, jnp.int32),
+             jnp.arange(reps, dtype=jnp.int32)], axis=1
+        )
+        return chained(seeds)
+
+    run(0).block_until_ready()  # compile + warm
+    best = float("inf")
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        run(i + 1).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    device_us = best / reps * 1e6
+
+    @jax.jit
+    def one(seed):
+        return episode(seed)["cost"]
+
+    one(jnp.array([0, 0], jnp.int32)).block_until_ready()
+    n = 50
+    t0 = time.perf_counter()
+    for i in range(n):
+        one(jnp.array([1, i], jnp.int32)).block_until_ready()
+    dispatch_rate = n / (time.perf_counter() - t0)
+    return device_us, dispatch_rate
+
+
 def bench_per_step(stack, harness):
     """One jitted solve per host dispatch (replanning latency view)."""
 
@@ -322,8 +383,18 @@ def main():
         raise SystemExit(
             f"BENCH_EPISODE must be sweep|mega|scan, got {mode!r}"
         )
-    # the per-step-dispatch view compiles a second large program (~4 min);
-    # opt-in so the default bench stays well inside a 10-minute budget
+    # real-time latency views. The megakernel one (steps=1 program,
+    # seconds of compile) runs by default; the full per-step jit program
+    # (~4 min compile) stays opt-in behind BENCH_PER_STEP=1.
+    device_us = dispatch_rate = None
+    if os.environ.get("BENCH_LATENCY", "1") == "1":
+        try:
+            device_us, dispatch_rate = bench_per_step_mega(stack, config)
+        except Exception as e:  # pragma: no cover - keep headline alive
+            import sys
+
+            print(f"latency view failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     step_solves = (
         bench_per_step(stack, harness)
         if os.environ.get("BENCH_PER_STEP") == "1" else None
@@ -341,8 +412,13 @@ def main():
         "value": round(scan_solves, 2),
         "unit": "solves/s",
         "vs_baseline": round(scan_solves / REFERENCE_SOLVES_PER_S, 2),
+        "device_us_per_solve": (
+            round(device_us, 2) if device_us is not None else "skipped"
+        ),
         "per_step_dispatch_solves_per_s": (
-            round(step_solves, 2) if step_solves is not None else "skipped"
+            round(step_solves, 2) if step_solves is not None
+            else round(dispatch_rate, 2) if dispatch_rate is not None
+            else "skipped"
         ),
         "reference_solves_per_s_cpu": REFERENCE_SOLVES_PER_S,
         "episode_steps": STEPS,

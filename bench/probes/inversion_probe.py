@@ -55,8 +55,14 @@ def bench(n, steps, repeats, case, mpf_over=None):
         config, jax.random.key(0),
         case="svmpc" if case == "svmpc_only" else "dust",
     )
+    # unroll=True matches the bench.py headline conditions. The rolled
+    # body (unroll=False) currently fails TPU compilation with a Mosaic
+    # relayout error on the [rows, 128] fori_loop carry
+    # ("Invalid relayout: ... replicated in destination but not in
+    # source for 'vector<192x128xf32>'"); the headline never uses it.
     sweep = megakernel_pendulum_sweep_fn(
-        stack, exp, steps=steps, n_sc=S, unroll=False,
+        stack, exp, steps=steps, n_sc=S,
+        unroll=os.environ.get("UNROLL", "1") == "1",
         svmpc_only=(case == "svmpc_only"),
     )
     lens = jnp.linspace(0.8, 1.2, S)
