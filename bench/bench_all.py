@@ -514,9 +514,17 @@ def bench_sweep_mega(n_scenarios, steps, repeats, svmpc_only=False):
         config, jax.random.key(0),
         case="svmpc" if svmpc_only else "dust",
     )
+    # unroll=True matches bench.py headline conditions (r1 measured
+    # this config rolled at n=64 — both confounds behind the apparent
+    # svmpc-only-slower-than-dual inversion, resolved by
+    # bench/probes/inversion_probe.py r2: back-to-back unrolled at
+    # n=256, dual 296.4k < dual_np1 366.0k < dual_mpf0 476.4k <
+    # svmpc_only 760.8k solves/s — monotone in work). The rolled body
+    # also no longer compiles on TPU (Mosaic relayout error on the
+    # fori_loop carry); it remains CPU/interpret-only for tests.
     sweep = megakernel_pendulum_sweep_fn(
         stack, config["exp_params"], steps=steps, n_sc=S,
-        unroll=False, svmpc_only=svmpc_only,
+        unroll=True, svmpc_only=svmpc_only,
     )
     lens = jnp.linspace(0.8, 1.2, S)
     mass = jnp.linspace(0.9, 1.1, S)

@@ -46,6 +46,14 @@ Restrictions beyond the single-episode kernel: S <= 8, the controller
 initializes to zeros and SVMPC never calls `controller.step`; the
 simulation.py adapter checks the concrete initial state), and the
 policy prior is unweighted (pendulum demo).
+
+unroll=False (the rolled inner loops) is CPU/interpret-only: on real
+TPU Mosaic rejects the rolled rollout fori_loop with an "Invalid
+relayout ... replicated in destination but not in source" error on the
+[rows, 128] carry (the lane-replicated zero/cos inits get a replicated
+layout the loop body's non-replicated results cannot transfer into).
+Production (bench.py, bench_all.py) always unrolls; tests use
+interpret mode where the rolled body is fine.
 """
 
 from __future__ import annotations
