@@ -37,3 +37,10 @@ def test_pendulum_tuning_parallel_lr_runs():
               "--steps", "5"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "best lr" in r.stdout
+
+
+def test_pendulum_tuning_asha_runs():
+    r = _run(["demo/pendulum_tuning.py", "--asha", "6", "--steps", "9"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "episode-equivalents" in r.stdout
+    assert "rung 0" in r.stdout and "rung 2" in r.stdout
