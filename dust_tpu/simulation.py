@@ -266,6 +266,19 @@ def megakernel_pendulum_sweep_fn(stack, exp_params, steps, n_sc,
     if _np.any(_np.asarray(dstate.a_seq)):
         raise ValueError("sweep megakernel requires a zero controller "
                          "a_seq (SVMPC demo semantics)")
+    # the kernel's policy-prior mixture weight is a single scalar
+    # log(1/m) held constant across the episode (pallas_sweep_episode
+    # `log_mix`); a weighted prior would need a per-particle log-weight
+    # column refreshed on every roll — reject rather than silently
+    # diverge from SVMPC(weighted_prior=True) semantics
+    if exp.get("weighted_prior", False):
+        raise ValueError("sweep megakernel supports the unweighted "
+                         "policy prior only (pendulum demo semantics)")
+    if _np.abs(_np.asarray(jax.nn.log_softmax(
+            stack.policies_prior.logits))
+            + _np.log(exp["n_particles"])).max() > 1e-6:
+        raise ValueError("sweep megakernel requires uniform initial "
+                         "prior mixture weights")
     theta0 = stack.init_policies[..., 0]
     locs0 = stack.policies_prior.locs[..., 0]
     amat0 = dstate.a_mat[..., 0]

@@ -299,3 +299,30 @@ def test_sweep_layout_guards_raise():
         run(m_mpf=80)     # two scenarios cannot share 128 lanes
     with pytest.raises(ValueError, match="n_sc"):
         run(n_sc=9)
+
+
+def test_sweep_adapter_semantic_guards_raise():
+    """The adapter rejects stack semantics the kernel does not model
+    (weighted policy prior, nonzero controller plan, non-uniform prior
+    mixture weights) instead of silently diverging."""
+    from dust_tpu.experiments import build_pendulum_stack, load_config
+    from dust_tpu.simulation import megakernel_pendulum_sweep_fn
+
+    cfg = load_config("demo/pendulum_config.yaml")
+    cfg["exp_params"]["weighted_prior"] = True
+    stack = build_pendulum_stack(cfg, jax.random.key(0), case="svmpc")
+    with pytest.raises(ValueError, match="unweighted"):
+        megakernel_pendulum_sweep_fn(
+            stack, cfg["exp_params"], steps=1, n_sc=2, interpret=True
+        )
+
+    cfg2 = load_config("demo/pendulum_config.yaml")
+    stack2 = build_pendulum_stack(cfg2, jax.random.key(0), case="svmpc")
+    stack2.policies_prior = stack2.policies_prior.replace(
+        logits=jnp.log(jnp.arange(1.0, 1.0 + cfg2["exp_params"]
+                                  ["n_particles"]))
+    )
+    with pytest.raises(ValueError, match="uniform"):
+        megakernel_pendulum_sweep_fn(
+            stack2, cfg2["exp_params"], steps=1, n_sc=2, interpret=True
+        )
