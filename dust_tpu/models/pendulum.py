@@ -19,12 +19,20 @@ class PendulumModel(BaseModel):
     MAX_SPEED = 8.0
     MAX_TORQUE = 2.0
 
-    def __init__(self, g=9.8, mass=1.0, length=1.0, **kwargs):
+    def __init__(self, g=9.8, mass=1.0, length=1.0, gym_v0_compat=False,
+                 **kwargs):
         params_dict = {"g": g, "mass": mass, "length": length}
         super().__init__(params_dict=params_dict, **kwargs)
         bounds = [float("inf"), self.MAX_SPEED]
         self._observation_space = Box(dim=2, low=[-b for b in bounds], high=bounds)
         self._action_space = Box(dim=1, low=-self.MAX_TORQUE, high=self.MAX_TORQUE)
+        # gym Pendulum-v0 (the reference's actual simulator,
+        # `dust/utils/simulations.py:49-53`) advances theta with the
+        # UNCLIPPED new theta_dot and clamps the speed afterwards —
+        # the clamp order the reference's own model (and this one, by
+        # default) reverses. PARITY #20; differs only when |theta_dot|
+        # hits MAX_SPEED.
+        self.gym_v0_compat = bool(gym_v0_compat)
 
     @property
     def observation_space(self):
@@ -47,8 +55,13 @@ class PendulumModel(BaseModel):
             -3.0 * g / (2.0 * length) * jnp.sin(theta + math.pi)
             + 3.0 / (m * length**2) * acts
         )
-        theta_d = jnp.clip(theta_d, -self.MAX_SPEED, self.MAX_SPEED)
-        theta = theta + theta_d * dt  # uses the *new* theta_d
+        if self.gym_v0_compat:
+            # gym v0: theta advances with the unclipped speed
+            theta = theta + theta_d * dt
+            theta_d = jnp.clip(theta_d, -self.MAX_SPEED, self.MAX_SPEED)
+        else:
+            theta_d = jnp.clip(theta_d, -self.MAX_SPEED, self.MAX_SPEED)
+            theta = theta + theta_d * dt  # uses the *new* theta_d
         return jnp.concatenate([theta, theta_d], axis=-1)
 
     @staticmethod

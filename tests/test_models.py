@@ -69,6 +69,55 @@ def test_pendulum_step_matches_reference(reference, rng):
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
 
 
+def test_pendulum_gym_v0_clamp_order():
+    """PARITY #20: gym Pendulum-v0 (the reference's actual simulator,
+    `dust/utils/simulations.py:49-53`) advances theta with the
+    UNCLIPPED new speed and clamps afterwards; the reference's own
+    model clamps first. Pin `gym_v0_compat=True` against a numpy
+    transcription of the published gym v0 step (gym 0.18
+    pendulum.py:30-37, the release the RSS 2021 experiments used), at
+    interior states AND a boundary state where the orders diverge."""
+    g, m, length, dt = 10.0, 1.0, 1.0, 0.05
+    max_speed, max_torque = 8.0, 2.0
+
+    def gym_v0_step(th, thdot, u):
+        u = np.clip(u, -max_torque, max_torque)
+        newthdot = thdot + (
+            -3.0 * g / (2.0 * length) * np.sin(th + np.pi)
+            + 3.0 / (m * length ** 2) * u
+        ) * dt
+        newth = th + newthdot * dt
+        newthdot = np.clip(newthdot, -max_speed, max_speed)
+        return newth, newthdot
+
+    gym_model = PendulumModel(g=10.0, dt=dt, gym_v0_compat=True)
+    default_model = PendulumModel(g=10.0, dt=dt)
+
+    # interior + speed-boundary states (at theta=+pi/2 gravity torque
+    # -3g/2*sin(th+pi) = +15 aids the +2 action: thdot 7.9 -> 8.95,
+    # past the +8 clamp within one step)
+    states = np.array([[0.3, 1.0], [np.pi - 0.1, -2.0],
+                       [np.pi / 2, 7.9], [0.05, -7.95]],
+                      dtype=np.float32)
+    actions = np.array([[0.5], [3.0], [2.0], [-2.0]], dtype=np.float32)
+    out = np.asarray(gym_model.step(jnp.asarray(states),
+                                    jnp.asarray(actions)))
+    exp_th, exp_thd = gym_v0_step(states[:, 0], states[:, 1],
+                                  actions[:, 0])
+    np.testing.assert_allclose(out[:, 0], exp_th, atol=1e-6)
+    np.testing.assert_allclose(out[:, 1], exp_thd, atol=1e-6)
+
+    # the clamp orders agree away from the boundary...
+    out_d = np.asarray(default_model.step(jnp.asarray(states[:2]),
+                                          jnp.asarray(actions[:2])))
+    np.testing.assert_allclose(out_d[:, 0], exp_th[:2], atol=1e-6)
+    # ...and genuinely differ at it (theta sees the clipped vs
+    # unclipped speed)
+    out_b = np.asarray(default_model.step(jnp.asarray(states[2:3]),
+                                          jnp.asarray(actions[2:3])))
+    assert abs(float(out_b[0, 0]) - exp_th[2]) > 1e-5
+
+
 def test_pendulum_get_obs():
     state = jnp.array([[0.5, -1.0]])
     obs = PendulumModel.get_obs(state)
