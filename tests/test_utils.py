@@ -51,6 +51,44 @@ def test_plot_surface_writes_files(tmp_path):
         assert (tmp_path / f"{name}.png").stat().st_size > 0
 
 
+def test_interactive_html_charts(tmp_path):
+    """The zero-dependency HTML exporters (altair stand-in) produce
+    self-contained documents: inline data, tooltip/legend/zoom JS, and
+    for the map chart a valid inline-PNG occupancy background."""
+    import base64
+    import re
+
+    from dust_tpu.utils import plots_html
+
+    df = _fake_epoch_df()
+    html = plots_html.html_mean_results(df, save_path=tmp_path / "m.html")
+    assert "<svg" in html and "DATA" in html
+    for feature in ("tip", "legend", "dblclick", "mousedown"):
+        assert feature in html  # tooltip + legend toggle + zoom wiring
+    assert "DuSt-MPC" in html and "SVMPC" in html
+    assert (tmp_path / "m.html").stat().st_size > 1000
+
+    html2 = plots_html.html_stein_particles(df[df["Iteration"] == 0])
+    assert "weight:" in html2 and "rgb(" in html2
+
+    html3 = plots_html.html_part2d_cost(
+        np.random.default_rng(1).uniform(0, 5, (3, 20))
+    )
+    assert '"band": true' in html3
+
+    model = Particle(uncertain_params=["mass"], **PARTICLE_ENV)
+    traj = np.linspace([-9, -9], [5, 5], 30)
+    html4 = plots_html.html_part2d_traj(
+        model, [np.c_[traj, np.zeros((30, 2))]],
+        save_path=tmp_path / "t.html",
+    )
+    m = re.search(r'data:image/png;base64,([A-Za-z0-9+/=]+)', html4)
+    assert m, "occupancy background missing"
+    png = base64.b64decode(m.group(1))
+    assert png[:8] == b"\x89PNG\r\n\x1a\n" and b"IEND" in png
+    assert "trajectory 0" in html4 and "goal" in html4
+
+
 def test_save_progress_layout(tmp_path):
     path = save_progress(folder_name="t1", data={"a": jnp.arange(3)},
                          params={"k": 1}, root=tmp_path)
