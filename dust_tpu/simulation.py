@@ -274,9 +274,11 @@ def megakernel_pendulum_sweep_fn(stack, exp_params, steps, n_sc,
     if exp.get("weighted_prior", False):
         raise ValueError("sweep megakernel supports the unweighted "
                          "policy prior only (pendulum demo semantics)")
-    if _np.abs(_np.asarray(jax.nn.log_softmax(
-            stack.policies_prior.logits))
-            + _np.log(exp["n_particles"])).max() > 1e-6:
+    # host-side numpy check (device log_softmax carries TPU ulp noise
+    # and would add a tunnel roundtrip to adapter construction)
+    _lg = _np.asarray(stack.policies_prior.logits, dtype=_np.float64)
+    _lsm = _lg - (_np.log(_np.sum(_np.exp(_lg - _lg.max()))) + _lg.max())
+    if _np.abs(_lsm + _np.log(exp["n_particles"])).max() > 1e-5:
         raise ValueError("sweep megakernel requires uniform initial "
                          "prior mixture weights")
     theta0 = stack.init_policies[..., 0]
