@@ -196,6 +196,27 @@ def _pendulum_sweep_kernel(
         theta = jnp.where(valid_sm, theta_ref[:], 0.0)   # [smp, 128]
         locs = jnp.where(valid_sm, locs_ref[:], 0.0)
 
+        # ---- per-scenario sim-state columns, extracted ONCE ----
+        # (th/om/prior_bw live at lanes 0/1/2 of sim_ref). Per-scenario
+        # scalars below come from `col_at` — a one-vreg [8, 1] masked
+        # sum producing a 0-d SPLAT, bitwise the value the old
+        # per-scenario FULL-tile masked sums extracted at ~16x the
+        # cost. (0-d splats, not [1, 1] slices: slice-derived vectors
+        # carry concrete layouts that Mosaic cannot broadcast in both
+        # sublanes and lanes — measured compile failures r2.)
+        th_col = jnp.sum(jnp.where(lane8 == 0, sim_ref[:], 0.0),
+                         axis=1, keepdims=True)           # [8, 1]
+        om_col = jnp.sum(jnp.where(lane8 == 1, sim_ref[:], 0.0),
+                         axis=1, keepdims=True)
+        pbw_col = jnp.sum(jnp.where(lane8 == 2, sim_ref[:], 0.0),
+                          axis=1, keepdims=True)
+        sin_col = jnp.sin(th_col + math.pi)               # [8, 1]
+        i81 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+        def col_at(col, s):
+            """col [8, 1] -> 0-d value of row s (one-vreg masked sum)."""
+            return jnp.sum(jnp.where(i81 == s, col, 0.0))
+
         # ---- per-scenario Silverman bandwidths (m*hz flattened values
         # per scenario, one 128-lane row each; ONE row-batched bitonic
         # sort computes all scenarios' order statistics at once) ----
@@ -266,9 +287,7 @@ def _pendulum_sweep_kernel(
                          keepdims=True)
 
         # prior bandwidth per draw row (scenario s -> sim lane 2)
-        pbw8 = jnp.sum(jnp.where(lane8 == 2, sim_ref[:], 0.0), axis=1,
-                       keepdims=True)             # [8, 1]
-        pbw_row = _row_of_column(pbw8, 8)         # [1, 128] lane s
+        pbw_row = _row_of_column(pbw_col, 8)      # [1, 128] lane s
         pbw_d = jnp.sum(
             jnp.where(laned == rowd // 8, pbw_row, 0.0), axis=1,
             keepdims=True,
@@ -300,14 +319,10 @@ def _pendulum_sweep_kernel(
         th0_col = jnp.zeros((rows, 1), jnp.float32)
         om0_col = jnp.zeros((rows, 1), jnp.float32)
         for s in range(n_sc):
-            th_s = jnp.sum(jnp.where(
-                (lane8 == 0) & (jax.lax.broadcasted_iota(
-                    jnp.int32, (8, 128), 0) == s), sim_ref[:], 0.0))
-            om_s = jnp.sum(jnp.where(
-                (lane8 == 1) & (jax.lax.broadcasted_iota(
-                    jnp.int32, (8, 128), 0) == s), sim_ref[:], 0.0))
-            th0_col = jnp.where(s_of_rrow[:, 0:1] == s, th_s, th0_col)
-            om0_col = jnp.where(s_of_rrow[:, 0:1] == s, om_s, om0_col)
+            th0_col = jnp.where(s_of_rrow[:, 0:1] == s,
+                                col_at(th_col, s), th0_col)
+            om0_col = jnp.where(s_of_rrow[:, 0:1] == s,
+                                col_at(om_col, s), om0_col)
 
         c_grav = -3.0 * g_model * 0.5 * dt * il24
         c_act = 3.0 * dt * im24 * il24 * il24
@@ -316,7 +331,11 @@ def _pendulum_sweep_kernel(
 
         def actions_at(tt):
             """[smp, 128] per-(s, q) action samples theta + sigma*eps
-            (eps rows tt*smp + s*m + q — one contiguous slice)."""
+            (eps rows tt*smp + s*m + q — one contiguous slice). The
+            mean is theta's lane tt via a masked lane reduction —
+            a value dynamic_slice would be cheaper but Pallas TPU has
+            no lowering for dynamic_slice on values (tried r2; the
+            unrolled fori body still carries a traced index)."""
             e_sm = eps_ref[pl.ds(tt * smp, smp), :]
             th_t = jnp.sum(
                 jnp.where(lane_sm == tt, theta, 0.0), axis=1,
@@ -543,15 +562,11 @@ def _pendulum_sweep_kernel(
                                 amat_ref[:])
 
         # ---- simulator: all S pendulums as column physics ----
-        th_col = jnp.sum(jnp.where(lane8 == 0, sim_ref[:], 0.0),
-                         axis=1, keepdims=True)          # [8, 1]
-        om_col = jnp.sum(jnp.where(lane8 == 1, sim_ref[:], 0.0),
-                         axis=1, keepdims=True)
         il_t = il_true_ref[:, 0:1]
         im_t = im_true_ref[:, 0:1]
         a_cl = jnp.clip(act_col, -_MAX_TORQUE, _MAX_TORQUE)
         om2 = om_col + (
-            -3.0 * g_sim * 0.5 * il_t * jnp.sin(th_col + math.pi)
+            -3.0 * g_sim * 0.5 * il_t * sin_col
             + 3.0 * im_t * il_t * il_t * a_cl
         ) * dt
         om2 = jnp.clip(om2, -_MAX_SPEED, _MAX_SPEED)
@@ -598,24 +613,17 @@ def _pendulum_sweep_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s,
                 bw_mpf, bw_mpf_col,
             )
-            pbw_s = jnp.sum(
-                jnp.where(
-                    (lane8 == 2) & (jax.lax.broadcasted_iota(
-                        jnp.int32, (8, 128), 0) == s), sim_ref[:], 0.0)
-            )
-            th_s = jnp.sum(jnp.where(
-                (lane8 == 0) & (jax.lax.broadcasted_iota(
-                    jnp.int32, (8, 128), 0) == s), sim_ref[:], 0.0))
-            om_s = jnp.sum(jnp.where(
-                (lane8 == 1) & (jax.lax.broadcasted_iota(
-                    jnp.int32, (8, 128), 0) == s), sim_ref[:], 0.0))
-            s8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s
-            a_s = jnp.sum(jnp.where(s8, a_cl, 0.0))
-            th2_s = jnp.sum(jnp.where(s8, th2, 0.0))
-            om2_s = jnp.sum(jnp.where(s8, om2, 0.0))
+            # 0-d col_at extractions of the step-top columns — the
+            # same values the old per-scenario full-tile masked sums
+            # produced, without the ~40 serial whole-tile reductions
+            pbw_s = col_at(pbw_col, s)
             scal_s.append(dict(
-                sin_t=jnp.sin(th_s + math.pi), a=a_s, om=om_s,
-                th=th_s, th2=th2_s, om2=om2_s,
+                sin_t=col_at(sin_col, s),
+                a=col_at(a_cl, s),
+                om=col_at(om_col, s),
+                th=col_at(th_col, s),
+                th2=col_at(th2, s),
+                om2=col_at(om2, s),
                 prior_pbw2=1.0 / (pbw_s * pbw_s),
                 inv_mbw2=1.0 / (bw_mpf * bw_mpf),
             ))
