@@ -75,14 +75,14 @@ def bench_sweep_n(n, steps, repeats):
 
 
 def bench_mpf_m(m, repeats, chain=None):
-    from dust_tpu.inference.mpf import FusedPendulumMPF
+    from dust_tpu.inference.mpf import FusedMPF
 
     config = load_config(ROOT / "demo/pendulum_config.yaml")
     stack = build_pendulum_stack(config, jax.random.key(0), case="dust")
-    mpf = FusedPendulumMPF(
-        likelihood=stack.mpf.likelihood, lr=1e-3, n_steps=20,
-        bw_scale=1.0,
-    )
+    import optax
+
+    mpf = FusedMPF(likelihood=stack.mpf.likelihood,
+                   optimizer=optax.sgd(1e-3))
     particles = jax.random.uniform(jax.random.key(0), (m, 2),
                                    minval=0.6, maxval=1.3)
     obs0 = stack.init_state

@@ -154,14 +154,14 @@ def measure_fused_mpf(m, steps=20, repeats=3, chain=20):
     import jax.numpy as jnp
 
     from dust_tpu.experiments import build_pendulum_stack, load_config
-    from dust_tpu.inference.mpf import FusedPendulumMPF
+    from dust_tpu.inference.mpf import FusedMPF
 
     config = load_config(ROOT / "demo/pendulum_config.yaml")
     stack = build_pendulum_stack(config, jax.random.key(0), case="dust")
-    mpf = FusedPendulumMPF(
-        likelihood=stack.mpf.likelihood, lr=1e-3, n_steps=steps,
-        bw_scale=1.0,
-    )
+    import optax
+
+    mpf = FusedMPF(likelihood=stack.mpf.likelihood,
+                   optimizer=optax.sgd(1e-3))
     particles = jax.random.uniform(jax.random.key(0), (m, 2),
                                    minval=0.6, maxval=1.3)
     obs0 = stack.init_state
