@@ -189,10 +189,10 @@ def measure_fused_mpf(m, steps=20, repeats=3, chain=20):
 
 # r2 recorded rates (SKIP_MEASURE path; refreshed whenever the script
 # runs on hardware)
-RECORDED = {
-    "sweep_group_step_s": 26.0e-6,
-    "mpf2048_update_s": 1 / 399.0,
-    "mpf8192_update_s": 1 / 34.2,
+RECORDED = {        # measured r2 2026-08-19 on one v5e via the tunnel
+    "sweep_group_step_s": 25.121e-6,
+    "mpf2048_update_s": 3.180e-3,
+    "mpf8192_update_s": 33.855e-3,
 }
 
 
@@ -217,20 +217,24 @@ def main():
     t = measured["sweep_group_step_s"]
     ach = fl["total"] / t
     ep_bytes = sweep_group_bytes()
+    useful = fl["total"] - fl["mpf_colbcast_mxu"]
     rows.append({
         "kernel": "sweep_megakernel_group_step",
         "flops": fl["total"],
         "flop_breakdown": {k: v for k, v in fl.items() if k != "total"},
         "seconds": round(t * 1e6, 3),
         "unit": "us/group-step (8 solves)",
-        "achieved_tflops": round(ach / 1e12, 3),
-        "pct_vpu_peak": round(100 * ach / VPU_F32, 2),
-        "pct_mxu_f32_peak": round(100 * ach / MXU_F32, 2),
+        "achieved_total_tflops": round(ach / 1e12, 3),
+        # the colbcast matmuls are MXU data movement; only the rest is
+        # useful math, so the MFU split is per-unit:
+        "pct_mxu_f32_peak_total": round(100 * ach / MXU_F32, 2),
+        "useful_math_tflops": round(useful / t / 1e12, 3),
+        "pct_vpu_peak_useful": round(100 * useful / t / VPU_F32, 2),
         "hbm_bytes_per_200step_episode_group": ep_bytes,
         "hbm_gbps": round(ep_bytes / (t * 200) / 1e9, 4),
         "pct_hbm_peak": round(100 * ep_bytes / (t * 200) / HBM_BPS, 3),
-        "binds": "serial dependency chains + VPU (VMEM-resident; "
-                 "HBM and MXU are idle)",
+        "binds": "MXU broadcast dispatches (colbcast) + serial "
+                 "dependency chains; HBM idle (VMEM-resident)",
     })
     for m, key in ((2048, "mpf2048_update_s"), (8192, "mpf8192_update_s")):
         fm = fused_mpf_update_flops(m)
