@@ -1,0 +1,1067 @@
+"""Scenario-batched whole-episode Pallas megakernel (particle DuSt).
+
+Particle-navigation counterpart of `pallas_sweep_episode.py`: S <= 8
+independent obstacle-navigation DuSt episodes (per-scenario seeds, true
+simulator masses, crash/goal termination, weighted policy priors,
+log-mass MPF posteriors) advance in lockstep inside ONE Pallas program.
+Built because the r1 estimate that a particle sweep megakernel would
+lose to the vmapped per-step path was REFUTED by measurement
+(bench/probes/particle_sweep_probe.py: even a plain lax.scan over the
+single-episode megakernel beats the production per-step sweep 47.3k vs
+34.0k solves/s at n=64).
+
+Scenario stacking mirrors the pendulum sweep kernel:
+
+* policy tiles [S*m, 128] (lanes 0:2*hz flattened (t, ch)); rollout
+  rows p * (S*m) + s * m + q with FOUR state tiles (px/py/vx/vy);
+* Stein/prior/selection as block-masked [S*m, S*m] MXU matrices with
+  per-scenario Silverman bandwidths; the WEIGHTED prior's per-component
+  log-mixture weights ride a [S*m, 128] column scratch (lane 0), the
+  column-indexed prior term rebuilt by one diagonal-select per step;
+* per-scenario SVMPC Silverman over m*2*hz flattened values via a
+  GROUPED bitonic sort: every scenario's G=ceil-pow2 rows sort in the
+  same [S*G, 128] compare-exchange stages (3 cross-row stages per
+  doubling above 128 lanes, lane-roll stages otherwise);
+* the MPF posterior packs TWO scenarios per tile in lane halves
+  (1-D log-mass at lanes 0 / 64) and runs the transposed SVGD body
+  with colbcast rebuilds, exactly the pendulum sweep structure minus
+  the second parameter channel;
+* the simulator advances all S particles as [8, 1] column physics with
+  per-scenario done/crash masks; MPF updates gate per scenario.
+
+Restrictions (adapter-checked like the pendulum sweep): S <= 8,
+controller a_seq == 0, fixed MPF bandwidth optional; the weighted
+prior IS supported (it is the particle demo's configuration).
+
+unroll=False is CPU/interpret-only (same Mosaic rolled-carry relayout
+limitation as the pendulum sweep kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_episode import (
+    _NEG_BIG,
+    _POS_BIG,
+    _IQR_NORM,
+    _normals,
+    _pad_tile,
+    _percentile_ks,
+    _round8,
+    _row_of_column,
+    _silverman_rows,
+    _uniform01,
+)
+
+
+def _block_dot_t(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bitonic_sort_grouped(v, g):
+    """Ascending bitonic sort of g*128 elements per GROUP of g
+    consecutive rows of v [n_groups*g, 128] (row-major element order
+    within each group; pad elements must be +_POS_BIG; g a power of
+    two). All groups sort in the same compare-exchange stages: lane
+    strides use the roll-pair trick of `_bitonic_sort_rows`, row
+    strides (j >= 128) a static group-local row permutation. Pure
+    row/lane-local movement per group — a NaN'd group cannot leak."""
+    rows = v.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) % g
+    n = g * 128
+
+    def row_perm(vv, jr):
+        """partner tile: row r of its group <- row r ^ jr."""
+        parts = []
+        for r in range(rows):
+            src = (r // g) * g + ((r % g) ^ jr)
+            parts.append(vv[src:src + 1, :])
+        return jnp.concatenate(parts, axis=0)
+
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            if j < 128:
+                low = lane & j == 0
+                w = jnp.where(low, pltpu.roll(v, shift=128 - j, axis=1),
+                              pltpu.roll(v, shift=j, axis=1))
+            else:
+                jr = j // 128
+                low = rowg & jr == 0
+                w = row_perm(v, jr)
+            if k < 128:
+                asc = lane & k == 0
+            elif k == 128:
+                # bit log2(128) of e = r*128 + l is row bit 0
+                asc = rowg & 1 == 0
+            else:
+                asc = rowg & (k // 128) == 0
+            take_min = asc == low
+            v = jnp.where(take_min, jnp.minimum(v, w),
+                          jnp.maximum(v, w))
+            j //= 2
+        k *= 2
+    return v
+
+
+def _silverman_groups(v, g, n):
+    """KDEpy Silverman bandwidth per GROUP of g rows of v
+    [n_groups*g, 128] (first n row-major elements valid per group, pads
+    +_POS_BIG). Returns [n_groups, 1]. One grouped bitonic sort gives
+    every group's order statistics at once."""
+    n_groups = v.shape[0] // g
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) % g
+    valid = rowg * 128 + lane < n
+    v0 = jnp.where(valid, v, 0.0)
+
+    def gsum(x):
+        return jnp.sum(
+            jnp.sum(x.reshape(n_groups, g, 128), axis=1), axis=1,
+            keepdims=True,
+        )
+
+    s1 = gsum(v0)
+    s2 = gsum(v0 * v0)
+    mean = s1 / float(n)
+    var = (s2 - float(n) * mean * mean) / float(n - 1)
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+
+    k25lo, k25hi, f25 = _percentile_ks(n, 25.0)
+    k75lo, k75hi, f75 = _percentile_ks(n, 75.0)
+    srt = _bitonic_sort_grouped(v, g)
+
+    def at(kk):
+        r, l = divmod(kk - 1, 128)
+        pick = (rowg == r) & (lane == l)
+        return gsum(jnp.where(pick, srt, 0.0))
+
+    q25 = at(k25lo) * (1.0 - f25) + at(k25hi) * f25
+    q75 = at(k75lo) * (1.0 - f75) + at(k75hi) * f75
+    iqr = (q75 - q25) * (1.0 / _IQR_NORM)
+    sigma = jnp.where(iqr > 0, jnp.minimum(std, iqr), std)
+    return jnp.maximum(sigma * (n * 3.0 / 4.0) ** (-0.2), 1e-6)
+
+
+def _particle_sweep_kernel(
+        seed_ref, scal_ref, masses_ref, theta0_ref, locs0_ref,
+        lmix0_ref, amat0_ref, mpfx0_ref, *rest,
+        n_sc, steps, warm_up, hz, m, n_params, n_act, m_mpf, mpf_steps,
+        dt, max_acc, max_speed, weights, target, rects, grid, crash,
+        success_dist, change_at, exp_util, weighted_prior,
+        mpf_log_space, use_fixed_mpf_bw, mpf_bw_scale, host_noise,
+        unroll):
+    """S-scenario particle-navigation DuSt episodes in one program.
+
+    seed (SMEM int32 [1, 2]); scal (SMEM f32 [1, 16]):
+    [px0, py0, vx0, vy0, ctrl_sigma, lr, alpha, inv_temp, inv_s2,
+    inv_ps2, load, mpf_lr, mpf_sigma, prior_bw0, mpf_fixed_bw, 0];
+    masses [8, 128] (row s = true base mass, broadcast over lanes).
+    theta0/locs0/amat0 [S*m(pad8), 128] (lanes 0:2*hz); lmix0
+    [S*m(pad8), 128] lane 0 = initial normalized log mixture weight;
+    mpfx0 [ceil(S/2)*mp, 128] (log-mass of scenario 2p at lane 0 of
+    block p, 2p+1 at lane 64).
+
+    host_noise appends eps_in [steps*hz*2*smp, 128] (per step: smp x
+    rows then smp y rows per tt), pdz_in/pdu_in [steps*8*n_sc, 128]
+    (rows t*8*n_sc + s*8 + p, lane 0).
+
+    Outputs: log [steps_p, 128] with per-scenario lanes (field f of
+    scenario s at lane f*8+s; fields: px, py, vx, vy, a_x, a_y, cost,
+    done, crashed, cum, bw_sv, bw_mpf), theta/locs/amat/lmix
+    [S*m(pad8), 128], mpfx (paired-lane layout as mpfx0).
+    """
+    if host_noise:
+        (eps_in_ref, pdz_in_ref, pdu_in_ref,
+         log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
+         lmix_out_ref, mpfx_out_ref,
+         eps_ref, px_ref, py_ref, vx_ref, vy_ref,
+         theta_ref, locs_ref, amat_ref, lmix_ref, mpfx_ref,
+         sim_ref) = rest
+    else:
+        (log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
+         lmix_out_ref, mpfx_out_ref,
+         eps_ref, px_ref, py_ref, vx_ref, vy_ref,
+         theta_ref, locs_ref, amat_ref, lmix_ref, mpfx_ref,
+         sim_ref) = rest
+
+    sm = n_sc * m
+    smp = _round8(sm)
+    rows = n_params * sm
+    mp = mpfx0_ref.shape[0] // ((n_sc + 1) // 2)
+    ev = hz * 2
+    (w_px, w_py, w_vx, w_vy, w_cx, w_cy, w_obs,
+     wt_px, wt_py, wt_vx, wt_vy) = weights
+    tx, ty, tvx, tvy = target
+    g_bw = 1
+    while g_bw * 128 < m * ev:
+        g_bw *= 2
+
+    sigma_c = scal_ref[0, 4]
+    lr = scal_ref[0, 5]
+    alpha = scal_ref[0, 6]
+    inv_temp = scal_ref[0, 7]
+    inv_s2 = scal_ref[0, 8]
+    inv_ps2 = scal_ref[0, 9]
+    load = scal_ref[0, 10]
+    mpf_lr = scal_ref[0, 11]
+    mpf_sigma = scal_ref[0, 12]
+
+    theta_ref[:] = theta0_ref[:]
+    locs_ref[:] = locs0_ref[:]
+    amat_ref[:] = amat0_ref[:]
+    lmix_ref[:] = lmix0_ref[:]
+    mpfx_ref[:] = mpfx0_ref[:]
+    # sim_ref [8, 128]: row s lanes [px, py, vx, vy, done, crashed,
+    # cum, lik_px, lik_py, lik_vx, lik_vy, prior_bw]
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sim0 = jnp.zeros((8, 128), jnp.float32)
+    for i in range(4):
+        sim0 = jnp.where(lane8 == i, scal_ref[0, i], sim0)
+        sim0 = jnp.where(lane8 == 7 + i, scal_ref[0, i], sim0)
+    sim_ref[:] = jnp.where(lane8 == 11, scal_ref[0, 13], sim0)
+
+    lane_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 1)
+    row_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 0)
+    s_of_prow = row_sm // m
+    valid_sm = row_sm < sm
+    row_roll = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    s_of_rrow = (row_roll - (row_roll // sm) * sm) // m
+    blk = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 0) // m == \
+        jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) // m
+    colv = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) < sm
+    blk = blk & colv
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    i81 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def col_at(col, s):
+        return jnp.sum(jnp.where(i81 == s, col, 0.0))
+
+    def lane_col(tile, lane_idx):
+        """sim_ref-style [8, 128] tile -> [8, 1] column of one lane."""
+        return jnp.sum(jnp.where(lane8 == lane_idx, tile, 0.0),
+                       axis=1, keepdims=True)
+
+    def occ_any(px, py):
+        if rects is None:
+            return None
+        inv_cell, offx, offy, ximax, yimax = grid
+        xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
+        yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
+        hit = None
+        for xl, xh, yl, yh in rects:
+            h = (xi >= xl) & (xi < xh) & (yi >= yl) & (yi < yh)
+            hit = h if hit is None else (hit | h)
+        return jnp.where(hit, 1.0, 0.0)
+
+    def state_cost(px, py, vx, vy, occ, quad):
+        wpx, wpy, wvx, wvy = quad
+        c = (wpx * (px - tx) ** 2 + wpy * (py - ty) ** 2
+             + wvx * (vx - tvx) ** 2 + wvy * (vy - tvy) ** 2)
+        if occ is not None:
+            c = c + w_obs * occ
+        return c
+
+    # MPF pairing constants (pendulum sweep layout, one channel)
+    n_pair = (n_sc + 1) // 2
+    nmr = n_pair * mp
+    rowN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 0)
+    laneN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 1)
+    pair_of_row = rowN // mp
+    r_in_pair = rowN - pair_of_row * mp
+    in_aN = laneN < 64
+    valid_rowN = r_in_pair < m_mpf
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    gvr8 = (
+        (jnp.where(lane8 < 64, lane8, lane8 - 64) < m_mpf)
+        & ((row8 < n_sc // 2) | (lane8 < 64))
+        & (row8 < n_pair)
+    )
+    mdiagN = jnp.where(in_aN, laneN, laneN - 64) == r_in_pair
+    h_matN = (
+        (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) < 64)
+        == (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) < 64)
+    ).astype(jnp.float32)
+
+    def pair_tile(col):
+        """[8, 1] scenario column -> [8, 128] pair-row tile (scenario
+        2p at lanes < 64 of row p, 2p+1 at lanes >= 64; a missing B
+        mirrors its pair's A — masked off, must stay finite)."""
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for s in range(2 * n_pair):
+            val = col_at(col, min(s, n_sc - 1))
+            mask = (row8 == s // 2) & ((lane8 < 64) == (s % 2 == 0))
+            acc = jnp.where(mask, val, acc)
+        return acc
+
+    def to_blocks(r8):
+        return jnp.concatenate(
+            [jnp.broadcast_to(r8[p:p + 1, :], (mp, 128))
+             for p in range(n_pair)], axis=0)
+
+    def pair_rows_x(col_a, col_b):
+        zs = jnp.zeros((n_pair, 128 - mp), jnp.float32)
+        ra = jnp.concatenate([col_a[:, 0:1].reshape(n_pair, mp), zs],
+                             axis=1)
+        rb = jnp.concatenate([col_b[:, 0:1].reshape(n_pair, mp), zs],
+                             axis=1)
+        rows8 = ra + pltpu.roll(rb, shift=64, axis=1)
+        if n_pair < 8:
+            rows8 = jnp.concatenate(
+                [rows8, jnp.zeros((8 - n_pair, 128), jnp.float32)],
+                axis=0)
+        return rows8
+
+    def brs(v):
+        s = jnp.sum(v.reshape(n_pair, mp, 128), axis=1)
+        if n_pair < 8:
+            s = jnp.concatenate(
+                [s, jnp.zeros((8 - n_pair, 128), jnp.float32)], axis=0)
+        return s
+
+    def colbcast(blocks):
+        d = jnp.where(mdiagN,
+                      jnp.where(blocks - blocks == 0.0, blocks, 0.0),
+                      0.0)
+        return jax.lax.dot_general(
+            d, h_matN, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + blocks * 0.0
+
+    def fin(v):
+        return jnp.where(v - v == 0.0, v, 0.0)
+
+    def step(t, _):
+        if not host_noise:
+            pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] * 100003 + t)
+            eps_ref[:] = _normals((hz * 2 * smp, 128))
+            pdz = _normals((8 * n_sc, 128))
+            pdu = _uniform01((8 * n_sc, 128))
+        else:
+            eps_ref[:] = eps_in_ref[
+                pl.ds(t * hz * 2 * smp, hz * 2 * smp), :]
+            pdz = pdz_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
+            pdu = pdu_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
+
+        theta = jnp.where(valid_sm, theta_ref[:], 0.0)
+        locs = jnp.where(valid_sm, locs_ref[:], 0.0)
+        lmix_col = lmix_ref[:, 0:1]                      # [smp, 1]
+        mpfx = mpfx_ref[:]
+        sim = sim_ref[:]
+        px_col = lane_col(sim, 0)
+        py_col = lane_col(sim, 1)
+        vx_col = lane_col(sim, 2)
+        vy_col = lane_col(sim, 3)
+        done_col = lane_col(sim, 4)
+        crashed_col = lane_col(sim, 5)
+        cum_col = lane_col(sim, 6)
+        lik_px = lane_col(sim, 7)
+        lik_py = lane_col(sim, 8)
+        lik_vx = lane_col(sim, 9)
+        lik_vy = lane_col(sim, 10)
+        pbw_col = lane_col(sim, 11)
+        not_done = 1.0 - done_col
+
+        # ---- per-scenario SVMPC Silverman over m*ev flattened values
+        # (grouped bitonic: all scenarios sort in the same stages) ----
+        n_flat = m * ev
+        sv_rows = []
+        for s in range(n_sc):
+            pos = 0
+            for rr in range(g_bw):
+                row = jnp.full((1, 128), _POS_BIG, jnp.float32)
+                while pos < min((rr + 1) * 128, n_flat):
+                    q, l0 = divmod(pos, ev)
+                    lane_off = pos - rr * 128
+                    take = min(ev - l0, 128 - lane_off,
+                               (rr + 1) * 128 - pos)
+                    chunk = pltpu.roll(
+                        theta[s * m + q:s * m + q + 1, :],
+                        shift=(lane_off - l0) % 128, axis=1,
+                    )
+                    in_seg = (lane1 >= lane_off) \
+                        & (lane1 < lane_off + take)
+                    row = jnp.where(in_seg, chunk, row)
+                    pos += take
+                sv_rows.append(row)
+        pad_groups = 8 - n_sc
+        sv_tile = jnp.concatenate(
+            sv_rows + [jnp.full((pad_groups * g_bw, 128), _POS_BIG,
+                                jnp.float32)] * (1 if pad_groups else 0),
+            axis=0,
+        )
+        bw8 = _silverman_groups(sv_tile, g_bw, n_flat)    # [8, 1]
+        bw_col = jnp.zeros((smp, 1), jnp.float32)
+        for s in range(n_sc):
+            bw_col = jnp.where(s_of_prow[:, 0:1] == s,
+                               col_at(bw8, s), bw_col)
+        inv_bw2_col = 1.0 / (bw_col * bw_col)
+
+        # ---- dynamics draws from each scenario's MPF prior (1-D
+        # log-mass; draw rows s*8+p of the [8*n_sc, 128] tiles) ----
+        nd = 8 * n_sc
+        rowd = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 0)
+        laned = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 1)
+        n_pair_d = (n_sc + 1) // 2
+        zpad = jnp.zeros((n_pair_d, 128 - mp), jnp.float32)
+
+        def cols_to_rows(col):
+            return jnp.concatenate(
+                [col.reshape(n_pair_d, mp), zpad], axis=1)
+
+        x_a = cols_to_rows(mpfx[:, 0:1])
+        x_b = cols_to_rows(mpfx[:, 64:65])
+        x64 = jnp.concatenate(
+            [jnp.broadcast_to(
+                (x_a if s % 2 == 0 else x_b)[s // 2:s // 2 + 1, :],
+                (8, 128)) for s in range(n_sc)], axis=0)
+        u_col = pdu[:, 0:1]
+        idx = jnp.minimum(jnp.floor(u_col * float(m_mpf)),
+                          float(m_mpf - 1))
+        onehot_d = laned.astype(jnp.float32) == idx
+        mq_sel = jnp.sum(jnp.where(onehot_d, x64, 0.0), axis=1,
+                         keepdims=True)
+        pbw_row = _row_of_column(pbw_col, 8)
+        pbw_d = jnp.sum(
+            jnp.where(laned == rowd // 8, pbw_row, 0.0), axis=1,
+            keepdims=True,
+        )
+        mq = mq_sel + pbw_d * pdz[:, 0:1]
+        if mpf_log_space:
+            mq = jnp.exp(mq)
+        im_d = 1.0 / mq                                   # [nd, 1]
+
+        im_row = _row_of_column(im_d, nd)
+        j_of_rrow = s_of_rrow * 8 + row_roll // sm
+        im24 = jnp.sum(
+            jnp.where(jax.lax.broadcasted_iota(
+                jnp.int32, (rows, 128), 1) == j_of_rrow,
+                im_row, 0.0), axis=1, keepdims=True,
+        )
+
+        # ---- rollouts: S * n_params * n_act * m trajectories ----
+        shape = (rows, 128)
+        px0 = jnp.zeros(shape, jnp.float32)
+        py0 = jnp.zeros(shape, jnp.float32)
+        vx0 = jnp.zeros(shape, jnp.float32)
+        vy0 = jnp.zeros(shape, jnp.float32)
+        for s in range(n_sc):
+            in_s = s_of_rrow[:, 0:1] == s
+            px0 = jnp.where(in_s, col_at(px_col, s), px0)
+            py0 = jnp.where(in_s, col_at(py_col, s), py0)
+            vx0 = jnp.where(in_s, col_at(vx_col, s), vx0)
+            vy0 = jnp.where(in_s, col_at(vy_col, s), vy0)
+        px_ref[:] = px0
+        py_ref[:] = py0
+        vx_ref[:] = vx0
+        vy_ref[:] = vy0
+
+        def actions_at(tt):
+            """(a_x, a_y) [smp, 128] at timestep tt (eps rows:
+            x at tt*2*smp, y at tt*2*smp + smp)."""
+            ex = eps_ref[pl.ds(tt * 2 * smp, smp), :]
+            ey = eps_ref[pl.ds(tt * 2 * smp + smp, smp), :]
+            thx = jnp.sum(
+                jnp.where(lane_sm == 2 * tt, theta, 0.0), axis=1,
+                keepdims=True,
+            )
+            thy = jnp.sum(
+                jnp.where(lane_sm == 2 * tt + 1, theta, 0.0), axis=1,
+                keepdims=True,
+            )
+            return thx + sigma_c * ex, thy + sigma_c * ey
+
+        def roll_body(tt, cost):
+            px = px_ref[:]
+            py = py_ref[:]
+            vx = vx_ref[:]
+            vy = vy_ref[:]
+            occ = occ_any(px, py)
+            a8x, a8y = actions_at(tt)
+            a_x = jnp.concatenate([a8x[0:sm, :]] * n_params, axis=0)
+            a_y = jnp.concatenate([a8y[0:sm, :]] * n_params, axis=0)
+            cost = cost + (
+                state_cost(px, py, vx, vy, occ,
+                           (w_px, w_py, w_vx, w_vy))
+                + w_cx * a_x * a_x + w_cy * a_y * a_y
+            )
+            acc_x = jnp.clip(a_x * im24, -max_acc, max_acc)
+            acc_y = jnp.clip(a_y * im24, -max_acc, max_acc)
+            if crash and occ is not None:
+                scale = dt * (1.0 - occ)
+            else:
+                scale = dt
+            px_ref[:] = px + vx * scale
+            py_ref[:] = py + vy * scale
+            vx_ref[:] = jnp.clip(vx + acc_x * scale, -max_speed,
+                                 max_speed)
+            vy_ref[:] = jnp.clip(vy + acc_y * scale, -max_speed,
+                                 max_speed)
+            return cost
+
+        cost = jax.lax.fori_loop(
+            0, hz, roll_body, jnp.zeros(shape, jnp.float32),
+            unroll=hz if unroll else 1,
+        )
+        cost = cost + state_cost(
+            px_ref[:], py_ref[:], vx_ref[:], vy_ref[:],
+            occ_any(px_ref[:], py_ref[:]),
+            (wt_px, wt_py, wt_vx, wt_vy),
+        )
+
+        # ---- param-averaged costs + per-scenario DISCO update ----
+        mcost = cost[0:sm, :]
+        for p in range(1, n_params):
+            mcost = mcost + cost[p * sm:(p + 1) * sm, :]
+        mcost = mcost * (1.0 / n_params)
+        if smp != sm:
+            mcost = jnp.concatenate(
+                [mcost, jnp.zeros((smp - sm, 128), jnp.float32)],
+                axis=0)
+        valid = (lane_sm < n_act) & valid_sm
+        mcost_v = jnp.where(valid, mcost, _POS_BIG)
+
+        beta_col = jnp.zeros((smp, 1), jnp.float32)
+        for s in range(n_sc):
+            b_s = jnp.min(jnp.where(s_of_prow == s, mcost_v, _POS_BIG))
+            beta_col = jnp.where(s_of_prow[:, 0:1] == s, b_s, beta_col)
+        lc = jnp.where(valid, -(mcost - beta_col) * inv_temp, _NEG_BIG)
+        row_max = jnp.max(lc, axis=1, keepdims=True)
+        e = jnp.where(valid, jnp.exp(lc - row_max), 0.0)
+        sum_e = jnp.sum(e, axis=1, keepdims=True)
+        omega = e / jnp.maximum(sum_e, 1e-37)
+
+        wl = jnp.where(valid, -mcost * alpha, _NEG_BIG)
+        wl_max = jnp.max(wl, axis=1, keepdims=True)
+        we = jnp.where(valid, jnp.exp(wl - wl_max), 0.0)
+        we_sum = jnp.sum(we, axis=1, keepdims=True)
+        w_lik = we / jnp.maximum(we_sum, 1e-37)
+        if exp_util:
+            log_l = wl_max + jnp.log(jnp.maximum(we_sum, 1e-37)) \
+                - math.log(float(n_act))
+        else:
+            log_l = -alpha * jnp.sum(
+                jnp.where(valid, mcost, 0.0), axis=1, keepdims=True
+            ) * (1.0 / n_act)
+
+        # DISCO delta + likelihood gradient accumulation (a_seq == 0
+        # required, like the pendulum sweep kernel)
+        def acc_body(tt, carry):
+            de, wacc = carry
+            a8x, a8y = actions_at(tt)
+            ax_m = a8x[0:smp, :]
+            ay_m = a8y[0:smp, :]
+            dqx = jnp.sum(omega * ax_m, axis=1, keepdims=True)
+            dqy = jnp.sum(omega * ay_m, axis=1, keepdims=True)
+            wqx = jnp.sum(w_lik * ax_m, axis=1, keepdims=True)
+            wqy = jnp.sum(w_lik * ay_m, axis=1, keepdims=True)
+            de = de + jnp.where(lane_sm == 2 * tt, dqx, 0.0) \
+                + jnp.where(lane_sm == 2 * tt + 1, dqy, 0.0)
+            wacc = wacc + jnp.where(lane_sm == 2 * tt, wqx, 0.0) \
+                + jnp.where(lane_sm == 2 * tt + 1, wqy, 0.0)
+            return de, wacc
+
+        delta, wa = jax.lax.fori_loop(
+            0, hz, acc_body,
+            (jnp.zeros((smp, 128), jnp.float32),
+             jnp.zeros((smp, 128), jnp.float32)),
+            unroll=hz if unroll else 1,
+        )
+        glik = (wa - theta) * inv_s2
+
+        # ---- Stein + weighted GMM prior (block-masked, centered) ----
+        blkf = blk.astype(jnp.float32) * (1.0 / m)
+        mean_t = jnp.dot(blkf, fin(theta),
+                         preferred_element_type=jnp.float32)
+        tc = theta - mean_t
+        lc_c = locs - mean_t
+        tc_norm = jnp.sum(tc * tc, axis=1, keepdims=True)
+        lc_norm = jnp.sum(lc_c * lc_c, axis=1, keepdims=True)
+        lm_row = _row_of_column(lmix_col, smp)            # [1, 128]
+        lm_lane = jnp.broadcast_to(lm_row[:, 0:smp], (smp, smp))
+
+        g_tl = _block_dot_t(tc, lc_c)
+        d2_tl = jnp.maximum(
+            tc_norm - 2.0 * g_tl + lc_norm.reshape(1, smp), 0.0
+        )
+        lp_pri = jnp.where(blk, -0.5 * inv_ps2 * d2_tl + lm_lane,
+                           _NEG_BIG)
+        r_max = jnp.max(lp_pri, axis=1, keepdims=True)
+        r_e = jnp.exp(lp_pri - r_max)
+        r = r_e / jnp.maximum(jnp.sum(r_e, axis=1, keepdims=True),
+                              1e-37)
+        score = glik + (
+            jnp.dot(r, fin(lc_c), preferred_element_type=jnp.float32)
+            - tc
+        ) * inv_ps2
+
+        g_tt = _block_dot_t(tc, tc)
+        d2_tt = jnp.maximum(
+            tc_norm - 2.0 * g_tt + tc_norm.reshape(1, smp), 0.0
+        )
+        kmat = jnp.where(
+            blk, jnp.exp(-0.5 * d2_tt * inv_bw2_col), 0.0
+        )
+        k_score = jnp.dot(kmat, fin(score),
+                          preferred_element_type=jnp.float32)
+        k_theta = jnp.dot(kmat, fin(tc),
+                          preferred_element_type=jnp.float32)
+        rowsum_k = jnp.sum(kmat, axis=1, keepdims=True)
+        grad_k = -(k_theta - rowsum_k * tc) * inv_bw2_col
+        phi = (k_score + grad_k) * (1.0 / m)
+        theta_new = jnp.where(valid_sm & (lane_sm < ev),
+                              theta + lr * phi, 0.0)
+
+        # ---- forward: per-scenario weights / select / roll ----
+        mean_n = jnp.dot(blkf, fin(theta_new),
+                         preferred_element_type=jnp.float32)
+        nc = theta_new - mean_n
+        lc_n = locs - mean_n
+        tn_norm = jnp.sum(nc * nc, axis=1, keepdims=True)
+        ln_norm = jnp.sum(lc_n * lc_n, axis=1, keepdims=True)
+        g_nl = _block_dot_t(nc, lc_n)
+        d2_nl = jnp.maximum(
+            tn_norm - 2.0 * g_nl + ln_norm.reshape(1, smp), 0.0
+        )
+        lp_new = jnp.where(blk, -0.5 * inv_ps2 * d2_nl + lm_lane,
+                           _NEG_BIG)
+        n_max = jnp.max(lp_new, axis=1, keepdims=True)
+        log_p = n_max + jnp.log(jnp.maximum(
+            jnp.sum(jnp.exp(lp_new - n_max), axis=1, keepdims=True),
+            1e-37,
+        ))
+        log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p, _NEG_BIG)
+
+        # per-scenario posterior weights (for the weighted prior
+        # refresh) + argmax selection
+        rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
+        ax_col = jnp.zeros((8, 1), jnp.float32)
+        ay_col = jnp.zeros((8, 1), jnp.float32)
+        lw_col = jnp.full((smp, 1), _NEG_BIG, jnp.float32)
+        for s in range(n_sc):
+            in_s = (rowm1 >= s * m) & (rowm1 < (s + 1) * m)
+            w_s = jnp.where(in_s, log_w, _NEG_BIG)
+            w_max = jnp.max(w_s)
+            # normalized log weights of this scenario's block — the
+            # single-episode kernel's exact chain (softmax -> clamp at
+            # 1e-37 -> log -> renormalized log-softmax), so underflowed
+            # weights floor identically
+            e_s = jnp.where(in_s, jnp.exp(w_s - w_max), 0.0)
+            w_norm = e_s / jnp.maximum(jnp.sum(e_s), 1e-37)
+            lw_raw = jnp.log(jnp.maximum(w_norm, 1e-37))
+            lmax2 = jnp.max(jnp.where(in_s, lw_raw, _NEG_BIG))
+            lse2 = lmax2 + jnp.log(jnp.sum(
+                jnp.where(in_s, jnp.exp(lw_raw - lmax2), 0.0)))
+            lw_col = jnp.where(in_s, lw_raw - lse2, lw_col)
+            is_max = in_s & (w_s >= w_max)
+            i_star = jnp.min(jnp.where(is_max, rowm1, smp))
+            onehot = (rowm1 == i_star).astype(jnp.float32)
+            a_row = jnp.sum(onehot * theta_new, axis=0, keepdims=True)
+            ax_col = jnp.where(
+                i81 == s, jnp.sum(jnp.where(lane1 == 0, a_row, 0.0)),
+                ax_col)
+            ay_col = jnp.where(
+                i81 == s, jnp.sum(jnp.where(lane1 == 1, a_row, 0.0)),
+                ay_col)
+
+        rolled = pltpu.roll(theta_new, shift=128 - 2, axis=1)
+        theta_fwd = jnp.where(
+            lane_sm < ev - 2, rolled,
+            jnp.where(lane_sm < ev, theta_new, 0.0),
+        )
+
+        if warm_up > 0:
+            active = (t >= warm_up).astype(jnp.float32)
+        else:
+            active = jnp.float32(1.0)
+        act_b = active > 0.5
+        a_x_col = active * ax_col
+        a_y_col = active * ay_col
+        theta_next = jnp.where(act_b, theta_fwd, theta_new)
+        locs_next = jnp.where(act_b, theta_fwd, locs)
+        theta_ref[:] = jnp.where(valid_sm, theta_next, 0.0)
+        locs_ref[:] = jnp.where(valid_sm, locs_next, 0.0)
+        amat_ref[:] = jnp.where(valid_sm, amat_ref[:] + delta,
+                                amat_ref[:])
+        if weighted_prior:
+            lmix_ref[:] = jnp.where(
+                act_b & (lane_sm == 0) & valid_sm,
+                jnp.broadcast_to(lw_col, (smp, 128)), lmix_ref[:],
+            )
+
+        # ---- simulator: all S particles as column physics ----
+        mass_t = masses_ref[:, 0:1]                      # [8, 1]
+        sim_mass = jnp.where(jnp.asarray(t >= change_at),
+                             mass_t + load, mass_t)
+        occ_s = occ_any(px_col, py_col)
+        if crash and occ_s is not None:
+            s_scale = dt * (1.0 - occ_s)
+        else:
+            s_scale = dt
+        acc_x = jnp.clip(a_x_col / sim_mass, -max_acc, max_acc)
+        acc_y = jnp.clip(a_y_col / sim_mass, -max_acc, max_acc)
+        frozen = done_col > 0.5
+        npx = jnp.where(frozen, px_col, px_col + vx_col * s_scale)
+        npy = jnp.where(frozen, py_col, py_col + vy_col * s_scale)
+        nvx = jnp.where(frozen, vx_col,
+                        jnp.clip(vx_col + acc_x * s_scale, -max_speed,
+                                 max_speed))
+        nvy = jnp.where(frozen, vy_col,
+                        jnp.clip(vy_col + acc_y * s_scale, -max_speed,
+                                 max_speed))
+
+        # ---- MPF log-mass posterior (transposed pairwise body),
+        # gated per scenario on (t >= warm_up) & not done ----
+        gate_col = (active * not_done) > 0.5              # [8, 1] bool
+        if use_fixed_mpf_bw:
+            bw_mpf_col = jnp.broadcast_to(
+                scal_ref[0, 14].reshape(1, 1), (8, 1))
+        else:
+            mrows = []
+            for s in range(n_sc):
+                p, gg = divmod(s, 2)
+                xrow = (x_a if gg == 0 else x_b)[p:p + 1, :]
+                mrows.append(jnp.where(lane1 < m_mpf, xrow, _POS_BIG))
+            mrows = mrows + [jnp.full((1, 128), _POS_BIG, jnp.float32)
+                             ] * (8 - n_sc)
+            bw_mpf_col = _silverman_rows(
+                jnp.concatenate(mrows, axis=0), m_mpf
+            ) * mpf_bw_scale
+
+        inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
+        if crash and rects is not None:
+            msc_col = dt * (1.0 - occ_any(lik_px, lik_py))
+        else:
+            msc_col = jnp.full((8, 1), dt)
+
+        ax8 = pair_tile(a_x_col)
+        ay8 = pair_tile(a_y_col)
+        lvx8 = pair_tile(lik_vx)
+        lvy8 = pair_tile(lik_vy)
+        nvx8 = pair_tile(nvx)
+        nvy8 = pair_tile(nvy)
+        msc8 = pair_tile(msc_col)
+        ppbw2_8 = pair_tile(1.0 / (pbw_col * pbw_col))
+        imbw2_8 = pair_tile(1.0 / (bw_mpf_col * bw_mpf_col))
+
+        xsnap = mpfx_ref[:]
+        c0r8 = pair_rows_x(xsnap[:, 0:1], xsnap[:, 64:65])
+        c0c = colbcast(to_blocks(c0r8))
+        ppbw2N = to_blocks(ppbw2_8)
+        imbw2N = to_blocks(imbw2_8)
+
+        def vel_grad(a8, v08, loc8, invm):
+            acc_raw = a8 * invm
+            acc = jnp.clip(acc_raw, -max_acc, max_acc)
+            g_a = jnp.where(
+                (acc_raw > -max_acc) & (acc_raw < max_acc), 1.0, 0.0)
+            v_raw = v08 + acc * msc8
+            pred = jnp.clip(v_raw, -max_speed, max_speed)
+            g_v = jnp.where(
+                (v_raw > -max_speed) & (v_raw < max_speed), 1.0, 0.0)
+            dpred = g_v * g_a * (-a8 * invm * invm) * msc8
+            return -(pred - loc8) * inv_os2 * dpred
+
+        def mpf_body(i, x0r):
+            x0N = to_blocks(x0r)
+            x0c = colbcast(x0N)
+
+            mass = jnp.where(gvr8, x0r, 1.0)
+            if mpf_log_space:
+                mass = jnp.exp(mass)
+            invm = 1.0 / mass
+            gl = (vel_grad(ax8, lvx8, nvx8, invm)
+                  + vel_grad(ay8, lvy8, nvy8, invm))
+            if mpf_log_space:
+                gl = gl * mass
+
+            d2c = (x0N - c0c) ** 2
+            pz = jnp.where(valid_rowN, jnp.exp(-0.5 * d2c * ppbw2N),
+                           0.0)
+            psum_r = brs(pz)
+            pc0r = brs(pz * c0c) / psum_r
+            gp0 = (pc0r - x0r) * ppbw2_8
+            s0r = jnp.where(gvr8, gl + gp0, 0.0)
+
+            t0c = colbcast(to_blocks(s0r - x0r * imbw2_8))
+            d2 = (x0c - x0N) ** 2
+            k = jnp.where(valid_rowN,
+                          jnp.exp(-0.5 * d2 * imbw2N), 0.0)
+            rows_k = brs(k)
+            drive0 = brs(k * t0c)
+            phi0 = (drive0 + rows_k * x0r * imbw2_8) \
+                * (1.0 / m_mpf)
+            return x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0)
+
+        x0f_r = jax.lax.fori_loop(
+            0, mpf_steps, mpf_body, c0r8,
+            unroll=max(1, mpf_steps) if unroll else 1)
+        x0f = colbcast(to_blocks(x0f_r))
+        # per-scenario gate expanded to (pair row, lane half): gateN
+        # follows the same lane-half layout as the particle values, so
+        # one masked commit covers both halves
+        gateN = to_blocks(
+            pair_tile(jnp.where(gate_col, 1.0, 0.0))) > 0.5
+        mpfx_ref[:] = jnp.where(
+            valid_rowN & ((laneN == 0) | (laneN == 64)) & gateN,
+            x0f, xsnap)
+
+        bw_mpf_eff = jnp.where(gate_col, bw_mpf_col, pbw_col)
+        nlik_px = jnp.where(gate_col, npx, lik_px)
+        nlik_py = jnp.where(gate_col, npy, lik_py)
+        nlik_vx = jnp.where(gate_col, nvx, lik_vx)
+        nlik_vy = jnp.where(gate_col, nvy, lik_vy)
+
+        # ---- per-scenario cost / crash / goal termination ----
+        occ_n = occ_any(npx, npy)
+        occ_n = occ_n if occ_n is not None else jnp.zeros((8, 1))
+        cost_t = (w_px * (npx - tx) ** 2 + w_py * (npy - ty) ** 2
+                  + w_vx * (nvx - tvx) ** 2 + w_vy * (nvy - tvy) ** 2
+                  + w_obs * occ_n)
+        cum_new = cum_col + not_done * cost_t
+        crash_now = occ_n > 0.0
+        dist2 = ((tx - npx) ** 2 + (ty - npy) ** 2
+                 + (tvx - nvx) ** 2 + (tvy - nvy) ** 2)
+        success_now = dist2 <= success_dist * success_dist
+        crashed_new = jnp.maximum(
+            crashed_col,
+            jnp.where(crash_now & (done_col < 0.5), 1.0, 0.0))
+        done_new = jnp.maximum(
+            done_col, jnp.where(crash_now | success_now, 1.0, 0.0))
+
+        # ---- log row: field f of scenario s at lane f*8+s ----
+        def scatter8(col):
+            mat = jnp.broadcast_to(col, (8, 128))
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            return jnp.sum(jnp.where(r8 == lane8, mat, 0.0), axis=0,
+                           keepdims=True)
+
+        fields = [npx, npy, nvx, nvy, a_x_col, a_y_col, cost_t,
+                  done_new, crashed_new, cum_new,
+                  jnp.broadcast_to(bw8, (8, 1)), bw_mpf_eff]
+        log_row = jnp.zeros((1, 128), jnp.float32)
+        for f, colv_ in enumerate(fields):
+            log_row = log_row + jnp.where(
+                (lane1 >= f * 8) & (lane1 < (f + 1) * 8),
+                pltpu.roll(scatter8(colv_), shift=f * 8, axis=1), 0.0)
+        log_ref[pl.ds(t, 1), :] = log_row
+
+        # ---- sim-state commit ----
+        new_cols = [npx, npy, nvx, nvy, done_new, crashed_new, cum_new,
+                    nlik_px, nlik_py, nlik_vx, nlik_vy, bw_mpf_eff]
+        sim_new = jnp.zeros((8, 128), jnp.float32)
+        for i, colv_ in enumerate(new_cols):
+            sim_new = jnp.where(lane8 == i, jnp.broadcast_to(
+                colv_, (8, 128)), sim_new)
+        sim_ref[:] = sim_new
+        return 0
+
+    jax.lax.fori_loop(0, steps, step, 0)
+
+    theta_out_ref[:] = theta_ref[:]
+    locs_out_ref[:] = locs_ref[:]
+    amat_out_ref[:] = amat_ref[:]
+    lmix_out_ref[:] = lmix_ref[:]
+    mpfx_out_ref[:] = mpfx_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sc", "steps", "warm_up", "hz", "m", "n_params",
+                     "n_act", "m_mpf", "mpf_steps", "dt", "max_acc",
+                     "max_speed", "weights", "target", "rects", "grid",
+                     "crash", "success_dist", "change_at", "exp_util",
+                     "weighted_prior", "mpf_log_space",
+                     "use_fixed_mpf_bw", "mpf_bw_scale", "unroll",
+                     "interpret"))
+def fused_particle_sweep_episode(
+        seed, state0, theta0, locs0, log_mix0, a_mat0, mpfx0,
+        prior_bw0, true_masses, load, ctrl_sigma, lr, alpha, temp,
+        prior_sigma, mpf_lr, mpf_sigma, mpf_fixed_bw_val, *,
+        n_sc, steps, warm_up=0, hz, m, n_params, n_act, m_mpf,
+        mpf_steps, dt, max_acc, max_speed, weights, target, rects,
+        grid, crash, success_dist=1.0, change_at, exp_util=True,
+        weighted_prior=True, mpf_log_space=True, use_fixed_mpf_bw=True,
+        mpf_bw_scale=1.0, unroll=True, host_eps=None, host_pdz=None,
+        host_pdu=None, interpret=False):
+    """Run n_sc particle-navigation DuSt episodes in ONE Pallas
+    program. state0 [4] shared; theta0/locs0/a_mat0 [m, hz, 2] and
+    log_mix0 [m] shared across scenarios (the sweep harness layout);
+    mpfx0 [m_mpf, 1] shared or [n_sc, m_mpf, 1] per-scenario;
+    true_masses [n_sc] per-scenario simulator base masses (+`load` for
+    every scenario at `change_at`). The controller a_seq is fixed at
+    zero (SVMPC demo semantics; the adapter checks).
+
+    Host-noise mode: host_eps [steps, hz, 2, smp, 128] (channel x/y,
+    rows s*m + q; smp = n_sc*m rounded up to 8), host_pdz/host_pdu
+    [steps, n_sc, 8, 128] (lane 0 used; rows p < n_params).
+
+    Returns per-scenario logs [steps, n_sc] (state/action components,
+    cost, done, crashed, cum, bw_sv, bw_mpf) plus final
+    theta/locs/a_mat [n_sc, m, hz, 2], log_mix [n_sc, m] and MPF
+    particles [n_sc, m_mpf, 1].
+    """
+    if n_sc > 8:
+        raise ValueError("particle sweep kernel: n_sc <= 8 per "
+                         "program (vmap/scan groups for larger sweeps)")
+    if hz * 2 > 128 or n_act > 128:
+        raise ValueError("particle sweep kernel: hz*2<=128, n_act<=128")
+    if n_params > 8:
+        raise ValueError("particle sweep kernel: n_params <= 8")
+    if m * hz * 2 > 512:
+        raise ValueError("particle sweep kernel: m*hz*2 <= 512 (the "
+                         "grouped-bitonic Silverman sorts at most 4 "
+                         "rows per scenario)")
+    sm = n_sc * m
+    smp = _round8(sm)
+    mp = _round8(max(m_mpf, 8))
+    if mp > 64:
+        raise ValueError("particle sweep kernel: m_mpf <= 64 (two "
+                         "scenarios share each MPF row block's lanes)")
+    n_pair = (n_sc + 1) // 2
+    steps_p = _round8(steps)
+    host_noise = host_eps is not None
+
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 2)
+    scal = jnp.stack([
+        jnp.asarray(state0[0], jnp.float32),
+        jnp.asarray(state0[1], jnp.float32),
+        jnp.asarray(state0[2], jnp.float32),
+        jnp.asarray(state0[3], jnp.float32),
+        jnp.asarray(ctrl_sigma, jnp.float32).reshape(()),
+        jnp.asarray(lr, jnp.float32).reshape(()),
+        jnp.asarray(alpha, jnp.float32).reshape(()),
+        1.0 / jnp.asarray(temp, jnp.float32).reshape(()),
+        1.0 / jnp.asarray(ctrl_sigma, jnp.float32).reshape(()) ** 2,
+        1.0 / jnp.asarray(prior_sigma, jnp.float32).reshape(()) ** 2,
+        jnp.asarray(load, jnp.float32).reshape(()),
+        jnp.asarray(mpf_lr, jnp.float32).reshape(()),
+        jnp.asarray(mpf_sigma, jnp.float32).reshape(()),
+        jnp.asarray(prior_bw0, jnp.float32).reshape(()),
+        jnp.asarray(mpf_fixed_bw_val, jnp.float32).reshape(()),
+        jnp.float32(0.0),
+    ]).reshape(1, 16)
+
+    masses = jnp.zeros((8, 128), jnp.float32).at[:n_sc, :].set(
+        jnp.broadcast_to(
+            jnp.asarray(true_masses, jnp.float32)[:, None],
+            (n_sc, 128),
+        )
+    )
+
+    ev = hz * 2
+    theta_stack = jnp.tile(
+        jnp.asarray(theta0, jnp.float32).reshape(m, ev), (n_sc, 1))
+    locs_stack = jnp.tile(
+        jnp.asarray(locs0, jnp.float32).reshape(m, ev), (n_sc, 1))
+    amat_stack = jnp.tile(
+        jnp.asarray(a_mat0, jnp.float32).reshape(m, ev), (n_sc, 1))
+    lmix_stack = jnp.zeros((smp, 128), jnp.float32).at[:sm, 0].set(
+        jnp.tile(jnp.asarray(log_mix0, jnp.float32).reshape(m),
+                 (n_sc,))
+    )
+    mpfx0 = jnp.asarray(mpfx0, jnp.float32)
+    mpfx_rows = jnp.zeros((n_pair * mp, 128), jnp.float32)
+    for s in range(n_sc):
+        p, g = divmod(s, 2)
+        mpfx_rows = mpfx_rows.at[
+            p * mp:p * mp + m_mpf, 64 * g:64 * g + 1
+        ].set(mpfx0[s] if mpfx0.ndim == 3 else mpfx0)
+
+    inputs = [
+        seed_arr, scal, masses,
+        _pad_tile(theta_stack, smp), _pad_tile(locs_stack, smp),
+        lmix_stack, _pad_tile(amat_stack, smp), mpfx_rows,
+    ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + \
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    if host_noise:
+        inputs += [
+            jnp.asarray(host_eps, jnp.float32).reshape(
+                steps * hz * 2 * smp, 128),
+            jnp.asarray(host_pdz, jnp.float32).reshape(
+                steps * n_sc * 8, 128),
+            jnp.asarray(host_pdu, jnp.float32).reshape(
+                steps * n_sc * 8, 128),
+        ]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+
+    kernel = functools.partial(
+        _particle_sweep_kernel,
+        n_sc=n_sc, steps=steps, warm_up=warm_up, hz=hz, m=m,
+        n_params=n_params, n_act=n_act, m_mpf=m_mpf,
+        mpf_steps=mpf_steps, dt=float(dt), max_acc=float(max_acc),
+        max_speed=float(max_speed), weights=weights, target=target,
+        rects=rects, grid=grid, crash=bool(crash),
+        success_dist=float(success_dist), change_at=int(change_at),
+        exp_util=bool(exp_util), weighted_prior=bool(weighted_prior),
+        mpf_log_space=bool(mpf_log_space),
+        use_fixed_mpf_bw=bool(use_fixed_mpf_bw),
+        mpf_bw_scale=float(mpf_bw_scale), host_noise=host_noise,
+        unroll=bool(unroll),
+    )
+    rows = n_params * sm
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct((steps_p, 128), jnp.float32),
+            jax.ShapeDtypeStruct((smp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((smp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((smp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((smp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_pair * mp, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hz * 2 * smp, 128), jnp.float32),   # eps
+            pltpu.VMEM((rows, 128), jnp.float32),           # px
+            pltpu.VMEM((rows, 128), jnp.float32),           # py
+            pltpu.VMEM((rows, 128), jnp.float32),           # vx
+            pltpu.VMEM((rows, 128), jnp.float32),           # vy
+            pltpu.VMEM((smp, 128), jnp.float32),            # theta
+            pltpu.VMEM((smp, 128), jnp.float32),            # locs
+            pltpu.VMEM((smp, 128), jnp.float32),            # amat
+            pltpu.VMEM((smp, 128), jnp.float32),            # log-mix
+            pltpu.VMEM((n_pair * mp, 128), jnp.float32),    # mpf x
+            pltpu.VMEM((8, 128), jnp.float32),              # sim state
+        ],
+        interpret=interpret,
+    )(*inputs)
+    log, theta_out, locs_out, amat_out, lmix_out, mpfx_out = outs
+    mpf_final = jnp.stack([
+        mpfx_out[(s // 2) * mp:(s // 2) * mp + m_mpf,
+                 64 * (s % 2):64 * (s % 2) + 1]
+        for s in range(n_sc)
+    ])
+    return {
+        "px": log[:steps, 0:n_sc],
+        "py": log[:steps, 8:8 + n_sc],
+        "vx": log[:steps, 16:16 + n_sc],
+        "vy": log[:steps, 24:24 + n_sc],
+        "a_x": log[:steps, 32:32 + n_sc],
+        "a_y": log[:steps, 40:40 + n_sc],
+        "cost": log[:steps, 48:48 + n_sc],
+        "done": log[:steps, 56:56 + n_sc],
+        "crashed": log[:steps, 64:64 + n_sc],
+        "cum": log[:steps, 72:72 + n_sc],
+        "bw_sv": log[:steps, 80:80 + n_sc],
+        "bw_mpf": log[:steps, 88:88 + n_sc],
+        "theta": theta_out[:sm, :ev].reshape(n_sc, m, hz, 2),
+        "locs": locs_out[:sm, :ev].reshape(n_sc, m, hz, 2),
+        "a_mat": amat_out[:sm, :ev].reshape(n_sc, m, hz, 2),
+        "log_mix": lmix_out[:sm, 0].reshape(n_sc, m),
+        "mpf_x": mpf_final,
+    }

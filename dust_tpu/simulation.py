@@ -384,6 +384,73 @@ def megakernel_particle_episode_fn(stack, exp_params, steps, warm_up=0,
     return episode
 
 
+def megakernel_particle_sweep_fn(stack, exp_params, steps, n_sc,
+                                 warm_up=0, unroll=True,
+                                 interpret=False, success_dist=1.0):
+    """Scenario-batched particle sweep megakernel adapter
+    (`ops/pallas_particle_sweep_episode.py`): n_sc <= 8 independent
+    obstacle-navigation DuSt episodes — per-scenario seeds, true
+    simulator masses, crash/goal termination, weighted priors and MPF
+    mass posteriors — advance in lockstep inside ONE Pallas program;
+    vmap/scan over groups of 8 for larger sweeps. Returns
+    sweep(seed [2] int32, true_masses [n_sc]) -> per-scenario logs.
+
+    Same restrictions discipline as the pendulum sweep adapter: the
+    controller a_seq must be zero (SVMPC demo semantics) and the MPF
+    bandwidth fixed (the demo config sets 0.5)."""
+    from .ops.pallas_particle_rollout import particle_kernel_statics
+    from .ops.pallas_particle_sweep_episode import (
+        fused_particle_sweep_episode,
+    )
+
+    exp = exp_params
+    if stack.mpf_bw is None:
+        raise ValueError("particle sweep megakernel expects a fixed "
+                         "mpf_bandwidth (the demo config sets 0.5)")
+    statics = particle_kernel_statics(stack.model)
+    mstate = stack.mpf.init_state(
+        stack.mpf_init, stack.init_state, 2, bw=stack.mpf_init_bw
+    )
+    dstate = stack.controller.init_state()
+    import numpy as _np
+
+    if _np.any(_np.asarray(dstate.a_seq)):
+        raise ValueError("particle sweep megakernel requires a zero "
+                         "controller a_seq (SVMPC demo semantics)")
+    log_mix0 = jax.nn.log_softmax(stack.policies_prior.logits)
+
+    def sweep(seed, true_masses, host_eps=None, host_pdz=None,
+              host_pdu=None):
+        return fused_particle_sweep_episode(
+            seed, stack.init_state, stack.init_policies,
+            stack.policies_prior.locs, log_mix0, dstate.a_mat,
+            stack.mpf_init, mstate.prior_bw, true_masses,
+            jnp.float32(stack.load),
+            exp["ctrl_sigma"], exp["learning_rate"], exp["alpha"],
+            1.0 / exp["alpha"], exp["prior_sigma"],
+            exp["mpf_learning_rate"], exp["mpf_obs_std"],
+            jnp.float32(stack.mpf_bw),
+            n_sc=n_sc, steps=steps, warm_up=warm_up,
+            hz=exp["horizon"], m=exp["n_particles"],
+            n_params=exp["params_samples"],
+            n_act=exp["action_samples"],
+            m_mpf=exp["mpf_n_particles"], mpf_steps=exp["mpf_steps"],
+            dt=float(stack.model.dt),
+            max_acc=float(stack.model.max_acc),
+            max_speed=float(stack.model.max_speed),
+            change_at=steps // 4, success_dist=success_dist,
+            exp_util=exp.get("likelihood", "ExponentiatedUtility")
+            == "ExponentiatedUtility",
+            weighted_prior=exp.get("weighted_prior", False),
+            mpf_log_space=exp["mpf_log_space"], use_fixed_mpf_bw=True,
+            mpf_bw_scale=exp["mpf_bandwidth_scaling"], unroll=unroll,
+            interpret=interpret, host_eps=host_eps, host_pdz=host_pdz,
+            host_pdu=host_pdu, **statics,
+        )
+
+    return sweep
+
+
 def particle_episode_fn(model, controller, svmpc=None, mpf=None,
                         dyn_dist=None, load=0.0, steps=400, warm_up=30,
                         mpf_bw=None, mpf_steps=None, use_svmpc=True,

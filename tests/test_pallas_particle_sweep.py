@@ -1,0 +1,205 @@
+"""Scenario-batched particle sweep megakernel
+(ops/pallas_particle_sweep_episode.py) tests.
+
+Ground truth is S independent runs of the independently-tested
+single-episode particle megakernel (tests/test_pallas_particle_episode.py)
+fed the matching per-scenario noise slices — CPU interpret mode with
+host noise, like every megakernel suite. Tolerances are
+reassociation-level: the sweep kernel computes pairwise distances via
+centered MXU Gram matrices and the transposed MPF body where the
+single-episode kernel uses explicit per-column differences.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dust_tpu.experiments import build_particle_stack, load_config
+from dust_tpu.simulation import (
+    megakernel_particle_episode_fn,
+    megakernel_particle_sweep_fn,
+)
+
+
+def _stack(**overrides):
+    cfg = load_config("/root/repo/demo/particle_config.yaml")
+    cfg["exp_params"].update(overrides)
+    stack = build_particle_stack(cfg, jax.random.key(0))
+    return stack, cfg
+
+
+def _noise(n_sc, steps, hz, m, seed=0):
+    key = jax.random.key(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    smp = -(-n_sc * m // 8) * 8
+    eps = jax.random.normal(k1, (steps, hz, 2, smp, 128))
+    pdz = jax.random.normal(k2, (steps, n_sc, 8, 128))
+    pdu = jax.random.uniform(k3, (steps, n_sc, 8, 128))
+    return eps, pdz, pdu
+
+
+def _single_noise(eps, pdz, pdu, s, m):
+    """Per-scenario slices in the single-episode kernel's layout:
+    host_eps [steps, 2, hz, 8, 128] (rows q < m), host_pdz/pdu
+    [steps, 8, 128]."""
+    steps, hz = eps.shape[0], eps.shape[1]
+    eps_s = jnp.zeros((steps, 2, hz, 8, 128))
+    eps_s = eps_s.at[:, 0, :, :m, :].set(
+        jnp.swapaxes(eps[:, :, 0, s * m:(s + 1) * m, :], 1, 1))
+    eps_s = eps_s.at[:, 1, :, :m, :].set(
+        eps[:, :, 1, s * m:(s + 1) * m, :])
+    return eps_s, pdz[:, s], pdu[:, s]
+
+
+@pytest.mark.parametrize("n_sc", [2, 3, 8])
+def test_particle_sweep_matches_independent_single_episodes(n_sc):
+    """Every scenario of the sweep kernel must reproduce an independent
+    single-episode run on the same noise (odd n_sc exercises the MPF
+    pairing's missing-B-half path)."""
+    steps = 2
+    stack, cfg = _stack()
+    exp = cfg["exp_params"]
+    hz, m = exp["horizon"], exp["n_particles"]
+    eps, pdz, pdu = _noise(n_sc, steps, hz, m)
+    masses = jnp.linspace(1.6, 2.4, n_sc)
+
+    sweep = megakernel_particle_sweep_fn(
+        stack, exp, steps=steps, n_sc=n_sc, unroll=False,
+        interpret=True,
+    )
+    out = sweep(jnp.zeros(2, jnp.int32), masses, host_eps=eps,
+                host_pdz=pdz, host_pdu=pdu)
+
+    episode = megakernel_particle_episode_fn(
+        stack, exp, steps=steps, warm_up=0, unroll=False,
+        interpret=True,
+    )
+    from dust_tpu.ops.pallas_particle_episode import (
+        fused_particle_episode,
+    )
+
+    del episode  # adapter has no host-noise path; call the op directly
+
+    for s in range(n_sc):
+        eps_s, pdz_s, pdu_s = _single_noise(eps, pdz, pdu, s, m)
+        ref = fused_particle_episode(
+            jnp.zeros(2, jnp.int32), stack.init_state,
+            stack.init_policies, stack.policies_prior.locs,
+            jax.nn.log_softmax(stack.policies_prior.logits),
+            stack.controller.init_state().a_mat,
+            stack.controller.init_state().a_seq,
+            stack.mpf_init,
+            stack.mpf.init_state(stack.mpf_init, stack.init_state, 2,
+                                 bw=stack.mpf_init_bw).prior_bw,
+            masses[s], jnp.float32(stack.load),
+            exp["ctrl_sigma"], exp["learning_rate"], exp["alpha"],
+            1.0 / exp["alpha"], exp["prior_sigma"],
+            exp["mpf_learning_rate"], exp["mpf_obs_std"],
+            jnp.float32(stack.mpf_bw),
+            steps=steps, warm_up=0, hz=hz, m=m,
+            n_params=exp["params_samples"],
+            n_act=exp["action_samples"],
+            m_mpf=exp["mpf_n_particles"], mpf_steps=exp["mpf_steps"],
+            dt=float(stack.model.dt),
+            max_acc=float(stack.model.max_acc),
+            max_speed=float(stack.model.max_speed),
+            change_at=steps // 4, success_dist=1.0,
+            exp_util=True,
+            weighted_prior=exp.get("weighted_prior", False),
+            mpf_log_space=exp["mpf_log_space"], use_fixed_mpf_bw=True,
+            mpf_bw_scale=exp["mpf_bandwidth_scaling"], unroll=False,
+            host_eps=eps_s, host_pdz=pdz_s, host_pdu=pdu_s,
+            interpret=True,
+            **__import__("dust_tpu.ops.pallas_particle_rollout",
+                         fromlist=["particle_kernel_statics"]
+                         ).particle_kernel_statics(stack.model),
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(out["px"][:, s]), np.asarray(ref["state"][:, 0]),
+            rtol=1e-4, atol=1e-3, err_msg=f"px scenario {s}")
+        np.testing.assert_allclose(
+            np.asarray(out["py"][:, s]), np.asarray(ref["state"][:, 1]),
+            rtol=1e-4, atol=1e-3, err_msg=f"py scenario {s}")
+        np.testing.assert_allclose(
+            np.asarray(out["vx"][:, s]), np.asarray(ref["state"][:, 2]),
+            rtol=1e-4, atol=1e-3, err_msg=f"vx scenario {s}")
+        np.testing.assert_allclose(
+            np.asarray(out["vy"][:, s]), np.asarray(ref["state"][:, 3]),
+            rtol=1e-4, atol=1e-3, err_msg=f"vy scenario {s}")
+        np.testing.assert_allclose(
+            np.asarray(out["a_x"][:, s]),
+            np.asarray(ref["action"][:, 0]),
+            rtol=1e-3, atol=1e-3, err_msg=f"a_x scenario {s}")
+        np.testing.assert_allclose(
+            np.asarray(out["a_y"][:, s]),
+            np.asarray(ref["action"][:, 1]),
+            rtol=1e-3, atol=1e-3, err_msg=f"a_y scenario {s}")
+        np.testing.assert_allclose(
+            np.asarray(out["cost"][:, s]), np.asarray(ref["cost"]),
+            rtol=2e-3, atol=1.0, err_msg=f"cost scenario {s}")
+        np.testing.assert_array_equal(
+            np.asarray(out["done"][:, s]), np.asarray(ref["done"]),
+            err_msg=f"done scenario {s}")
+        np.testing.assert_array_equal(
+            np.asarray(out["crashed"][:, s]),
+            np.asarray(ref["crashed"]), err_msg=f"crashed scenario {s}")
+        np.testing.assert_allclose(
+            np.asarray(out["bw_sv"][:, s]), np.asarray(ref["bw_sv"]),
+            rtol=1e-4, atol=1e-6, err_msg=f"bw_sv scenario {s}")
+        np.testing.assert_allclose(
+            np.asarray(out["bw_mpf"][:, s]), np.asarray(ref["bw_mpf"]),
+            rtol=1e-4, atol=1e-6, err_msg=f"bw_mpf scenario {s}")
+        # the demo lr=100 amplifies reassociation-level phi
+        # differences (centered-Gram vs explicit-diff distances) by two
+        # orders of magnitude into theta
+        np.testing.assert_allclose(
+            np.asarray(out["theta"][s]), np.asarray(ref["theta"]),
+            rtol=1e-3, atol=5e-3, err_msg=f"theta scenario {s}")
+        np.testing.assert_allclose(
+            np.asarray(out["mpf_x"][s]), np.asarray(ref["mpf_x"]),
+            rtol=1e-4, atol=1e-5, err_msg=f"mpf_x scenario {s}")
+
+
+def test_particle_sweep_scenario_isolation():
+    """Changing one scenario's true mass must not perturb any other
+    scenario (bitwise)."""
+    n_sc, steps = 4, 2
+    stack, cfg = _stack()
+    exp = cfg["exp_params"]
+    eps, pdz, pdu = _noise(n_sc, steps, exp["horizon"],
+                           exp["n_particles"], seed=3)
+    sweep = megakernel_particle_sweep_fn(
+        stack, exp, steps=steps, n_sc=n_sc, unroll=False,
+        interpret=True,
+    )
+    masses_a = jnp.linspace(1.6, 2.4, n_sc)
+    out_a = sweep(jnp.zeros(2, jnp.int32), masses_a, host_eps=eps,
+                  host_pdz=pdz, host_pdu=pdu)
+    masses_b = masses_a.at[1].set(3.1)
+    out_b = sweep(jnp.zeros(2, jnp.int32), masses_b, host_eps=eps,
+                  host_pdz=pdz, host_pdu=pdu)
+    others = np.array([0, 2, 3])
+    for k in ("px", "py", "vx", "vy", "a_x", "a_y", "cost", "done",
+              "crashed", "cum", "bw_sv", "bw_mpf"):
+        np.testing.assert_array_equal(
+            np.asarray(out_a[k][:, others]),
+            np.asarray(out_b[k][:, others]), err_msg=k)
+    np.testing.assert_array_equal(np.asarray(out_a["theta"][others]),
+                                  np.asarray(out_b["theta"][others]))
+    np.testing.assert_array_equal(np.asarray(out_a["mpf_x"][others]),
+                                  np.asarray(out_b["mpf_x"][others]))
+    # scenario 1 itself reacts to its changed true mass
+    assert (np.asarray(out_a["vx"][:, 1])
+            != np.asarray(out_b["vx"][:, 1])).any()
+
+
+def test_particle_sweep_adapter_guards():
+    """n_sc and layout guards raise instead of corrupting."""
+    stack, cfg = _stack()
+    with pytest.raises(ValueError, match="n_sc"):
+        sweep = megakernel_particle_sweep_fn(
+            stack, cfg["exp_params"], steps=1, n_sc=9, interpret=True
+        )
+        sweep(jnp.zeros(2, jnp.int32), jnp.ones(9))
