@@ -103,6 +103,37 @@ def _mega_episode(steps):
     return episode
 
 
+def bench_sweep_mega(n, steps, repeats):
+    """The scenario-batched particle sweep megakernel (r2,
+    ops/pallas_particle_sweep_episode.py): 8 episodes per Pallas
+    program, lax.scan over n/8 groups per dispatch."""
+    from dust_tpu.simulation import megakernel_particle_sweep_fn
+
+    S = min(8, n)
+    groups = max(1, n // S)
+    config = load_config(ROOT / "demo/particle_config.yaml")
+    stack = build_particle_stack(config, jax.random.key(0))
+    sweep = megakernel_particle_sweep_fn(
+        stack, config["exp_params"], steps=steps, n_sc=S, unroll=True
+    )
+    masses = jnp.linspace(1.6, 2.4, S)
+
+    @jax.jit
+    def run_groups(seeds):
+        return jax.lax.scan(
+            lambda _, sd: (0, sweep(sd, masses)["cum"]), 0, seeds
+        )[1]
+
+    def run(i):
+        seeds = jnp.stack(
+            [jnp.full((groups,), i, jnp.int32),
+             jnp.arange(groups, dtype=jnp.int32) * 1000], axis=1
+        )
+        return run_groups(seeds)
+
+    return n * steps / time_best(run, repeats)
+
+
 def bench_vmapped_mega(n, steps, repeats):
     episode = _mega_episode(steps)
     masses = jnp.linspace(1.5, 3.0, n)
@@ -153,6 +184,7 @@ def main():
     only = os.environ.get("ONLY")
     dev = str(jax.devices()[0])
     variants = {
+        "sweep_mega": bench_sweep_mega,
         "perstep_fused": bench_perstep_fused,
         "vmapped_mega": bench_vmapped_mega,
         "scanned_mega": bench_scanned_mega,
