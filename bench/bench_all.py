@@ -438,6 +438,40 @@ def bench_skid_steer_scan(steps, repeats):
     )
 
 
+def bench_particle_sweep_mega(n_scenarios, steps, repeats):
+    """Scenario-batched particle sweep megakernel
+    (ops/pallas_particle_sweep_episode.py, r2): groups of 8
+    obstacle-navigation episodes per Pallas program, lax.scan over
+    groups — the particle-task counterpart of bench_sweep_mega."""
+    from dust_tpu.simulation import megakernel_particle_sweep_fn
+
+    S = min(8, n_scenarios)
+    groups = max(1, n_scenarios // S)
+    n = S * groups
+    config = load_config(ROOT / "demo/particle_config.yaml")
+    stack = build_particle_stack(config, jax.random.key(0))
+    sweep = megakernel_particle_sweep_fn(
+        stack, config["exp_params"], steps=steps, n_sc=S, unroll=True
+    )
+    masses = jnp.linspace(1.6, 2.4, S)
+
+    @jax.jit
+    def run_groups(seeds):
+        return jax.lax.scan(
+            lambda _, sd: (0, sweep(sd, masses)["cum"]), 0, seeds
+        )[1]
+
+    def run(i):
+        seeds = jnp.stack(
+            [jnp.full((groups,), i, jnp.int32),
+             jnp.arange(groups, dtype=jnp.int32) * 1000], axis=1
+        )
+        return run_groups(seeds)
+
+    best = _time_best(run, repeats)
+    return n * steps / best, n / best
+
+
 def bench_pendulum_mega(steps, repeats):
     """Whole-episode megakernel (ops/pallas_episode.py): the entire
     dual-inference episode is ONE Pallas program with in-kernel
@@ -608,6 +642,9 @@ def main():
         ),
         f"sweep_n{n}": lambda: bench_sweep(n, steps, repeats, fused=True),
         f"sweep_n{n}_plain": lambda: bench_sweep(n, steps, repeats),
+        f"particle_sweep_mega_n{n}": lambda: bench_particle_sweep_mega(
+            n, steps, repeats
+        ),
         f"particle_sweep_n{n}": lambda: bench_particle_sweep(
             n, steps, repeats, fused=True
         ),
