@@ -93,7 +93,7 @@ def _kernel(x_ref, out_ref, *, variant, iters):
         reshape the A lanes (0..MP-1) and B lanes (64..64+MP-1) of the
         n_pair rows into [nmr, 1] columns (pure movement)."""
         a = r8[0:N_PAIR, 0:MP].reshape(NMR, 1)
-        b = pltpu.roll(r8, shift=-64, axis=1)[0:N_PAIR, 0:MP] \
+        b = pltpu.roll(r8, shift=64, axis=1)[0:N_PAIR, 0:MP] \
             .reshape(NMR, 1)
         return jnp.where(in_a, a, b)
 
