@@ -203,3 +203,39 @@ def test_particle_sweep_adapter_guards():
             stack, cfg["exp_params"], steps=1, n_sc=9, interpret=True
         )
         sweep(jnp.zeros(2, jnp.int32), jnp.ones(9))
+
+
+def test_particle_sweep_groups_shard_over_mesh():
+    """MegakernelGroupSweep shards particle-sweep GROUPS over the
+    virtual device mesh (shard_map, one group per device) with results
+    equal to the unsharded vmap."""
+    from dust_tpu.parallel import make_mesh
+    from dust_tpu.parallel.sweep import MegakernelGroupSweep
+
+    n_sc, steps, G = 2, 2, 8
+    stack, cfg = _stack()
+    exp = cfg["exp_params"]
+    hz, m = exp["horizon"], exp["n_particles"]
+    sweep = megakernel_particle_sweep_fn(
+        stack, exp, steps=steps, n_sc=n_sc, unroll=False,
+        interpret=True,
+    )
+    key = jax.random.key(7)
+    ks = jax.random.split(key, 3)
+    smp = -(-n_sc * m // 8) * 8
+    seeds = jnp.stack([jnp.arange(G, dtype=jnp.int32),
+                       jnp.zeros(G, jnp.int32)], axis=1)
+    mapped = (
+        jnp.broadcast_to(jnp.linspace(1.6, 2.4, n_sc), (G, n_sc)),
+        jax.random.normal(ks[0], (G, steps, hz, 2, smp, 128)),
+        jax.random.normal(ks[1], (G, steps, n_sc, 8, 128)),
+        jax.random.uniform(ks[2], (G, steps, n_sc, 8, 128)),
+    )
+    plain = MegakernelGroupSweep(sweep, mesh=None).run(seeds, *mapped)
+    mesh = make_mesh(axis_names=("scenario",))
+    sharded = MegakernelGroupSweep(sweep, mesh=mesh).run(seeds, *mapped)
+    for k in ("cum", "done", "crashed", "cost"):
+        np.testing.assert_allclose(np.asarray(sharded[k]),
+                                   np.asarray(plain[k]), rtol=1e-6,
+                                   err_msg=k)
+    assert len(sharded["cum"].sharding.device_set) == 8
