@@ -10,10 +10,16 @@ uniform-mixture GMM prior around the particles,
 component log-prob matrix through autograd). Here each i-block streams
 center blocks with the *online softmax* rescaling trick (flash-attention
 pattern): running max, running normalizer, running weighted center sum —
-the [m, m] responsibility matrix never exists.
+the [m, m] responsibility matrix never exists, and (r2) the center set
+streams through VMEM block-by-block on the SECOND grid axis, so VMEM
+holds one [block_i, d] x-block + one [block_k, d] center block at a
+time. (The r1 version held the whole padded center set in VMEM, which
+failed to compile at m = 32768 — a 16.8 MB f32[32768, 128] operand —
+the scale ceiling bench/probes/scale_limits_probe.py mapped.)
 
 With `gmm_prior_score_pallas` + `svgd_phi_pallas` the entire large-m MPF
-Stein update runs in two streaming kernels with no quadratic HBM traffic.
+Stein update runs in two streaming kernels with no quadratic HBM traffic
+and O(block) VMEM.
 """
 
 from __future__ import annotations
@@ -37,59 +43,58 @@ def gmm_prior_score_reference(x, centers, bw):
     return (r @ centers - x) / (bw**2)
 
 
-def _score_kernel(bw_ref, xi_ref, cfull_ref, out_ref,
+def _score_kernel(bw_ref, xi_ref, ck_ref, out_ref,
                   vsum_ref, norm_ref, max_ref, *, block_k, k_total,
-                  k_padded):
-    """One i-block: stream center blocks with online-softmax rescaling.
-
-    Scratch buffers are all [bm, d] (lane-aligned); the running
-    normalizer and running max live broadcast across columns.
-    """
+                  num_k):
+    """Grid (i-blocks, k-blocks), k innermost: each step folds ONE
+    center block into the i-block's running online-softmax state
+    (running max / normalizer / weighted center sum live in scratch,
+    which persists across grid steps); the output block is written on
+    the last k step."""
+    kb = pl.program_id(1)
     bw = bw_ref[0, 0]
     inv2 = 0.5 / (bw * bw)
     xi = xi_ref[:]
     xi_norm = jnp.sum(xi * xi, axis=1, keepdims=True)
 
-    vsum_ref[:] = jnp.zeros_like(vsum_ref)
-    norm_ref[:] = jnp.zeros_like(norm_ref)
-    max_ref[:] = jnp.full_like(max_ref, -jnp.inf)
+    @pl.when(kb == 0)
+    def _init():
+        vsum_ref[:] = jnp.zeros_like(vsum_ref)
+        norm_ref[:] = jnp.zeros_like(norm_ref)
+        max_ref[:] = jnp.full_like(max_ref, -jnp.inf)
 
-    num_k = k_padded // block_k
+    ck = ck_ref[:]                                         # [bk, d]
+    ck_norm = jnp.sum(ck * ck, axis=1)[None, :]
+    cross = jnp.dot(xi, ck.T, preferred_element_type=jnp.float32)
+    logits = -jnp.maximum(xi_norm + ck_norm - 2.0 * cross, 0.0) * inv2
+    k_ids = jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, dimension=1
+    ) + kb * block_k
+    logits = jnp.where(k_ids < k_total, logits, -jnp.inf)
 
-    def body(kb, _):
-        ck = cfull_ref[pl.ds(kb * block_k, block_k), :]    # [bk, d]
-        ck_norm = jnp.sum(ck * ck, axis=1)[None, :]
-        cross = jnp.dot(xi, ck.T, preferred_element_type=jnp.float32)
-        logits = -jnp.maximum(xi_norm + ck_norm - 2.0 * cross, 0.0) * inv2
-        k_ids = jax.lax.broadcasted_iota(
-            jnp.int32, logits.shape, dimension=1
-        ) + kb * block_k
-        logits = jnp.where(k_ids < k_total, logits, -jnp.inf)
+    m_old = max_ref[:]                                     # [bm, d] bcast
+    m_new = jnp.maximum(
+        m_old, jnp.max(logits, axis=1, keepdims=True)
+    )
+    scale = jnp.exp(m_old - m_new)
+    p = jnp.exp(logits - m_new[:, :1])                     # [bm, bk]
+    vsum_ref[:] = vsum_ref[:] * scale + jnp.dot(
+        p, ck, preferred_element_type=jnp.float32
+    )
+    norm_ref[:] = norm_ref[:] * scale + jnp.sum(
+        p, axis=1, keepdims=True
+    )
+    max_ref[:] = m_new
 
-        m_old = max_ref[:]                                 # [bm, d] bcast
-        m_new = jnp.maximum(
-            m_old, jnp.max(logits, axis=1, keepdims=True)
-        )
-        scale = jnp.exp(m_old - m_new)
-        p = jnp.exp(logits - m_new[:, :1])                 # [bm, bk]
-        vsum_ref[:] = vsum_ref[:] * scale + jnp.dot(
-            p, ck, preferred_element_type=jnp.float32
-        )
-        norm_ref[:] = norm_ref[:] * scale + jnp.sum(
-            p, axis=1, keepdims=True
-        )
-        max_ref[:] = m_new
-        return 0
-
-    jax.lax.fori_loop(0, num_k, body, 0)
-
-    mean_c = vsum_ref[:] / norm_ref[:]
-    out_ref[:] = (mean_c - xi) / (bw * bw)
+    @pl.when(kb == num_k - 1)
+    def _finish():
+        mean_c = vsum_ref[:] / norm_ref[:]
+        out_ref[:] = (mean_c - xi) / (bw * bw)
 
 
 @functools.partial(jax.jit, static_argnames=("block_i", "block_k",
                                              "interpret"))
-def gmm_prior_score_pallas(x, centers, bw, block_i=256, block_k=256,
+def gmm_prior_score_pallas(x, centers, bw, block_i=256, block_k=1024,
                            interpret=False):
     """Streaming GMM score. x [m, d], centers [k, d], bw scalar."""
     m, d = x.shape
@@ -97,6 +102,7 @@ def gmm_prior_score_pallas(x, centers, bw, block_i=256, block_k=256,
     mp = _round_up(max(m, block_i), block_i)
     kp = _round_up(max(k, block_k), block_k)
     dp = max(_round_up(d, 128), 128)
+    num_k = kp // block_k
 
     # the score is invariant under a common shift of x and centers
     # (responsibilities depend on distances; r rows sum to 1, so
@@ -110,19 +116,19 @@ def gmm_prior_score_pallas(x, centers, bw, block_i=256, block_k=256,
     bw_arr = jnp.asarray(bw, jnp.float32).reshape(1, 1)
 
     kernel = functools.partial(
-        _score_kernel, block_k=block_k, k_total=k, k_padded=kp
+        _score_kernel, block_k=block_k, k_total=k, num_k=num_k
     )
     out = pl.pallas_call(
         kernel,
-        grid=(mp // block_i,),
+        grid=(mp // block_i, num_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_i, dp), lambda i: (i, 0),
+            pl.BlockSpec((block_i, dp), lambda i, kb: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, dp), lambda i: (0, 0),
+            pl.BlockSpec((block_k, dp), lambda i, kb: (kb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_i, dp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_i, dp), lambda i, kb: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, dp), jnp.float32),
         scratch_shapes=[

@@ -45,6 +45,7 @@ from .pallas_episode import (
     _silverman_row,
     _uniform01,
 )
+from .pallas_particle_rollout import occupancy_hit
 
 
 def _particle_episode_kernel(
@@ -135,11 +136,7 @@ def _particle_episode_kernel(
         inv_cell, offx, offy, ximax, yimax = grid
         xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
         yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
-        hit = None
-        for xl, xh, yl, yh in rects:
-            h = (xi >= xl) & (xi < xh) & (yi >= yl) & (yi < yh)
-            hit = h if hit is None else (hit | h)
-        return jnp.where(hit, 1.0, 0.0)
+        return jnp.where(occupancy_hit(xi, yi, rects), 1.0, 0.0)
 
     def occ_tile(px, py):
         if rects is None:
@@ -147,11 +144,7 @@ def _particle_episode_kernel(
         inv_cell, offx, offy, ximax, yimax = grid
         xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
         yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
-        hit = None
-        for xl, xh, yl, yh in rects:
-            h = (xi >= xl) & (xi < xh) & (yi >= yl) & (yi < yh)
-            hit = h if hit is None else (hit | h)
-        return jnp.where(hit, 1.0, 0.0)
+        return jnp.where(occupancy_hit(xi, yi, rects), 1.0, 0.0)
 
     def state_cost_tile(px, py, vx, vy, occ, quad):
         wpx, wpy, wvx, wvy = quad

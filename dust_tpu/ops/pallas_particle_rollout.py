@@ -38,6 +38,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def factor_rects(rects):
+    """Split the STATIC rect set into (x_intervals, y_intervals,
+    leftover_rects) such that the cross product of the interval lists
+    is exactly a subset of `rects` — the regular obstacle-grid presets
+    (e.g. grid_4x4: 16 interior rects = 4 x-bands x 4 y-bands, plus
+    border-wall leftovers) factor, cutting the per-element occupancy
+    test from len(rects) rectangle tests to |X| + |Y| interval tests
+    plus the leftovers (measured 18 -> 10 tests on the particle demo).
+    Returns (None, None, rects) when no cross-product subset of >= 4
+    rects exists. The OR of the factored tests is boolean-identical to
+    the per-rect OR (pure test reordering)."""
+    from collections import Counter
+
+    if rects is None:
+        return None, None, None
+    cx = Counter((xl, xh) for xl, xh, _, _ in rects)
+    cy = Counter((yl, yh) for _, _, yl, yh in rects)
+    xs = tuple(sorted(iv for iv, c in cx.items() if c >= 2))
+    ys = tuple(sorted(iv for iv, c in cy.items() if c >= 2))
+    cross = {(xl, xh, yl, yh) for xl, xh in xs for yl, yh in ys}
+    if len(cross) >= 4 and cross <= set(rects):
+        leftover = tuple(r for r in rects if r not in cross)
+        return xs, ys, leftover
+    return None, None, rects
+
+
+def occupancy_hit(xi, yi, rects):
+    """Boolean occupancy from clamped cell-index tiles: factored
+    interval tests when the static rect set decomposes (see
+    `factor_rects`), per-rect tests otherwise. Output identical either
+    way."""
+    xs, ys, leftover = factor_rects(rects)
+    hit = None
+    if xs is not None:
+        xin = None
+        for xl, xh in xs:
+            h = (xi >= xl) & (xi < xh)
+            xin = h if xin is None else (xin | h)
+        yin = None
+        for yl, yh in ys:
+            h = (yi >= yl) & (yi < yh)
+            yin = h if yin is None else (yin | h)
+        hit = xin & yin
+    for xl, xh, yl, yh in leftover:
+        h = (xi >= xl) & (xi < xh) & (yi >= yl) & (yi < yh)
+        hit = h if hit is None else (hit | h)
+    return hit
+
+
 def _rollout_kernel(scal_ref, ax_ref, ay_ref, im_ref, cost_ref,
                     px_ref, py_ref, vx_ref, vy_ref, *,
                     hz, rows, dt, max_acc, max_speed, weights, target,
@@ -72,11 +121,7 @@ def _rollout_kernel(scal_ref, ax_ref, ay_ref, im_ref, cost_ref,
         inv_cell, offx, offy, ximax, yimax = grid
         xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
         yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
-        hit = None
-        for xl, xh, yl, yh in rects:
-            h = (xi >= xl) & (xi < xh) & (yi >= yl) & (yi < yh)
-            hit = h if hit is None else (hit | h)
-        return jnp.where(hit, 1.0, 0.0)
+        return jnp.where(occupancy_hit(xi, yi, rects), 1.0, 0.0)
 
     def state_cost(px, py, vx, vy, occ, quad):
         wpx, wpy, wvx, wvy = quad

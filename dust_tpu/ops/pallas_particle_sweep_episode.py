@@ -59,6 +59,7 @@ from .pallas_episode import (
     _silverman_rows,
     _uniform01,
 )
+from .pallas_particle_rollout import occupancy_hit
 
 
 def _block_dot_t(a, b):
@@ -260,11 +261,7 @@ def _particle_sweep_kernel(
         inv_cell, offx, offy, ximax, yimax = grid
         xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
         yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
-        hit = None
-        for xl, xh, yl, yh in rects:
-            h = (xi >= xl) & (xi < xh) & (yi >= yl) & (yi < yh)
-            hit = h if hit is None else (hit | h)
-        return jnp.where(hit, 1.0, 0.0)
+        return jnp.where(occupancy_hit(xi, yi, rects), 1.0, 0.0)
 
     def state_cost(px, py, vx, vy, occ, quad):
         wpx, wpy, wvx, wvy = quad

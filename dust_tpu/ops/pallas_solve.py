@@ -250,6 +250,7 @@ def _solve_tail(cost, scal_ref, acts_mm_ref,
 
     mcost_ref[:] = jnp.zeros((8, 128), jnp.float32)
     mcost_ref[0:m, :] = jnp.where(valid, mcost, 0.0)
+from .pallas_particle_rollout import occupancy_hit
 
 
 # --------------------------------------------------------------------------
@@ -467,11 +468,7 @@ def _particle_solve_kernel(scal_ref, ax_ref, ay_ref, acts_mm_ref, im_ref,
         inv_cell, offx, offy, ximax, yimax = grid
         xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
         yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
-        hit = None
-        for xl, xh, yl, yh in rects:
-            h = (xi >= xl) & (xi < xh) & (yi >= yl) & (yi < yh)
-            hit = h if hit is None else (hit | h)
-        return jnp.where(hit, 1.0, 0.0)
+        return jnp.where(occupancy_hit(xi, yi, rects), 1.0, 0.0)
 
     def state_cost(px, py, vx, vy, occ, quad):
         wpx, wpy, wvx, wvy = quad

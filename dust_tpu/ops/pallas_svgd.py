@@ -36,49 +36,55 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _phi_kernel(bw_ref, xi_ref, xfull_ref, sfull_ref, phi_ref,
-                drive_ref, kx_ref, rows_ref, *, block_j, m_total, m_padded):
-    """One i-block program: stream j-blocks of (x, score).
+def _phi_kernel(bw_ref, xi_ref, xj_ref, sj_ref, phi_ref,
+                drive_ref, kx_ref, rows_ref, *, block_j, m_total,
+                num_j):
+    """Grid (i-blocks, j-blocks), j innermost: each step folds ONE
+    (x, score) block into the i-block's VMEM accumulators (which
+    persist across grid steps); the output block is written on the
+    last j step. VMEM holds one x_i block + one (x_j, s_j) block pair
+    at a time — O(block) regardless of m (the r1 version held the full
+    padded particle/score arrays in VMEM, the m = 32768 compile-OOM
+    ceiling the scale probe mapped).
 
     xi_ref:    [bm, d]   this block's particles (VMEM)
-    xfull_ref: [mp, d]   all particles, padded (VMEM)
-    sfull_ref: [mp, d]   all scores, padded (VMEM)
+    xj_ref:    [bn, d]   this step's particle block (VMEM, streamed)
+    sj_ref:    [bn, d]   this step's score block (VMEM, streamed)
     phi_ref:   [bm, d]   output block
     drive/kx/rows_ref: [bm, d] VMEM accumulators (rows holds rowsum(K)
     broadcast across columns).
     """
+    j = pl.program_id(1)
     bw = bw_ref[0, 0]
     inv2 = 0.5 / (bw * bw)
     xi = xi_ref[:]                                       # [bm, d]
     xi_norm = jnp.sum(xi * xi, axis=1, keepdims=True)    # [bm, 1]
 
-    drive_ref[:] = jnp.zeros_like(drive_ref)
-    kx_ref[:] = jnp.zeros_like(kx_ref)
-    rows_ref[:] = jnp.zeros_like(rows_ref)
+    @pl.when(j == 0)
+    def _init():
+        drive_ref[:] = jnp.zeros_like(drive_ref)
+        kx_ref[:] = jnp.zeros_like(kx_ref)
+        rows_ref[:] = jnp.zeros_like(rows_ref)
 
-    num_j = m_padded // block_j
+    xj = xj_ref[:]                                       # [bn, d]
+    sj = sj_ref[:]                                       # [bn, d]
+    xj_norm = jnp.sum(xj * xj, axis=1)[None, :]          # [1, bn]
+    cross = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(xi_norm + xj_norm - 2.0 * cross, 0.0)
+    k = jnp.exp(-d2 * inv2)                              # [bm, bn]
+    # mask padded j lanes out of every reduction
+    j_ids = jax.lax.broadcasted_iota(
+        jnp.int32, k.shape, dimension=1
+    ) + j * block_j
+    k = jnp.where(j_ids < m_total, k, 0.0)
+    drive_ref[:] += jnp.dot(k, sj, preferred_element_type=jnp.float32)
+    kx_ref[:] += jnp.dot(k, xj, preferred_element_type=jnp.float32)
+    rows_ref[:] += jnp.sum(k, axis=1, keepdims=True)     # broadcast cols
 
-    def body(j, _):
-        xj = xfull_ref[pl.ds(j * block_j, block_j), :]   # [bn, d]
-        sj = sfull_ref[pl.ds(j * block_j, block_j), :]   # [bn, d]
-        xj_norm = jnp.sum(xj * xj, axis=1)[None, :]      # [1, bn]
-        cross = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32)
-        d2 = jnp.maximum(xi_norm + xj_norm - 2.0 * cross, 0.0)
-        k = jnp.exp(-d2 * inv2)                          # [bm, bn]
-        # mask padded j lanes out of every reduction
-        j_ids = jax.lax.broadcasted_iota(
-            jnp.int32, k.shape, dimension=1
-        ) + j * block_j
-        k = jnp.where(j_ids < m_total, k, 0.0)
-        drive_ref[:] += jnp.dot(k, sj, preferred_element_type=jnp.float32)
-        kx_ref[:] += jnp.dot(k, xj, preferred_element_type=jnp.float32)
-        rows_ref[:] += jnp.sum(k, axis=1, keepdims=True)  # broadcast cols
-        return 0
-
-    jax.lax.fori_loop(0, num_j, body, 0)
-
-    repel = (rows_ref[:] * xi - kx_ref[:]) / (bw * bw)
-    phi_ref[:] = (drive_ref[:] + repel) / jnp.float32(m_total)
+    @pl.when(j == num_j - 1)
+    def _finish():
+        repel = (rows_ref[:] * xi - kx_ref[:]) / (bw * bw)
+        phi_ref[:] = (drive_ref[:] + repel) / jnp.float32(m_total)
 
 
 def svgd_phi_reference(x, score, bw):
@@ -91,7 +97,7 @@ def svgd_phi_reference(x, score, bw):
 
 @functools.partial(jax.jit, static_argnames=("block_i", "block_j",
                                              "interpret"))
-def svgd_phi_pallas(x, score, bw, block_i=256, block_j=256, interpret=False):
+def svgd_phi_pallas(x, score, bw, block_i=256, block_j=1024, interpret=False):
     """Fused phi via Pallas. x, score: [m, d]; bw scalar. Pads m to the
     block sizes and d to the 128-lane width; padding is masked out."""
     m, d = x.shape
@@ -108,23 +114,24 @@ def svgd_phi_pallas(x, score, bw, block_i=256, block_j=256, interpret=False):
     sp = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(score)
     bw_arr = jnp.asarray(bw, jnp.float32).reshape(1, 1)
 
-    grid = (mp // block_i,)
+    num_j = mp // block_j
+    grid = (mp // block_i, num_j)
     kernel = functools.partial(
-        _phi_kernel, block_j=block_j, m_total=m, m_padded=mp
+        _phi_kernel, block_j=block_j, m_total=m, num_j=num_j
     )
     phi = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),           # bw [1,1]
-            pl.BlockSpec((block_i, dp), lambda i: (i, 0),
+            pl.BlockSpec((block_i, dp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),           # x_i block
-            pl.BlockSpec((mp, dp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),           # x full
-            pl.BlockSpec((mp, dp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),           # score full
+            pl.BlockSpec((block_j, dp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),           # x_j block
+            pl.BlockSpec((block_j, dp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),           # s_j block
         ],
-        out_specs=pl.BlockSpec((block_i, dp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_i, dp), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, dp), jnp.float32),
         scratch_shapes=[
