@@ -1,0 +1,83 @@
+"""Attribute the particle sweep megakernel's group-step time to
+sections by toggling STATIC kernel args (semantics change, timing
+attribution only — the pendulum `section_probe.py` pattern):
+
+  full            the bench configuration (demo shapes, S=8)
+  mpf0            mpf_steps=0 (no MPF SVGD loop)
+  mpf0_np1        + n_params=1 (rollout rows 384 -> 48)
+  mpf0_np1_hz8    + hz=8 (rollout/acc loops 40 -> 8 iterations;
+                  isolates the per-step fixed sections: Silverman
+                  grouped sort + packing, draws, Stein, selection,
+                  simulator, logging)
+
+Run on real TPU: timeout 1800 python bench/probes/particle_section_probe.py
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(ROOT))
+
+import jax
+import jax.numpy as jnp
+
+from dust_tpu.experiments import build_particle_stack, load_config
+from dust_tpu.simulation import megakernel_particle_sweep_fn
+
+STEPS, GROUPS, REPEATS = 200, 8, 3
+
+
+def run(tag, **overrides):
+    config = load_config(ROOT / "demo/particle_config.yaml")
+    config["exp_params"].update(overrides)
+    stack = build_particle_stack(config, jax.random.key(0))
+    sweep = megakernel_particle_sweep_fn(
+        stack, config["exp_params"], steps=STEPS, n_sc=8, unroll=True
+    )
+    masses = jnp.linspace(1.6, 2.4, 8)
+
+    @jax.jit
+    def run_groups(seeds):
+        return jax.lax.scan(
+            lambda _, sd: (0, sweep(sd, masses)["cum"]), 0, seeds
+        )[1]
+
+    def once(i):
+        seeds = jnp.stack(
+            [jnp.full((GROUPS,), i, jnp.int32),
+             jnp.arange(GROUPS, dtype=jnp.int32) * 1000], axis=1)
+        return run_groups(seeds)
+
+    once(0).block_until_ready()
+    best = float("inf")
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        once(r + 1).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    us = best / (GROUPS * STEPS) * 1e6
+    print(json.dumps({"variant": tag, "us_per_group_step": round(us, 2),
+                      "solves_per_s": round(GROUPS * 8 * STEPS / best, 1)
+                      }), flush=True)
+    return us
+
+
+def main():
+    only = os.environ.get("ONLY")
+    variants = {
+        "full": {},
+        "mpf0": dict(mpf_steps=0),
+        "mpf0_np1": dict(mpf_steps=0, params_samples=1),
+        "mpf0_np1_hz8": dict(mpf_steps=0, params_samples=1, horizon=8),
+    }
+    for tag, over in variants.items():
+        if only and tag != only:
+            continue
+        run(tag, **over)
+
+
+if __name__ == "__main__":
+    main()
