@@ -44,3 +44,14 @@ def test_pendulum_tuning_asha_runs():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "episode-equivalents" in r.stdout
     assert "rung 0" in r.stdout and "rung 2" in r.stdout
+
+
+def test_sweep_example_runs():
+    r = _run(["demo/sweep_example.py", "--task", "pendulum",
+              "--scenarios", "8", "--steps", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "swing-up achieved" in r.stdout
+    r2 = _run(["demo/sweep_example.py", "--task", "particle",
+               "--scenarios", "8", "--steps", "4"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "success" in r2.stdout
