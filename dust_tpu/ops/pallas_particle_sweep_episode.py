@@ -70,23 +70,25 @@ def _block_dot_t(a, b):
 
 
 def _bitonic_sort_grouped(v, g):
-    """Ascending bitonic sort of g*128 elements per GROUP of g
-    consecutive rows of v [n_groups*g, 128] (row-major element order
-    within each group; pad elements must be +_POS_BIG; g a power of
-    two). All groups sort in the same compare-exchange stages: lane
-    strides use the roll-pair trick of `_bitonic_sort_rows`, row
-    strides (j >= 128) a static group-local row permutation. Pure
-    row/lane-local movement per group — a NaN'd group cannot leak."""
+    """Ascending bitonic sort of g*128 elements per GROUP, in rr-MAJOR
+    layout: v [g*8, 128] holds group s (s = row % 8) with its element
+    e = (row // 8) * 128 + lane — i.e. the g per-group rows of every
+    group sit on the SAME 8-sublane vreg rows, so all 8 groups sort in
+    the same single-vreg compare-exchange stages (pad elements must be
+    +_POS_BIG; g a power of two). Lane strides use the roll-pair trick
+    of `_bitonic_sort_rows`; row strides (j >= 128) flip a bit of rr =
+    row // 8, a static global row permutation. Pure row/lane-local
+    movement per group — a NaN'd group cannot leak."""
     rows = v.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    rowg = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) % g
+    rr = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) // 8
     n = g * 128
 
     def row_perm(vv, jr):
-        """partner tile: row r of its group <- row r ^ jr."""
+        """partner tile: row r <- row with rr-bit jr flipped."""
         parts = []
         for r in range(rows):
-            src = (r // g) * g + ((r % g) ^ jr)
+            src = (r ^ (8 * jr))
             parts.append(vv[src:src + 1, :])
         return jnp.concatenate(parts, axis=0)
 
@@ -100,15 +102,13 @@ def _bitonic_sort_grouped(v, g):
                               pltpu.roll(v, shift=j, axis=1))
             else:
                 jr = j // 128
-                low = rowg & jr == 0
+                low = rr & jr == 0
                 w = row_perm(v, jr)
             if k < 128:
                 asc = lane & k == 0
-            elif k == 128:
-                # bit log2(128) of e = r*128 + l is row bit 0
-                asc = rowg & 1 == 0
             else:
-                asc = rowg & (k // 128) == 0
+                # bit log2(k) of e = rr*128 + lane lives in rr
+                asc = rr & (k // 128) == 0
             take_min = asc == low
             v = jnp.where(take_min, jnp.minimum(v, w),
                           jnp.maximum(v, w))
@@ -118,19 +118,20 @@ def _bitonic_sort_grouped(v, g):
 
 
 def _silverman_groups(v, g, n):
-    """KDEpy Silverman bandwidth per GROUP of g rows of v
-    [n_groups*g, 128] (first n row-major elements valid per group, pads
-    +_POS_BIG). Returns [n_groups, 1]. One grouped bitonic sort gives
-    every group's order statistics at once."""
-    n_groups = v.shape[0] // g
+    """KDEpy Silverman bandwidth per GROUP of v in the rr-major layout
+    of `_bitonic_sort_grouped` (v [g*8, 128], group s = row % 8, first
+    n elements e = (row//8)*128 + lane valid per group, pads
+    +_POS_BIG). Returns [8, 1] (row s = group s's bandwidth). One
+    grouped bitonic sort gives every group's order statistics at
+    once."""
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    rowg = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) % g
-    valid = rowg * 128 + lane < n
+    rr = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) // 8
+    valid = rr * 128 + lane < n
     v0 = jnp.where(valid, v, 0.0)
 
     def gsum(x):
         return jnp.sum(
-            jnp.sum(x.reshape(n_groups, g, 128), axis=1), axis=1,
+            jnp.sum(x.reshape(g, 8, 128), axis=0), axis=1,
             keepdims=True,
         )
 
@@ -146,7 +147,7 @@ def _silverman_groups(v, g, n):
 
     def at(kk):
         r, l = divmod(kk - 1, 128)
-        pick = (rowg == r) & (lane == l)
+        pick = (rr == r) & (lane == l)
         return gsum(jnp.where(pick, srt, 0.0))
 
     q25 = at(k25lo) * (1.0 - f25) + at(k25hi) * f25
@@ -372,33 +373,35 @@ def _particle_sweep_kernel(
         not_done = 1.0 - done_col
 
         # ---- per-scenario SVMPC Silverman over m*ev flattened values
-        # (grouped bitonic: all scenarios sort in the same stages) ----
+        # (grouped bitonic, rr-major: scenario s on sublane s of every
+        # [8, 128] vreg row, so the PACKING shifts are also one
+        # single-vreg op per (q, segment) for all scenarios at once —
+        # the per-scenario packing loop cost ~n_sc x this) ----
         n_flat = m * ev
-        sv_rows = []
-        for s in range(n_sc):
-            pos = 0
-            for rr in range(g_bw):
-                row = jnp.full((1, 128), _POS_BIG, jnp.float32)
-                while pos < min((rr + 1) * 128, n_flat):
-                    q, l0 = divmod(pos, ev)
-                    lane_off = pos - rr * 128
-                    take = min(ev - l0, 128 - lane_off,
-                               (rr + 1) * 128 - pos)
-                    chunk = pltpu.roll(
-                        theta[s * m + q:s * m + q + 1, :],
-                        shift=(lane_off - l0) % 128, axis=1,
-                    )
-                    in_seg = (lane1 >= lane_off) \
-                        & (lane1 < lane_off + take)
-                    row = jnp.where(in_seg, chunk, row)
-                    pos += take
-                sv_rows.append(row)
-        pad_groups = 8 - n_sc
-        sv_tile = jnp.concatenate(
-            sv_rows + [jnp.full((pad_groups * g_bw, 128), _POS_BIG,
-                                jnp.float32)] * (1 if pad_groups else 0),
-            axis=0,
-        )
+        # theta rows at stride m -> scenario-per-sublane tiles per q
+        theta_q = []
+        for q in range(m):
+            rows_q = jnp.concatenate(
+                [theta[s * m + q:s * m + q + 1, :]
+                 for s in range(n_sc)]
+                + ([jnp.full((8 - n_sc, 128), _POS_BIG, jnp.float32)]
+                   if n_sc < 8 else []),
+                axis=0,
+            )
+            theta_q.append(rows_q)                        # [8, 128]
+        acc = [jnp.full((8, 128), _POS_BIG, jnp.float32)
+               for _ in range(g_bw)]
+        pos = 0
+        while pos < n_flat:
+            q, l0 = divmod(pos, ev)
+            rr, lane_off = divmod(pos, 128)
+            take = min(ev - l0, 128 - lane_off)
+            chunk = pltpu.roll(theta_q[q],
+                               shift=(lane_off - l0) % 128, axis=1)
+            in_seg = (lane8 >= lane_off) & (lane8 < lane_off + take)
+            acc[rr] = jnp.where(in_seg, chunk, acc[rr])
+            pos += take
+        sv_tile = jnp.concatenate(acc, axis=0)            # [g*8, 128]
         bw8 = _silverman_groups(sv_tile, g_bw, n_flat)    # [8, 1]
         bw_col = jnp.zeros((smp, 1), jnp.float32)
         for s in range(n_sc):
@@ -642,35 +645,47 @@ def _particle_sweep_kernel(
         log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p, _NEG_BIG)
 
         # per-scenario posterior weights (for the weighted prior
-        # refresh) + argmax selection
+        # refresh) + argmax selection — VECTORIZED over scenarios: the
+        # block-masked [smp, smp] weight matrix turns every per-block
+        # max / sum / argmin into one row reduction for all scenarios
+        # at once (the serial 8-scenario loop cost ~n_sc x this). The
+        # math chain is the single-episode kernel's exact one
+        # (softmax -> clamp at 1e-37 -> log -> renormalized
+        # log-softmax), so underflowed weights floor identically.
         rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1)
+        w_row = _row_of_column(log_w, smp)                # [1, 128]
+        wmat = jnp.where(blk, jnp.broadcast_to(
+            w_row[:, 0:smp], (smp, smp)), _NEG_BIG)
+        wmax = jnp.max(wmat, axis=1, keepdims=True)       # block max
+        esum = jnp.sum(jnp.where(blk, jnp.exp(wmat - wmax), 0.0),
+                       axis=1, keepdims=True)             # block sum
+        w_norm = jnp.exp(log_w - wmax) / jnp.maximum(esum, 1e-37)
+        lw_raw = jnp.log(jnp.maximum(w_norm, 1e-37))      # [smp, 1]
+        l_row = _row_of_column(lw_raw, smp)
+        lmat = jnp.where(blk, jnp.broadcast_to(
+            l_row[:, 0:smp], (smp, smp)), _NEG_BIG)
+        lmax2 = jnp.max(lmat, axis=1, keepdims=True)
+        lse2 = lmax2 + jnp.log(jnp.sum(
+            jnp.where(blk, jnp.exp(lmat - lmax2), 0.0), axis=1,
+            keepdims=True))
+        lw_col = lw_raw - lse2                            # [smp, 1]
+        # first-maximal row per block -> one-hot selection column
+        is_max = blk & (wmat >= wmax)
+        i_star = jnp.min(jnp.where(is_max, col_idx, smp), axis=1,
+                         keepdims=True)                   # [smp, 1]
+        onehot = (rowm1 == i_star).astype(jnp.float32)
+        ax_all = onehot * theta_new[:, 0:1]               # [smp, 1]
+        ay_all = onehot * theta_new[:, 1:2]
         ax_col = jnp.zeros((8, 1), jnp.float32)
         ay_col = jnp.zeros((8, 1), jnp.float32)
-        lw_col = jnp.full((smp, 1), _NEG_BIG, jnp.float32)
         for s in range(n_sc):
             in_s = (rowm1 >= s * m) & (rowm1 < (s + 1) * m)
-            w_s = jnp.where(in_s, log_w, _NEG_BIG)
-            w_max = jnp.max(w_s)
-            # normalized log weights of this scenario's block — the
-            # single-episode kernel's exact chain (softmax -> clamp at
-            # 1e-37 -> log -> renormalized log-softmax), so underflowed
-            # weights floor identically
-            e_s = jnp.where(in_s, jnp.exp(w_s - w_max), 0.0)
-            w_norm = e_s / jnp.maximum(jnp.sum(e_s), 1e-37)
-            lw_raw = jnp.log(jnp.maximum(w_norm, 1e-37))
-            lmax2 = jnp.max(jnp.where(in_s, lw_raw, _NEG_BIG))
-            lse2 = lmax2 + jnp.log(jnp.sum(
-                jnp.where(in_s, jnp.exp(lw_raw - lmax2), 0.0)))
-            lw_col = jnp.where(in_s, lw_raw - lse2, lw_col)
-            is_max = in_s & (w_s >= w_max)
-            i_star = jnp.min(jnp.where(is_max, rowm1, smp))
-            onehot = (rowm1 == i_star).astype(jnp.float32)
-            a_row = jnp.sum(onehot * theta_new, axis=0, keepdims=True)
             ax_col = jnp.where(
-                i81 == s, jnp.sum(jnp.where(lane1 == 0, a_row, 0.0)),
+                i81 == s, jnp.sum(jnp.where(in_s, ax_all, 0.0)),
                 ax_col)
             ay_col = jnp.where(
-                i81 == s, jnp.sum(jnp.where(lane1 == 1, a_row, 0.0)),
+                i81 == s, jnp.sum(jnp.where(in_s, ay_all, 0.0)),
                 ay_col)
 
         rolled = pltpu.roll(theta_new, shift=128 - 2, axis=1)

@@ -523,24 +523,30 @@ def _pendulum_sweep_kernel(
         ))
         log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p, _NEG_BIG)
 
-        # per-scenario argmax selection -> a_seq_sel rows [8, 128]
-        asel = jnp.zeros((8, 128), jnp.float32)
-        act_col = jnp.zeros((8, 1), jnp.float32)
-        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        # per-scenario argmax selection, VECTORIZED over scenarios:
+        # the block-masked [smp, smp] weight matrix turns every
+        # per-block max / argmin into one row reduction for all
+        # scenarios at once (the old serial loop also built a dead
+        # full-width a_seq row per scenario; only lane 0 — the applied
+        # action — was ever consumed)
         rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1)
+        w_row = _row_of_column(log_w, smp)                # [1, 128]
+        wmat = jnp.where(blk, jnp.broadcast_to(
+            w_row[:, 0:smp], (smp, smp)), _NEG_BIG)
+        wmax = jnp.max(wmat, axis=1, keepdims=True)       # block max
+        is_max = blk & (wmat >= wmax)
+        i_star = jnp.min(jnp.where(is_max, col_idx, smp), axis=1,
+                         keepdims=True)                   # [smp, 1]
+        onehot = (rowm1 == i_star).astype(jnp.float32)
+        a_all = onehot * theta_new[:, 0:1]                # [smp, 1]
+        act_col = jnp.zeros((8, 1), jnp.float32)
+        i81s = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         for s in range(n_sc):
             in_s = (rowm1 >= s * m) & (rowm1 < (s + 1) * m)
-            w_s = jnp.where(in_s, log_w, _NEG_BIG)
-            w_max = jnp.max(w_s)
-            is_max = in_s & (w_s >= w_max)
-            i_star = jnp.min(jnp.where(is_max, rowm1, smp))
-            onehot = (rowm1 == i_star).astype(jnp.float32)
-            a_row = jnp.sum(onehot * theta_new, axis=0, keepdims=True)
-            asel = jnp.where(row8 == s, a_row, asel)
             act_col = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s,
-                jnp.sum(jnp.where(lane1 == 0, a_row, 0.0)), act_col,
-            )
+                i81s == s, jnp.sum(jnp.where(in_s, a_all, 0.0)),
+                act_col)
 
         rolled = pltpu.roll(theta_new, shift=128 - 1, axis=1)
         theta_fwd = jnp.where(
@@ -637,6 +643,7 @@ def _pendulum_sweep_kernel(
         r_in_pair = rowN - pair_of_row * mp
         in_aN = laneN < 64
         valid_rowN = r_in_pair < m_mpf
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         gvr8 = (
             (jnp.where(lane8 < 64, lane8, lane8 - 64) < m_mpf)
             & ((row8 < n_sc // 2) | (lane8 < 64))
