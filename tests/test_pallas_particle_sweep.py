@@ -239,3 +239,24 @@ def test_particle_sweep_groups_shard_over_mesh():
                                    np.asarray(plain[k]), rtol=1e-6,
                                    err_msg=k)
     assert len(sharded["cum"].sharding.device_set) == 8
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel hardware PRNG requires a real TPU")
+def test_particle_sweep_device_rng_deterministic():
+    """Same seed -> bitwise-identical sweep on the hardware-PRNG path;
+    outputs finite (the CPU suites cover host-noise mode only)."""
+    n_sc, steps = 8, 4
+    stack, cfg = _stack()
+    sweep = megakernel_particle_sweep_fn(
+        stack, cfg["exp_params"], steps=steps, n_sc=n_sc, unroll=True
+    )
+    masses = jnp.linspace(1.6, 2.4, n_sc)
+
+    def run():
+        return sweep(jnp.array([3, 7], jnp.int32), masses)
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(np.asarray(a["cum"]),
+                                  np.asarray(b["cum"]))
+    assert np.isfinite(np.asarray(a["cum"])).all()
