@@ -1,22 +1,31 @@
 """Test configuration: run JAX on CPU with 8 virtual devices so sharding
 tests exercise a multi-chip mesh without TPU hardware, and expose the
 read-only torch reference implementation for numerical-equivalence tests.
+
+DUST_TPU_TESTS=1 opts out of the CPU forcing so the
+@skipif(backend != "tpu") hardware-PRNG tests can run against the real
+chip (run ONLY those tests in that mode: the virtual 8-device sharding
+suites need the CPU mesh).
 """
 
 import os
 import sys
 
-# Must be set before jax initializes its backends.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_TPU_MODE = os.environ.get("DUST_TPU_TESTS") == "1"
+
+if not _TPU_MODE:
+    # Must be set before jax initializes its backends.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 # The container's sitecustomize registers a remote-TPU PJRT plugin (axon) in
 # every interpreter; initializing it dials a tunnel and can block the whole
@@ -33,11 +42,13 @@ def _disabled_backend_factory(*args, **kwargs):
     raise RuntimeError("non-CPU backends are disabled in the test suite")
 
 
-for _name, _reg in list(_xla_bridge._backend_factories.items()):
-    if _name != "cpu":
-        _xla_bridge._backend_factories[_name] = _dataclasses.replace(
-            _reg, factory=_disabled_backend_factory, fail_quietly=True
-        )
+if not _TPU_MODE:
+    for _name, _reg in list(_xla_bridge._backend_factories.items()):
+        if _name != "cpu":
+            _xla_bridge._backend_factories[_name] = _dataclasses.replace(
+                _reg, factory=_disabled_backend_factory,
+                fail_quietly=True
+            )
 
 import numpy as np
 import pytest

@@ -186,7 +186,7 @@ def test_episode_device_rng_deterministic():
             theta0, theta0, jnp.zeros((M, HZ)), jnp.zeros(HZ), mpfx0,
             prior_bw0, 1.0, 1.0, SIG, LR, ALPHA, TEMP, PSIG, MLR, MSIG,
             steps=steps, hz=HZ, m=M, n_params=NP, n_act=NA, m_mpf=MM,
-            mpf_steps=20,
+            mpf_steps=20, unroll=True,  # rolled body is CPU-only
         )
 
     a, b = run(), run()
