@@ -20,32 +20,63 @@ import numpy as np
 
 from dust_tpu.experiments import build_particle_stack, load_config
 from dust_tpu.simulation import run_particle_episode
-from dust_tpu.utils.helper import save_progress
+from dust_tpu.utils.helper import create_video_from_plots, save_progress
 
 
-def render_episode(model, trajectory, out_dir):
-    """Trajectory overlay on the obstacle map (host-side matplotlib,
-    mirroring `dust/models/particle.py:227-286`)."""
+def _map_axes(model):
+    """Figure + axes with the occupancy map drawn, plus the world->grid
+    coordinate transform (mirroring `dust/models/particle.py:227-286`)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    ax = plt.gca()
+    fig, ax = plt.subplots()
     ax.imshow(np.asarray(model.obst_map.map).T, cmap="Oranges",
               origin="lower")
     to_map = lambda xy: np.asarray(model.to_map_coord(xy))
-    init_m = to_map(model.init_state[:2])
-    targ_m = to_map(model.target[:2])
-    ax.scatter(*init_m, marker="o", color="r", s=200)
-    ax.scatter(*targ_m, marker="*", color="r", s=200)
+    ax.scatter(*to_map(model.init_state[:2]), marker="o", color="r", s=200)
+    ax.scatter(*to_map(model.target[:2]), marker="*", color="r", s=200)
+    return fig, ax, to_map
+
+
+def render_episode(model, trajectory, out_dir):
+    """Whole-trajectory overlay on the obstacle map (host-side
+    matplotlib)."""
+    import matplotlib.pyplot as plt
+
+    fig, ax, to_map = _map_axes(model)
     traj_m = to_map(trajectory[:, :2])
     ax.plot(traj_m[:, 0], traj_m[:, 1], "b.-", linewidth=1, markersize=2)
     out = Path(out_dir) / "trajectory.png"
     out.parent.mkdir(parents=True, exist_ok=True)
-    plt.savefig(out)
-    plt.close()
+    fig.savefig(out)
+    plt.close(fig)
     return out
+
+
+def render_frames(model, trajectory, out_dir, fps=20):
+    """Per-step PNG frames + MP4, matching the reference's per-step
+    render loop and moviepy assembly
+    (`/root/reference/demo/particle_example.py:229-233,254`,
+    `/root/reference/dust/utils/helper.py:78-87`). One persistent figure;
+    only the trajectory artists update between frames."""
+    import matplotlib.pyplot as plt
+
+    out_dir = Path(out_dir)
+    plot_dir = out_dir / "plots"
+    plot_dir.mkdir(parents=True, exist_ok=True)
+    fig, ax, to_map = _map_axes(model)
+    traj_m = to_map(trajectory[:, :2])
+    (line,) = ax.plot([], [], "b.-", linewidth=1, markersize=2)
+    (head,) = ax.plot([], [], "bo", markersize=6)
+    for t in range(len(traj_m)):
+        line.set_data(traj_m[: t + 1, 0], traj_m[: t + 1, 1])
+        head.set_data(traj_m[t : t + 1, 0], traj_m[t : t + 1, 1])
+        fig.savefig(plot_dir / f"frame_{t:04d}.png")
+    plt.close(fig)
+    video = create_video_from_plots(out_dir, plot_dir, fps=fps)
+    return plot_dir, video
 
 
 def main():
@@ -117,6 +148,10 @@ def main():
             if args.render:
                 png = render_episode(stack.model, result["trajectory"], out)
                 print(f"  rendered {png}")
+                frames, video = render_frames(
+                    stack.model, result["trajectory"], out)
+                n_frames = len(list(frames.glob("frame_*.png")))
+                print(f"  rendered {n_frames} frames -> {video}")
 
 
 if __name__ == "__main__":

@@ -100,18 +100,46 @@ def load_checkpoint(path):
 
 def create_video_from_plots(save_path, plot_path=None, fps=20):
     """Stitch per-step PNGs into an MP4 (`dust/utils/helper.py:78-87`).
-    Gated on moviepy availability (not in the base image)."""
-    try:
-        import moviepy.editor as mpy
-    except ImportError:
-        print("Couldn't import package MoviePy. Aborting video creation.")
-        return None
+
+    Prefers moviepy (the reference's encoder) when available; otherwise
+    falls back to OpenCV's VideoWriter, which is in the base image — the
+    reference hard-depends on moviepy and simply aborts without it."""
     save_path = Path(save_path)
     if plot_path is None:
         plot_path = save_path / "plots"
-    video = mpy.ImageSequenceClip(str(plot_path), fps=fps)
-    video.write_videofile(str(save_path / "video.mp4"))
-    return save_path / "video.mp4"
+    out = save_path / "video.mp4"
+    try:
+        import moviepy.editor as mpy
+
+        video = mpy.ImageSequenceClip(str(plot_path), fps=fps)
+        video.write_videofile(str(out))
+        return out
+    except ImportError:
+        pass
+    try:
+        import cv2
+    except ImportError:
+        print("Neither MoviePy nor OpenCV available. Aborting video "
+              "creation.")
+        return None
+    frames = sorted(Path(plot_path).glob("*.png"))
+    if not frames:
+        print(f"No PNG frames in {plot_path}. Aborting video creation.")
+        return None
+    first = cv2.imread(str(frames[0]))
+    h, w = first.shape[:2]
+    writer = cv2.VideoWriter(
+        str(out), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not writer.isOpened():
+        print("OpenCV VideoWriter failed to open. Aborting video creation.")
+        return None
+    for frame in frames:
+        img = cv2.imread(str(frame))
+        if img.shape[:2] != (h, w):
+            img = cv2.resize(img, (w, h))
+        writer.write(img)
+    writer.release()
+    return out
 
 
 def to_np(x):

@@ -32,6 +32,25 @@ def test_particle_example_runs():
     assert "episode 0" in r.stdout
 
 
+def test_particle_example_render_frames_and_video(tmp_path):
+    """--render emits one PNG per executed step plus the MP4, matching the
+    reference's per-step render loop
+    (`/root/reference/demo/particle_example.py:229-233,254`)."""
+    import re
+
+    r = _run(["demo/particle_example.py", "--steps", "5", "--render"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = re.search(r"rendered (\d+) frames -> (\S+)", r.stdout)
+    assert m, r.stdout[-2000:]
+    n_steps = int(re.search(r"steps=(\d+)", r.stdout).group(1))
+    assert int(m.group(1)) == n_steps
+    video = Path(m.group(2))
+    assert video.name == "video.mp4" and video.exists()
+    assert video.stat().st_size > 0
+    frames = sorted(video.parent.glob("plots/frame_*.png"))
+    assert len(frames) == n_steps
+
+
 def test_pendulum_tuning_parallel_lr_runs():
     r = _run(["demo/pendulum_tuning.py", "--parallel-lr", "3",
               "--steps", "5"])
