@@ -148,12 +148,15 @@ def run_cluster(nproc, per_proc, steps, repeats, worker_path):
     env["PYTHONPATH"] = str(ROOT)
     env["OMP_NUM_THREADS"] = "1"
     port = _free_port()
+    ncores = os.cpu_count() or 1
     procs = []
     for i in range(nproc):
         cmd = [sys.executable, str(worker_path), str(i), str(nproc),
                str(port), str(per_proc), str(steps), str(repeats)]
         if os.path.exists("/usr/bin/taskset"):
-            cmd = ["taskset", "-c", str(i)] + cmd
+            # round-robin when nproc > ncores: the summary then scores
+            # such points against a compute-matched ideal (see main)
+            cmd = ["taskset", "-c", str(i % ncores)] + cmd
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=str(ROOT), env=env, text=True,
@@ -193,11 +196,20 @@ def main():
 
     base = min(results)
     base_rate = results[base]["solves_per_s"] / base
+    # When P exceeds the physical core count the workers share cores
+    # (2 per core at P=8 on this 4-core box), so the ideal rate is
+    # compute-bound at ncores * base_rate — efficiency then measures
+    # the ADDED P-way gloo coordination overhead at fixed compute,
+    # not fabricated per-core scaling.
+    ncores = os.cpu_count() or 1
     summary = {
         "weak_scaling_efficiency": {
-            str(p): round(r["solves_per_s"] / (p * base_rate), 4)
+            str(p): round(
+                r["solves_per_s"] / (min(p, ncores) * base_rate), 4)
             for p, r in results.items()
         },
+        "physical_cores": ncores,
+        "oversubscribed_points": [p for p in results if p > ncores],
         "per_proc_episodes": args.per_proc,
         "steps": args.steps,
         "collectives": "gloo" if len(results) > 1 else "none",
