@@ -109,7 +109,7 @@ def _pendulum_sweep_kernel(
         locs0_ref, amat0_ref, mpfx0_ref, *rest,
         n_sc, steps, warm_up, hz, m, n_params, n_act, m_mpf, mpf_steps,
         dt, g_model, g_sim, exp_util, mpf_log_space, mpf_fixed_bw,
-        mpf_bw_scale, host_noise, unroll):
+        mpf_bw_scale, host_noise, unroll, mpf_drive_lanepack):
     """S-scenario pendulum DuSt episodes in one program.
 
     seed (SMEM int32 [1, 2]); scal (SMEM f32 [1, 16]):
@@ -656,6 +656,42 @@ def _pendulum_sweep_kernel(
             (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) < 64)
             == (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) < 64)
         ).astype(jnp.float32)
+        in_a8 = lane8 < 64
+        if mpf_drive_lanepack:
+            # lane-packed drive constants: L's K axis matches k's row
+            # packing (p*mp + q), so pair p's row of L carries its
+            # operand values at lanes [p*mp, p*mp + mp)
+            laneK = jax.lax.broadcasted_iota(jnp.int32, (8, nmr), 1)
+            rowK = jax.lax.broadcasted_iota(jnp.int32, (8, nmr), 0)
+            lpk_mask = (laneK // mp) == rowK
+            ones_lpk = jnp.where(lpk_mask, 1.0, 0.0)
+
+            def tile_mp(w):
+                """[8, 128] tile with values at lanes < mp (one lane
+                half's particle values) -> [8, nmr] period-mp tiling
+                (value q at every lane p'*mp + q)."""
+                if nmr <= 128:
+                    wide = w[:, :nmr]
+                else:
+                    wide = jnp.concatenate(
+                        [w, jnp.zeros((8, nmr - 128), jnp.float32)],
+                        axis=1)
+                out = wide
+                for p in range(1, n_pair):
+                    out = out + pltpu.roll(wide, shift=p * mp, axis=1)
+                return out
+
+            def halves_of(r8):
+                """row tile [8, 128] -> (A-half, B-half) value tiles,
+                each with its particle values at lanes < m_mpf and
+                EXACT zeros on [m_mpf, 128) (tile_mp's period-mp rolls
+                would otherwise alias junk into neighbouring pair
+                segments)."""
+                keep = lane8 < m_mpf
+                wa = jnp.where(keep, r8, 0.0)
+                wb = jnp.where(keep, pltpu.roll(r8, shift=64, axis=1),
+                               0.0)
+                return wa, wb
 
         def stack_rows(key):
             """per-scenario scalar -> [8, 128] tile: pair p's row holds
@@ -829,14 +865,53 @@ def _pendulum_sweep_kernel(
             # (imbw2 is constant per (pair, lane-half), so it is valid
             # in both orientations); x_l rides x0r/x1r directly, so the
             # whole update closes in row space with no relayout.
-            t0c = colbcast(to_blocks(s0r - x0r * imbw28))
-            t1c = colbcast(to_blocks(s1r - x1r * imbw28))
+            t0r_f = s0r - x0r * imbw28
+            t1r_f = s1r - x1r * imbw28
             d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
             k = jnp.where(valid_rowN,
                           jnp.exp(-0.5 * d2 * imbw2N), 0.0)
-            rows_k = brs(k)
-            drive0 = brs(k * t0c)
-            drive1 = brs(k * t1c)
+            if mpf_drive_lanepack:
+                # r3 layout: ONE [40, nmr] @ [nmr, 128] MXU matmul
+                # computes both drives (per lane half) AND rows_k,
+                # replacing the two t0c/t1c colbcast matmuls (4 MXU
+                # passes) and the three brs reductions with 2 passes.
+                # L row group g, pair-row p, lane (p', q):
+                #   g=0/1: t0 of half A/B at q if p'==p else 0
+                #   g=2/3: t1 of half A/B; g=4: 1.0 (rows_k).
+                # out rows: drive for pair p with the SUMMED half fixed
+                # to the group's half — recombined per lane half below.
+                # NaN isolation: a diverged half's NaNs enter L only in
+                # its own group's rows (poisoning only that pair's
+                # already-NaN lanes after the half selects); k's NaN
+                # LANES would poison every output row at those lanes
+                # through 0 * NaN contraction terms, so k is sanitized
+                # for the matmul — the junk drives it produces at the
+                # diverged lanes are absorbed by the carry's own NaNs
+                # (x0r/x1r are already NaN there, and NaN + finite stays
+                # NaN) — see test_sweep_mpf_nan_partner_isolation.
+                t0a, t0b = halves_of(t0r_f)
+                t1a, t1b = halves_of(t1r_f)
+                lmat = jnp.concatenate([
+                    jnp.where(lpk_mask, tile_mp(t0a), 0.0),
+                    jnp.where(lpk_mask, tile_mp(t0b), 0.0),
+                    jnp.where(lpk_mask, tile_mp(t1a), 0.0),
+                    jnp.where(lpk_mask, tile_mp(t1b), 0.0),
+                    ones_lpk,
+                ], axis=0)
+                k_mm = jnp.where(k - k == 0.0, k, 0.0)
+                out5 = jax.lax.dot_general(
+                    lmat, k_mm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                drive0 = jnp.where(in_a8, out5[0:8], out5[8:16])
+                drive1 = jnp.where(in_a8, out5[16:24], out5[24:32])
+                rows_k = out5[32:40]
+            else:
+                t0c = colbcast(to_blocks(t0r_f))
+                t1c = colbcast(to_blocks(t1r_f))
+                rows_k = brs(k)
+                drive0 = brs(k * t0c)
+                drive1 = brs(k * t1c)
             phi0 = (drive0 + rows_k * x0r * imbw28) * (1.0 / m_mpf)
             phi1 = (drive1 + rows_k * x1r * imbw28) * (1.0 / m_mpf)
             return (
@@ -911,7 +986,7 @@ def _pendulum_sweep_kernel(
                      "n_act", "m_mpf", "mpf_steps", "dt", "g_model",
                      "g_sim", "exp_util", "mpf_log_space",
                      "mpf_fixed_bw", "mpf_bw_scale", "unroll",
-                     "interpret"),
+                     "interpret", "mpf_drive_lanepack"),
 )
 def fused_pendulum_sweep_episode(
         seed, state0, theta0, locs0, a_mat0, mpfx0, prior_bw0,
@@ -920,7 +995,8 @@ def fused_pendulum_sweep_episode(
         m, n_params, n_act, m_mpf, mpf_steps, dt=0.05, g_model=9.8,
         g_sim=10.0, exp_util=True, mpf_log_space=False,
         mpf_fixed_bw=None, mpf_bw_scale=1.0, unroll=True,
-        host_eps=None, host_pdz=None, host_pdu=None, interpret=False):
+        host_eps=None, host_pdz=None, host_pdu=None, interpret=False,
+        mpf_drive_lanepack=False):
     """Run n_sc pendulum DuSt episodes in ONE Pallas program.
 
     state0 [2] shared initial state; theta0/locs0/a_mat0 [m, hz]
@@ -1037,6 +1113,7 @@ def fused_pendulum_sweep_episode(
         mpf_log_space=bool(mpf_log_space), mpf_fixed_bw=mpf_fixed_bw,
         mpf_bw_scale=float(mpf_bw_scale), host_noise=host_noise,
         unroll=bool(unroll),
+        mpf_drive_lanepack=bool(mpf_drive_lanepack),
     )
     rows = n_params * sm
     outs = pl.pallas_call(

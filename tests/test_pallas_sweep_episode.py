@@ -40,7 +40,7 @@ def _setup(n_sc, steps, seed=0):
 
 
 def _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens, mass,
-               warm_up=0, unroll=False, interpret=True):
+               warm_up=0, unroll=False, interpret=True, **kw):
     return fused_pendulum_sweep_episode(
         jnp.zeros(2, jnp.int32), jnp.array([np.pi, 0.0]), theta0, theta0,
         jnp.zeros((M, HZ)), mpfx0, PBW0, lens, mass,
@@ -48,6 +48,7 @@ def _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens, mass,
         n_sc=n_sc, steps=steps, warm_up=warm_up, hz=HZ, m=M, n_params=NP,
         n_act=NA, m_mpf=MM, mpf_steps=20, unroll=unroll,
         host_eps=eps, host_pdz=pdz, host_pdu=pdu, interpret=interpret,
+        **kw,
     )
 
 
@@ -118,6 +119,27 @@ def test_sweep_hardware_parity_host_noise():
     at matched host noise (the CPU suite can only exercise the rolled
     body, which Mosaic rejects on TPU)."""
     _assert_sweep_matches_singles(8, 2, unroll=True, interpret=False)
+
+
+@pytest.mark.parametrize("n_sc", [3, 8])
+def test_sweep_drive_layouts_agree(n_sc):
+    """The r3 lane-packed drive matmul and the colbcast+brs layout
+    compute the same MPF updates (tolerances are reassociation-level:
+    one MXU contraction vs per-block row sums)."""
+    steps = 2
+    theta0, mpfx0, eps, pdz, pdu, lens, mass = _setup(n_sc, steps,
+                                                      seed=13)
+    out_a = _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens,
+                       mass, mpf_drive_lanepack=True)
+    out_b = _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens,
+                       mass, mpf_drive_lanepack=False)
+    for k, tol in (("cost", 1e-3), ("th", 1e-4), ("om", 1e-3),
+                   ("action", 1e-3), ("bw_mpf", 1e-5)):
+        np.testing.assert_allclose(np.asarray(out_a[k]),
+                                   np.asarray(out_b[k]), atol=tol,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(out_a["mpf_x"]),
+                               np.asarray(out_b["mpf_x"]), atol=1e-5)
 
 
 def test_sweep_scenario_isolation():
