@@ -30,6 +30,7 @@ def group(seed):
         m_mpf=exp["mpf_n_particles"], mpf_steps=exp["mpf_steps"],
         g_model=g_model, mpf_log_space=exp["mpf_log_space"],
         unroll=os.environ.get("UNROLL", "1") == "1",
+        mpf_drive_layout=os.environ.get("MPF_LAYOUT", "colbcast"),
     )["cost"]
 
 @jax.jit

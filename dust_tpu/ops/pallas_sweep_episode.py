@@ -35,6 +35,14 @@ parameters, Silverman bandwidths, MPF posteriors) in lockstep:
   (3.8x cheaper than lane-half reductions, bench/probes/
   mpf_transpose_probe.py) with column-broadcast operands rebuilt from
   row space by one diagonal-select MXU matmul each (`colbcast`).
+  Two alternative drive layouts exist behind `mpf_drive_layout`
+  ("lanepack": one [40, nmr] @ [nmr, 128] contraction for both drives
+  + rows_k; "symm": column-space carry + kernel-matrix symmetry, zero
+  colbcast rebuilds) — both parity-tested, both measured SLOWER
+  end-to-end on hardware (330.6k / 303.6k vs 376.5k solves/s at
+  n=1024): the colbcast matmuls ride an otherwise-idle MXU while every
+  alternative shifts relayout work onto the binding VPU stream. Kept
+  as measured negative results (VERDICT r2 #1, BASELINE.md roofline).
 
 RNG: one hardware-PRNG reseed per step covers all S scenarios (their
 draws come from disjoint positions of the same stream); host-noise mode
@@ -109,7 +117,7 @@ def _pendulum_sweep_kernel(
         locs0_ref, amat0_ref, mpfx0_ref, *rest,
         n_sc, steps, warm_up, hz, m, n_params, n_act, m_mpf, mpf_steps,
         dt, g_model, g_sim, exp_util, mpf_log_space, mpf_fixed_bw,
-        mpf_bw_scale, host_noise, unroll, mpf_drive_lanepack):
+        mpf_bw_scale, host_noise, unroll, mpf_drive_layout):
     """S-scenario pendulum DuSt episodes in one program.
 
     seed (SMEM int32 [1, 2]); scal (SMEM f32 [1, 16]):
@@ -652,12 +660,17 @@ def _pendulum_sweep_kernel(
         # transposed-body constants: mdiagN picks each row particle's
         # own lane within each half; h_matN sums within lane halves
         mdiagN = jnp.where(in_aN, laneN, laneN - 64) == r_in_pair
+        # symm-layout masks: lane validity (half-local lane < m_mpf)
+        # and the column-space update mask (valid particle row AND the
+        # lane half's scenario exists — mirrors gvr8 in column space)
+        valid_laneN = jnp.where(in_aN, laneN, laneN - 64) < m_mpf
+        gvcN = valid_rowN & (in_aN | (pair_of_row < n_sc // 2))
         h_matN = (
             (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) < 64)
             == (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) < 64)
         ).astype(jnp.float32)
         in_a8 = lane8 < 64
-        if mpf_drive_lanepack:
+        if mpf_drive_layout == "lanepack":
             # lane-packed drive constants: L's K axis matches k's row
             # packing (p*mp + q), so pair p's row of L carries its
             # operand values at lanes [p*mp, p*mp + mp)
@@ -787,34 +800,22 @@ def _pendulum_sweep_kernel(
         ppbw2N = to_blocks(ppbw28)
         imbw2N = to_blocks(imbw28)
 
-        def mpf_body(i, carry):
-            # TRANSPOSED body: the particle state rides the carry in
-            # ROW layout only ([8, 128]: pair rows, A particles at
-            # lanes < 64, B at >= 64). Every pairwise matrix is built
-            # with the SUMMED particle index on the sublane axis, so
-            # all six per-iteration reductions are per-pair-block row
-            # sums (brs) instead of lane-half reductions — measured
-            # 3.8x cheaper per iteration (bench/probes/
-            # mpf_transpose_probe.py: 449 vs 1688 ns on the
-            # shape-faithful body; the MPF loop was 65% of the
-            # group-step). Column-broadcast operands are rebuilt from
-            # row space with colbcast (MXU matmuls, VPU-free).
-            x0r, x1r = carry
-            x0N = to_blocks(x0r)          # lane-indexed particles
-            x1N = to_blocks(x1r)
-            x0c = colbcast(x0N)           # row(q)-indexed particles
-            x1c = colbcast(x1N)
+        def scores_of(x0r, x1r, x0N, x1N):
+            """Stein drive operands t = score - x/bw^2 in ROW space
+            [8, 128] (pair rows, A particles at lanes < 64, B at
+            >= 64) from the row/lane-space particle copies. Shared by
+            every drive layout below.
 
-            # GMM prior responsibilities and weighted prior means,
-            # transposed: rows = centers q, lanes = current particles.
-            # No max-subtraction: logits = -0.5*d2c*ppbw2 <= 0 with the
-            # self-distance diagonal exactly 0 on every valid row, so
-            # the max is exactly 0.0 and exp(logits - mx) ==
-            # exp(logits) bitwise (reference softmax at mpf.py:31-38
-            # via torch logsumexp is tolerance-matched by tests).
-            # Invalid LANES (pad particles / missing B) produce finite
-            # junk columns masked by gvr8 at the score; invalid center
-            # ROWS are excluded from the sums here.
+            GMM prior responsibilities and weighted prior means are
+            transposed: rows = centers q, lanes = current particles.
+            No max-subtraction: logits = -0.5*d2c*ppbw2 <= 0 with the
+            self-distance diagonal exactly 0 on every valid row, so
+            the max is exactly 0.0 and exp(logits - mx) ==
+            exp(logits) bitwise (reference softmax at mpf.py:31-38
+            via torch logsumexp is tolerance-matched by tests).
+            Invalid LANES (pad particles / missing B) produce finite
+            junk columns masked by gvr8 at the score; invalid center
+            ROWS are excluded from the sums here."""
             d2c = (x0N - c0c) ** 2 + (x1N - c1c) ** 2
             pz = jnp.where(valid_rowN,
                            jnp.exp(-0.5 * d2c * ppbw2N), 0.0)
@@ -855,22 +856,40 @@ def _pendulum_sweep_kernel(
             s0r = jnp.where(gvr8, gl_l + gp0, 0.0)
             s1r = jnp.where(gvr8, gl_m + gp1, 0.0)
 
-            # RBF Stein update, transposed (rows = summed particles q,
-            # lanes = updated particles l). The repulsion sum folds
-            # into the drive sum:
+            # The repulsion sum folds into the drive sum:
             #   phi(l) = sum_q k_ql*(s_q + (x_l - x_q)/bw^2)
             #          = sum_q k_ql*(s_q - x_q/bw^2)
             #            + (sum_q k_ql)*x_l/bw^2
-            # with the fold applied in ROW space before the broadcast
+            # with the fold applied in ROW space before any broadcast
             # (imbw2 is constant per (pair, lane-half), so it is valid
             # in both orientations); x_l rides x0r/x1r directly, so the
             # whole update closes in row space with no relayout.
-            t0r_f = s0r - x0r * imbw28
-            t1r_f = s1r - x1r * imbw28
+            return s0r - x0r * imbw28, s1r - x1r * imbw28
+
+        def mpf_body(i, carry):
+            # TRANSPOSED body: the particle state rides the carry in
+            # ROW layout only ([8, 128]: pair rows, A particles at
+            # lanes < 64, B at >= 64). Every pairwise matrix is built
+            # with the SUMMED particle index on the sublane axis, so
+            # all six per-iteration reductions are per-pair-block row
+            # sums (brs) instead of lane-half reductions — measured
+            # 3.8x cheaper per iteration (bench/probes/
+            # mpf_transpose_probe.py: 449 vs 1688 ns on the
+            # shape-faithful body; the MPF loop was 65% of the
+            # group-step). Column-broadcast operands are rebuilt from
+            # row space with colbcast (MXU matmuls, VPU-free).
+            x0r, x1r = carry
+            x0N = to_blocks(x0r)          # lane-indexed particles
+            x1N = to_blocks(x1r)
+            x0c = colbcast(x0N)           # row(q)-indexed particles
+            x1c = colbcast(x1N)
+            t0r_f, t1r_f = scores_of(x0r, x1r, x0N, x1N)
+            # RBF Stein update, transposed (rows = summed particles q,
+            # lanes = updated particles l)
             d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
             k = jnp.where(valid_rowN,
                           jnp.exp(-0.5 * d2 * imbw2N), 0.0)
-            if mpf_drive_lanepack:
+            if mpf_drive_layout == "lanepack":
                 # r3 layout: ONE [40, nmr] @ [nmr, 128] MXU matmul
                 # computes both drives (per lane half) AND rows_k,
                 # replacing the two t0c/t1c colbcast matmuls (4 MXU
@@ -919,15 +938,79 @@ def _pendulum_sweep_kernel(
                 x1r + jnp.where(gvr8, mpf_lr * phi1, 0.0),
             )
 
-        x0f_r, x1f_r = jax.lax.fori_loop(
-            0, mpf_steps, mpf_body, (c0r8, c1r8),
-            unroll=max(1, mpf_steps) if unroll else 1)
-        # commit once: particle lanes (0/1 and 64/65) on valid rows take
-        # the final carry (converted back to the paired-lane column
-        # layout via colbcast); every other lane/row keeps its
-        # step-start value exactly as the old masked write used to
-        x0f = colbcast(to_blocks(x0f_r))
-        x1f = colbcast(to_blocks(x1f_r))
+        def mpf_body_symm(i, carry):
+            # r3 "symm" layout (VERDICT r2 #1): the carry lives in
+            # COLUMN space ([nmr, 128]: row q = particle q's value,
+            # constant across each lane half; lane halves = the pair's
+            # two scenarios) and the row/lane-space copies are derived
+            # by pure data movement (pair_rows column extraction +
+            # to_blocks), eliminating ALL FOUR colbcast rebuild matmuls.
+            # The Stein kernel matrix is symmetric in (q, l) — k_ql
+            # depends only on the unordered particle pair — so the
+            # drive sum_q k_ql * t_q equals sum_l k_ql * t_l: a LANE
+            # contraction of k * to_blocks(t) against the half-block
+            # identity h_matN. Three [nmr, 128] @ [128, 128] matmuls
+            # (two drives + rows_k) replace the old four colbcast
+            # matmuls AND the three Stein-side brs reductions, and the
+            # products they contract are real math (k * t), not
+            # broadcast data movement.
+            # NaN isolation: contraction is over LANES, where 0 * NaN
+            # in the h_matN zeros would leak a diverged half's NaN into
+            # its partner's output lanes — so the matmul operands are
+            # sanitized (finite test) first. The carry add re-poisons
+            # the diverged half's own region (its x NaNs persist), and
+            # the gvcN mask keeps junk drives out of invalid rows.
+            x0c, x1c = carry
+            x0r = pair_rows(x0c[:, 0:1], x0c[:, 64:65])
+            x1r = pair_rows(x1c[:, 0:1], x1c[:, 64:65])
+            x0N = to_blocks(x0r)
+            x1N = to_blocks(x1r)
+            t0r_f, t1r_f = scores_of(x0r, x1r, x0N, x1N)
+            d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
+            k = jnp.exp(-0.5 * d2 * imbw2N)
+
+            def san(v):
+                return jnp.where(v - v == 0.0, v, 0.0)
+
+            # invalid LANES (pad particles / missing B) must not feed
+            # the lane contraction; t is already 0 there except for the
+            # -x/bw^2 fold, so mask k by lane validity instead
+            k_l = jnp.where(valid_laneN, san(k), 0.0)
+            prod0 = k_l * san(to_blocks(t0r_f))
+            prod1 = k_l * san(to_blocks(t1r_f))
+
+            def lane_sum(v):
+                return jax.lax.dot_general(
+                    v, h_matN, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            drive0 = lane_sum(prod0)
+            drive1 = lane_sum(prod1)
+            rows_k = lane_sum(k_l)
+            phi0 = (drive0 + rows_k * x0c * imbw2N) * (1.0 / m_mpf)
+            phi1 = (drive1 + rows_k * x1c * imbw2N) * (1.0 / m_mpf)
+            return (
+                x0c + jnp.where(gvcN, mpf_lr * phi0, 0.0),
+                x1c + jnp.where(gvcN, mpf_lr * phi1, 0.0),
+            )
+
+        if mpf_drive_layout == "symm":
+            x0f, x1f = jax.lax.fori_loop(
+                0, mpf_steps, mpf_body_symm, (c0c, c1c),
+                unroll=max(1, mpf_steps) if unroll else 1)
+            # the symm carry IS the paired-lane column layout the
+            # commit below expects — no final relayout
+        else:
+            x0f_r, x1f_r = jax.lax.fori_loop(
+                0, mpf_steps, mpf_body, (c0r8, c1r8),
+                unroll=max(1, mpf_steps) if unroll else 1)
+            # commit once: particle lanes (0/1 and 64/65) on valid rows
+            # take the final carry (converted back to the paired-lane
+            # column layout via colbcast); every other lane/row keeps
+            # its step-start value exactly as the old masked write did
+            x0f = colbcast(to_blocks(x0f_r))
+            x1f = colbcast(to_blocks(x1f_r))
         mpfx_ref[:] = jnp.where(
             valid_rowN & ((laneN == 0) | (laneN == 64)), x0f,
             jnp.where(
@@ -986,7 +1069,7 @@ def _pendulum_sweep_kernel(
                      "n_act", "m_mpf", "mpf_steps", "dt", "g_model",
                      "g_sim", "exp_util", "mpf_log_space",
                      "mpf_fixed_bw", "mpf_bw_scale", "unroll",
-                     "interpret", "mpf_drive_lanepack"),
+                     "interpret", "mpf_drive_layout"),
 )
 def fused_pendulum_sweep_episode(
         seed, state0, theta0, locs0, a_mat0, mpfx0, prior_bw0,
@@ -996,7 +1079,7 @@ def fused_pendulum_sweep_episode(
         g_sim=10.0, exp_util=True, mpf_log_space=False,
         mpf_fixed_bw=None, mpf_bw_scale=1.0, unroll=True,
         host_eps=None, host_pdz=None, host_pdu=None, interpret=False,
-        mpf_drive_lanepack=False):
+        mpf_drive_layout="colbcast"):
     """Run n_sc pendulum DuSt episodes in ONE Pallas program.
 
     state0 [2] shared initial state; theta0/locs0/a_mat0 [m, hz]
@@ -1017,6 +1100,9 @@ def fused_pendulum_sweep_episode(
     if n_sc > 8:
         raise ValueError("sweep episode kernel: n_sc <= 8 per program "
                          "(vmap/scan over groups for larger sweeps)")
+    if mpf_drive_layout not in ("colbcast", "lanepack", "symm"):
+        raise ValueError("sweep episode kernel: mpf_drive_layout must "
+                         "be 'colbcast', 'lanepack' or 'symm'")
     if hz > 128 or n_act > 128:
         raise ValueError("sweep episode kernel: hz<=128, n_act<=128")
     if n_params > 8:
@@ -1113,7 +1199,7 @@ def fused_pendulum_sweep_episode(
         mpf_log_space=bool(mpf_log_space), mpf_fixed_bw=mpf_fixed_bw,
         mpf_bw_scale=float(mpf_bw_scale), host_noise=host_noise,
         unroll=bool(unroll),
-        mpf_drive_lanepack=bool(mpf_drive_lanepack),
+        mpf_drive_layout=str(mpf_drive_layout),
     )
     rows = n_params * sm
     outs = pl.pallas_call(

@@ -122,17 +122,19 @@ def test_sweep_hardware_parity_host_noise():
 
 
 @pytest.mark.parametrize("n_sc", [3, 8])
-def test_sweep_drive_layouts_agree(n_sc):
-    """The r3 lane-packed drive matmul and the colbcast+brs layout
+@pytest.mark.parametrize("layout", ["lanepack", "symm"])
+def test_sweep_drive_layouts_agree(n_sc, layout):
+    """The r3 drive layouts (lane-packed matmul; symmetric lane
+    contraction with a column-space carry) and the colbcast+brs layout
     compute the same MPF updates (tolerances are reassociation-level:
-    one MXU contraction vs per-block row sums)."""
+    MXU contractions vs per-block row sums)."""
     steps = 2
     theta0, mpfx0, eps, pdz, pdu, lens, mass = _setup(n_sc, steps,
                                                       seed=13)
     out_a = _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens,
-                       mass, mpf_drive_lanepack=True)
+                       mass, mpf_drive_layout=layout)
     out_b = _run_sweep(n_sc, steps, theta0, mpfx0, eps, pdz, pdu, lens,
-                       mass, mpf_drive_lanepack=False)
+                       mass, mpf_drive_layout="colbcast")
     for k, tol in (("cost", 1e-3), ("th", 1e-4), ("om", 1e-3),
                    ("action", 1e-3), ("bw_mpf", 1e-5)):
         np.testing.assert_allclose(np.asarray(out_a[k]),
@@ -283,25 +285,27 @@ def test_sweep_nan_scenario_isolation():
     assert not np.isfinite(np.asarray(out_b["th"][:, 1])).all()
 
 
-def test_sweep_mpf_nan_partner_isolation():
+@pytest.mark.parametrize("layout", ["colbcast", "lanepack", "symm"])
+def test_sweep_mpf_nan_partner_isolation(layout):
     """NaN injected directly into one scenario's MPF *particles* must not
     leak into its lane-half partner (scenarios 2p / 2p+1 share each MPF
-    tile's lanes 0:64 / 64:128): the colbcast rebuild sanitizes its
-    operand and re-injects NaN via `blocks * 0.0`, keeping the partner's
-    half bitwise intact. This is the sharpest isolation case — the
-    partner shares every matmul of the MPF body, not just the block
-    masks the finite-divergence test exercises."""
+    tile's lanes 0:64 / 64:128): every drive layout sanitizes its matmul
+    operands and lets the carry's own NaNs re-poison only the diverged
+    half, keeping the partner's half bitwise intact. This is the
+    sharpest isolation case — the partner shares every matmul of the
+    MPF body, not just the block masks the finite-divergence test
+    exercises."""
     n_sc, steps = 4, 2
     theta0, mpfx0, eps, pdz, pdu, lens, mass = _setup(n_sc, steps,
                                                       seed=11)
     mpfx_per = jnp.broadcast_to(mpfx0, (n_sc, MM, 2))
     out_a = _run_sweep(n_sc, steps, theta0, mpfx_per, eps, pdz, pdu,
-                       lens, mass)
+                       lens, mass, mpf_drive_layout=layout)
     # poison scenario 1's MPF particles (partner of scenario 0 in pair
     # block 0; scenarios 2 and 3 live in pair block 1)
     mpfx_nan = mpfx_per.at[1].set(jnp.nan)
     out_b = _run_sweep(n_sc, steps, theta0, mpfx_nan, eps, pdz, pdu,
-                       lens, mass)
+                       lens, mass, mpf_drive_layout=layout)
     others = np.array([0, 2, 3])
     for k in ("cost", "th", "om", "action", "bw_sv"):
         np.testing.assert_array_equal(
