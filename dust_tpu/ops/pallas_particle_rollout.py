@@ -64,25 +64,55 @@ def factor_rects(rects):
     return None, None, rects
 
 
-def occupancy_hit(xi, yi, rects):
+def occupancy_hit(xi, yi, rects, bounds=None):
     """Boolean occupancy from clamped cell-index tiles: factored
     interval tests when the static rect set decomposes (see
     `factor_rects`), per-rect tests otherwise. Output identical either
-    way."""
+    way.
+
+    bounds=(ximax, yimax) asserts the CALLER clamps xi to [0, ximax]
+    and yi to [0, yimax] (all kernel call sites do, via the clip in
+    their occ helpers); comparisons that are then statically always
+    true are dropped — e.g. the two border-wall leftover rects of the
+    demo map preset cost 4 tests instead of 16 (boolean-identical on
+    the clamped domain, exhaustively checked per cell by
+    tests/test_models.py)."""
+    ximax = bounds[0] if bounds is not None else None
+    yimax = bounds[1] if bounds is not None else None
+
+    def ge(v, lo):
+        # v >= lo, or None when statically true (v clamped to >= 0)
+        return None if lo <= 0.0 else (v >= lo)
+
+    def lt(v, hi, vmax):
+        # v < hi, or None when statically true on [0, vmax]
+        return None if (vmax is not None and hi > vmax) else (v < hi)
+
+    def conj(*terms):
+        # AND of the non-None terms; all-None (statically always true
+        # on the clamped domain) degrades to a trivially-true compare
+        out = None
+        for term in terms:
+            if term is None:
+                continue
+            out = term if out is None else (out & term)
+        return (xi >= 0.0) if out is None else out
+
     xs, ys, leftover = factor_rects(rects)
     hit = None
     if xs is not None:
         xin = None
         for xl, xh in xs:
-            h = (xi >= xl) & (xi < xh)
+            h = conj(ge(xi, xl), lt(xi, xh, ximax))
             xin = h if xin is None else (xin | h)
         yin = None
         for yl, yh in ys:
-            h = (yi >= yl) & (yi < yh)
+            h = conj(ge(yi, yl), lt(yi, yh, yimax))
             yin = h if yin is None else (yin | h)
         hit = xin & yin
     for xl, xh, yl, yh in leftover:
-        h = (xi >= xl) & (xi < xh) & (yi >= yl) & (yi < yh)
+        h = conj(ge(xi, xl), lt(xi, xh, ximax),
+                 ge(yi, yl), lt(yi, yh, yimax))
         hit = h if hit is None else (hit | h)
     return hit
 
@@ -121,7 +151,7 @@ def _rollout_kernel(scal_ref, ax_ref, ay_ref, im_ref, cost_ref,
         inv_cell, offx, offy, ximax, yimax = grid
         xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
         yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
-        return jnp.where(occupancy_hit(xi, yi, rects), 1.0, 0.0)
+        return jnp.where(occupancy_hit(xi, yi, rects, (ximax, yimax)), 1.0, 0.0)
 
     def state_cost(px, py, vx, vy, occ, quad):
         wpx, wpy, wvx, wvy = quad

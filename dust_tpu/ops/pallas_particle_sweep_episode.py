@@ -201,7 +201,16 @@ def _particle_sweep_kernel(
 
     sm = n_sc * m
     smp = _round8(sm)
-    rows = n_params * sm
+    # half-lane param packing: with n_act <= 64 the rollout tiles'
+    # upper lane halves are pure padding, so two param draws share each
+    # 128-lane row (param 2h at lanes < 64 of row block h, 2h+1 at
+    # >= 64) — the action samples are identical across params by
+    # construction (lane-mirrored), only 1/mass differs per half.
+    # HALVES every [rows, 128] op of the hz-step rollout loop (the
+    # largest section of the particle group-step, r3 section probe).
+    pack2 = n_act <= 64 and n_params % 2 == 0 and n_params > 1
+    npr = n_params // 2 if pack2 else n_params
+    rows = npr * sm
     mp = mpfx0_ref.shape[0] // ((n_sc + 1) // 2)
     ev = hz * 2
     (w_px, w_py, w_vx, w_vy, w_cx, w_cy, w_obs,
@@ -262,7 +271,7 @@ def _particle_sweep_kernel(
         inv_cell, offx, offy, ximax, yimax = grid
         xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
         yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
-        return jnp.where(occupancy_hit(xi, yi, rects), 1.0, 0.0)
+        return jnp.where(occupancy_hit(xi, yi, rects, (ximax, yimax)), 1.0, 0.0)
 
     def state_cost(px, py, vx, vy, occ, quad):
         wpx, wpy, wvx, wvy = quad
@@ -444,12 +453,22 @@ def _particle_sweep_kernel(
         im_d = 1.0 / mq                                   # [nd, 1]
 
         im_row = _row_of_column(im_d, nd)
-        j_of_rrow = s_of_rrow * 8 + row_roll // sm
-        im24 = jnp.sum(
-            jnp.where(jax.lax.broadcasted_iota(
-                jnp.int32, (rows, 128), 1) == j_of_rrow,
-                im_row, 0.0), axis=1, keepdims=True,
-        )
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        if pack2:
+            # per-half draw index: param 2h on lanes < 64, 2h+1 on
+            # >= 64 of row block h (draw j = s*8 + p)
+            j_even = s_of_rrow * 8 + 2 * (row_roll // sm)
+            im_e = jnp.sum(jnp.where(lane_r == j_even, im_row, 0.0),
+                           axis=1, keepdims=True)
+            im_o = jnp.sum(jnp.where(lane_r == j_even + 1, im_row, 0.0),
+                           axis=1, keepdims=True)
+            im24 = jnp.where(lane_r < 64, im_e, im_o)
+        else:
+            j_of_rrow = s_of_rrow * 8 + row_roll // sm
+            im24 = jnp.sum(
+                jnp.where(lane_r == j_of_rrow, im_row, 0.0),
+                axis=1, keepdims=True,
+            )
 
         # ---- rollouts: S * n_params * n_act * m trajectories ----
         shape = (rows, 128)
@@ -490,8 +509,16 @@ def _particle_sweep_kernel(
             vy = vy_ref[:]
             occ = occ_any(px, py)
             a8x, a8y = actions_at(tt)
-            a_x = jnp.concatenate([a8x[0:sm, :]] * n_params, axis=0)
-            a_y = jnp.concatenate([a8y[0:sm, :]] * n_params, axis=0)
+            asx, asy = a8x[0:sm, :], a8y[0:sm, :]
+            if pack2:
+                # mirror the action samples into the upper lane half so
+                # both packed params see identical actions
+                asx = jnp.where(lane_sm[0:sm, :] < 64, asx,
+                                pltpu.roll(asx, shift=64, axis=1))
+                asy = jnp.where(lane_sm[0:sm, :] < 64, asy,
+                                pltpu.roll(asy, shift=64, axis=1))
+            a_x = jnp.concatenate([asx] * npr, axis=0)
+            a_y = jnp.concatenate([asy] * npr, axis=0)
             cost = cost + (
                 state_cost(px, py, vx, vy, occ,
                            (w_px, w_py, w_vx, w_vy))
@@ -523,8 +550,12 @@ def _particle_sweep_kernel(
 
         # ---- param-averaged costs + per-scenario DISCO update ----
         mcost = cost[0:sm, :]
-        for p in range(1, n_params):
+        for p in range(1, npr):
             mcost = mcost + cost[p * sm:(p + 1) * sm, :]
+        if pack2:
+            # fold the packed upper-half param costs onto lanes < 64
+            # (lanes >= 64 become junk, masked by `valid` below)
+            mcost = mcost + pltpu.roll(mcost, shift=64, axis=1)
         mcost = mcost * (1.0 / n_params)
         if smp != sm:
             mcost = jnp.concatenate(
@@ -557,29 +588,34 @@ def _particle_sweep_kernel(
             ) * (1.0 / n_act)
 
         # DISCO delta + likelihood gradient accumulation (a_seq == 0
-        # required, like the pendulum sweep kernel)
+        # required, like the pendulum sweep kernel). The weights are
+        # normalized (sum_l omega = sum_l w_lik = 1 over valid lanes),
+        # so sum_l w*(theta_t + sigma*eps) = theta_t + sigma*sum w*eps:
+        # the per-iteration theta lane extractions drop out of the loop
+        # entirely and theta cancels exactly in the likelihood gradient
+        # (the pendulum sweep kernel's identity).
         def acc_body(tt, carry):
             de, wacc = carry
-            a8x, a8y = actions_at(tt)
-            ax_m = a8x[0:smp, :]
-            ay_m = a8y[0:smp, :]
-            dqx = jnp.sum(omega * ax_m, axis=1, keepdims=True)
-            dqy = jnp.sum(omega * ay_m, axis=1, keepdims=True)
-            wqx = jnp.sum(w_lik * ax_m, axis=1, keepdims=True)
-            wqy = jnp.sum(w_lik * ay_m, axis=1, keepdims=True)
+            ex = eps_ref[pl.ds(tt * 2 * smp, smp), :]
+            ey = eps_ref[pl.ds(tt * 2 * smp + smp, smp), :]
+            dqx = jnp.sum(omega * ex, axis=1, keepdims=True)
+            dqy = jnp.sum(omega * ey, axis=1, keepdims=True)
+            wqx = jnp.sum(w_lik * ex, axis=1, keepdims=True)
+            wqy = jnp.sum(w_lik * ey, axis=1, keepdims=True)
             de = de + jnp.where(lane_sm == 2 * tt, dqx, 0.0) \
                 + jnp.where(lane_sm == 2 * tt + 1, dqy, 0.0)
             wacc = wacc + jnp.where(lane_sm == 2 * tt, wqx, 0.0) \
                 + jnp.where(lane_sm == 2 * tt + 1, wqy, 0.0)
             return de, wacc
 
-        delta, wa = jax.lax.fori_loop(
+        d_eps, w_eps = jax.lax.fori_loop(
             0, hz, acc_body,
             (jnp.zeros((smp, 128), jnp.float32),
              jnp.zeros((smp, 128), jnp.float32)),
             unroll=hz if unroll else 1,
         )
-        glik = (wa - theta) * inv_s2
+        delta = jnp.where(lane_sm < ev, theta + sigma_c * d_eps, 0.0)
+        glik = sigma_c * w_eps * inv_s2
 
         # ---- Stein + weighted GMM prior (block-masked, centered) ----
         blkf = blk.astype(jnp.float32) * (1.0 / m)
@@ -1024,7 +1060,10 @@ def fused_particle_sweep_episode(
         mpf_bw_scale=float(mpf_bw_scale), host_noise=host_noise,
         unroll=bool(unroll),
     )
-    rows = n_params * sm
+    # half-lane param packing (see kernel): the rollout scratch needs
+    # only n_params//2 row blocks when two params share the lane halves
+    pack2 = n_act <= 64 and n_params % 2 == 0 and n_params > 1
+    rows = (n_params // 2 if pack2 else n_params) * sm
     outs = pl.pallas_call(
         kernel,
         in_specs=in_specs,

@@ -468,7 +468,7 @@ def _particle_solve_kernel(scal_ref, ax_ref, ay_ref, acts_mm_ref, im_ref,
         inv_cell, offx, offy, ximax, yimax = grid
         xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
         yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
-        return jnp.where(occupancy_hit(xi, yi, rects), 1.0, 0.0)
+        return jnp.where(occupancy_hit(xi, yi, rects, (ximax, yimax)), 1.0, 0.0)
 
     def state_cost(px, py, vx, vy, occ, quad):
         wpx, wpy, wvx, wvy = quad

@@ -178,6 +178,34 @@ def test_collision_rects_match_gather(preset):
         )
 
 
+@pytest.mark.parametrize("preset", ["grid_4x4", "staggered_3-2-3",
+                                    "single_centred"])
+def test_occupancy_hit_bounds_exhaustive(preset):
+    """The kernels' `occupancy_hit` with clamp `bounds` (which drops
+    statically-true comparisons, e.g. on border-wall rects) must equal
+    both the raster and the unbounded test at EVERY cell index of the
+    clamped domain."""
+    from dust_tpu.models.obstacle_map import decompose_rects
+    from dust_tpu.ops.pallas_particle_rollout import occupancy_hit
+
+    m = generate_obstacle_map(
+        [22, 22], get_obst_preset(preset, 2.1), 0.1, map_type="direct"
+    )
+    rects = tuple(
+        (float(a), float(b), float(c), float(d))
+        for a, b, c, d in decompose_rects(m.map)
+    )
+    ximax, yimax = float(m.x_dim - 1), float(m.y_dim - 1)
+    xi, yi = np.meshgrid(np.arange(m.x_dim, dtype=np.float32),
+                         np.arange(m.y_dim, dtype=np.float32),
+                         indexing="ij")
+    xi, yi = jnp.asarray(xi), jnp.asarray(yi)
+    hit_b = np.asarray(occupancy_hit(xi, yi, rects, (ximax, yimax)))
+    hit_u = np.asarray(occupancy_hit(xi, yi, rects))
+    np.testing.assert_array_equal(hit_b, np.asarray(m.map) > 0)
+    np.testing.assert_array_equal(hit_b, hit_u)
+
+
 def test_particle_step_and_costs_match_reference(reference, rng):
     ref_mod = reference("dust.models.particle")
     ours = Particle(uncertain_params=["mass"], mass=2.0, **PARTICLE_ENV)

@@ -49,10 +49,11 @@ def _single_noise(eps, pdz, pdu, s, m):
     return eps_s, pdz[:, s], pdu[:, s]
 
 
-def _assert_particle_sweep_matches(n_sc, steps, *, unroll, interpret):
+def _assert_particle_sweep_matches(n_sc, steps, *, unroll, interpret,
+                                   **overrides):
     """Sweep kernel vs n_sc independent single-episode runs on matched
     host noise."""
-    stack, cfg = _stack()
+    stack, cfg = _stack(**overrides)
     exp = cfg["exp_params"]
     hz, m = exp["horizon"], exp["n_particles"]
     eps, pdz, pdu = _noise(n_sc, steps, hz, m)
@@ -157,9 +158,20 @@ def test_particle_sweep_matches_independent_single_episodes(n_sc):
     single-episode run on the same noise (odd n_sc exercises the MPF
     pairing's missing-B-half path). CPU interpret mode drives the
     ROLLED body (Mosaic rejects it on TPU); the hardware test below
-    covers the production unrolled path."""
+    covers the production unrolled path. The demo config (n_act=64,
+    n_params=4) drives the half-lane param-packed rollout layout."""
     _assert_particle_sweep_matches(n_sc, 2, unroll=False,
                                    interpret=True)
+
+
+def test_particle_sweep_matches_singles_unpacked_layout():
+    """The full-row rollout fallback (odd n_params, and n_act > 64
+    where the lane halves cannot be shared) must also match the
+    single-episode kernel."""
+    _assert_particle_sweep_matches(
+        3, 2, unroll=False, interpret=True,
+        params_samples=3, action_samples=96,
+    )
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
