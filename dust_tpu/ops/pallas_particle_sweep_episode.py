@@ -305,13 +305,19 @@ def _particle_sweep_kernel(
     def pair_tile(col):
         """[8, 1] scenario column -> [8, 128] pair-row tile (scenario
         2p at lanes < 64 of row p, 2p+1 at lanes >= 64; a missing B
-        mirrors its pair's A — masked off, must stay finite)."""
-        acc = jnp.zeros((8, 128), jnp.float32)
-        for s in range(2 * n_pair):
-            val = col_at(col, min(s, n_sc - 1))
-            mask = (row8 == s // 2) & ((lane8 < 64) == (s % 2 == 0))
-            acc = jnp.where(mask, val, acc)
-        return acc
+        mirrors its pair's A — masked off, must stay finite).
+        Vectorized: one [8, 1] -> [4, 2] reshape splits even/odd
+        scenarios onto the two lanes, replacing the old 2*n_pair
+        col_at-reduce + masked-select chain (~24 serial tiny ops per
+        call, 9 calls per step)."""
+        last = jnp.sum(jnp.where(i81 == n_sc - 1, col, 0.0))
+        c2 = jnp.where(i81 < n_sc, col, last).reshape(4, 2)
+        ca = jnp.concatenate(
+            [c2[:, 0:1], jnp.zeros((4, 1), jnp.float32)], axis=0)
+        cb = jnp.concatenate(
+            [c2[:, 1:2], jnp.zeros((4, 1), jnp.float32)], axis=0)
+        return jnp.where(lane8 < 64, jnp.broadcast_to(ca, (8, 128)),
+                         jnp.broadcast_to(cb, (8, 128)))
 
     def to_blocks(r8):
         return jnp.concatenate(
@@ -412,10 +418,13 @@ def _particle_sweep_kernel(
             pos += take
         sv_tile = jnp.concatenate(acc, axis=0)            # [g*8, 128]
         bw8 = _silverman_groups(sv_tile, g_bw, n_flat)    # [8, 1]
-        bw_col = jnp.zeros((smp, 1), jnp.float32)
-        for s in range(n_sc):
-            bw_col = jnp.where(s_of_prow[:, 0:1] == s,
-                               col_at(bw8, s), bw_col)
+        # scenario column -> per-particle-row column by pure movement
+        # (broadcast+concat per scenario block, no reduce/select chain)
+        bw_col = jnp.concatenate(
+            [jnp.broadcast_to(bw8[s:s + 1, :], (m, 1))
+             for s in range(n_sc)]
+            + ([jnp.zeros((smp - sm, 1), jnp.float32)]
+               if smp != sm else []), axis=0)
         inv_bw2_col = 1.0 / (bw_col * bw_col)
 
         # ---- dynamics draws from each scenario's MPF prior (1-D
@@ -472,20 +481,20 @@ def _particle_sweep_kernel(
 
         # ---- rollouts: S * n_params * n_act * m trajectories ----
         shape = (rows, 128)
-        px0 = jnp.zeros(shape, jnp.float32)
-        py0 = jnp.zeros(shape, jnp.float32)
-        vx0 = jnp.zeros(shape, jnp.float32)
-        vy0 = jnp.zeros(shape, jnp.float32)
-        for s in range(n_sc):
-            in_s = s_of_rrow[:, 0:1] == s
-            px0 = jnp.where(in_s, col_at(px_col, s), px0)
-            py0 = jnp.where(in_s, col_at(py_col, s), py0)
-            vx0 = jnp.where(in_s, col_at(vx_col, s), vx0)
-            vy0 = jnp.where(in_s, col_at(vy_col, s), vy0)
-        px_ref[:] = px0
-        py_ref[:] = py0
-        vx_ref[:] = vx0
-        vy_ref[:] = vy0
+
+        def splat_rows(col):
+            """[8, 1] scenario column -> [rows, 128] rollout-row tile
+            by pure movement (per-scenario broadcast + param-block
+            tile), replacing 4 x n_sc serial full-tile masked selects."""
+            bs = jnp.concatenate(
+                [jnp.broadcast_to(col[s:s + 1, :], (m, 128))
+                 for s in range(n_sc)], axis=0)
+            return jnp.concatenate([bs] * npr, axis=0)
+
+        px_ref[:] = splat_rows(px_col)
+        py_ref[:] = splat_rows(py_col)
+        vx_ref[:] = splat_rows(vx_col)
+        vy_ref[:] = splat_rows(vy_col)
 
         def actions_at(tt):
             """(a_x, a_y) [smp, 128] at timestep tt (eps rows:
@@ -713,16 +722,19 @@ def _particle_sweep_kernel(
         onehot = (rowm1 == i_star).astype(jnp.float32)
         ax_all = onehot * theta_new[:, 0:1]               # [smp, 1]
         ay_all = onehot * theta_new[:, 1:2]
-        ax_col = jnp.zeros((8, 1), jnp.float32)
-        ay_col = jnp.zeros((8, 1), jnp.float32)
-        for s in range(n_sc):
-            in_s = (rowm1 >= s * m) & (rowm1 < (s + 1) * m)
-            ax_col = jnp.where(
-                i81 == s, jnp.sum(jnp.where(in_s, ax_all, 0.0)),
-                ax_col)
-            ay_col = jnp.where(
-                i81 == s, jnp.sum(jnp.where(in_s, ay_all, 0.0)),
-                ay_col)
+
+        def block_sum_col(col_all):
+            """[smp, 1] -> [8, 1] per-scenario block row sums (one
+            reshape+sum for all scenarios, not an n_sc select loop)."""
+            s_ = jnp.sum(col_all[0:sm, 0:1].reshape(n_sc, m), axis=1,
+                         keepdims=True)
+            if n_sc < 8:
+                s_ = jnp.concatenate(
+                    [s_, jnp.zeros((8 - n_sc, 1), jnp.float32)], axis=0)
+            return s_
+
+        ax_col = block_sum_col(ax_all)
+        ay_col = block_sum_col(ay_all)
 
         rolled = pltpu.roll(theta_new, shift=128 - 2, axis=1)
         theta_fwd = jnp.where(
