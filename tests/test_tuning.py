@@ -216,3 +216,65 @@ def test_parallel_lr_sweep_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
                                rtol=1e-5)
     assert len(sharded.sharding.device_set) == 8
+
+
+def test_particle_sweep_score_ordering():
+    """Any success beats any non-crash failure beats any crash;
+    earlier success beats later; closer failure beats farther."""
+    from dust_tpu.tuning import particle_sweep_score
+
+    steps, target = 10, np.array([9.0, 9.0, 0.0, 0.0])
+
+    def sweep_out(done_at, crash, final):
+        n_sc = len(done_at)
+        done = np.zeros((steps, n_sc))
+        crashed = np.zeros((steps, n_sc))
+        for s, (t, c) in enumerate(zip(done_at, crash)):
+            if t is not None:
+                done[t:, s] = 1.0
+                if c:
+                    crashed[t:, s] = 1.0
+        out = {"done": done, "crashed": crashed}
+        for i, k in enumerate(("px", "py", "vx", "vy")):
+            out[k] = np.zeros((steps, n_sc))
+            out[k][-1] = [f[i] for f in final]
+        return out
+
+    at_goal = (9.0, 9.0, 0.0, 0.0)
+    far = (-9.0, -9.0, 0.0, 0.0)
+    near = (8.0, 9.0, 0.0, 0.0)
+    out = sweep_out(
+        done_at=[2, 7, None, None, 3],
+        crash=[False, False, False, False, True],
+        final=[at_goal, at_goal, near, far, far],
+    )
+    score, n_succ, n_crash, succ = particle_sweep_score(
+        out, target, steps)
+    assert n_succ == 2 and n_crash == 1
+    assert list(succ) == [True, True, False, False, False]
+    per = []
+    for s in range(5):
+        one = {k: v[:, s:s + 1] for k, v in out.items()}
+        p, *_ = particle_sweep_score(one, target, steps)
+        per.append(p)
+    # early success < late success < near failure < far failure < crash
+    assert per[0] < per[1] < per[2] < per[3] < per[4]
+    assert abs(score - np.mean(per)) < 1e-12
+
+
+def test_particle_sweep_asha_objective_smoke():
+    """One tiny interpret-mode trial through the megakernel objective:
+    finite score, failure isolation (a bad static shape scores inf)."""
+    from dust_tpu.experiments import load_config as load_cfg
+    from dust_tpu.tuning import particle_sweep_asha_objective
+
+    config = load_cfg("/root/repo/demo/particle_config.yaml")
+    objective = particle_sweep_asha_objective(
+        config, jnp.linspace(1.5, 3.0, 2), seed=0, interpret=True)
+    trials = [
+        {"learning_rate": 50.0, "alpha": 2.0, "w_qvel_T": 100.0},
+        {"shape": (6, 70)},  # m*hz*2 > 512: kernel rejects -> inf
+    ]
+    scores = objective(trials, budget=2)
+    assert np.isfinite(scores[0]) and 0.0 < scores[0] < 5.1
+    assert scores[1] == np.inf
