@@ -82,6 +82,11 @@ def render_frames(model, trajectory, out_dir, fps=20):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default=None)
+    parser.add_argument("--tuned", action="store_true",
+                        help="use particle_config_tuned.yaml (the "
+                        "megakernel-ASHA config that reaches the "
+                        "strict success test; see "
+                        "demo/particle_tuning.py --sweep)")
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--episodes", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
@@ -89,7 +94,9 @@ def main():
     parser.add_argument("--save", action="store_true")
     args = parser.parse_args()
 
-    config_path = args.config or Path(__file__).parent / "particle_config.yaml"
+    default_cfg = ("particle_config_tuned.yaml" if args.tuned
+                   else "particle_config.yaml")
+    config_path = args.config or Path(__file__).parent / default_cfg
     config_data = load_config(config_path)
     sim = config_data["sim_params"]
     steps = args.steps or sim["steps"]

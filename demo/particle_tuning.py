@@ -59,16 +59,32 @@ SWEEP_SPACE = {
     "shape": [(6, 40), (4, 56)],
 }
 
+# --refine: the neighborhood the 256-trial wide search converged to
+# (best: lr 210, alpha 0.29, prior_sigma 9.3, ctrl_sigma 7.7,
+# w_qvel_T 400, shape (6, 40) -> 8/8 strict success at 600 steps on
+# held-out seeds; see BASELINE.md). Run at --steps 600: the demo mass
+# range [1.5, 3.0] (+1.0 load) makes 400 steps kinematically
+# infeasible for the heavier half (measured success times 374-583).
+REFINE_SPACE = {
+    "learning_rate": (80.0, 400.0, "log"),
+    "alpha": (0.1, 1.0, "log"),
+    "prior_sigma": (5.0, 12.0),
+    "ctrl_sigma": (5.0, 11.0),
+    "w_qvel_T": [400.0, 800.0],
+    "shape": [(6, 40), (4, 56)],
+}
+
 
 def run_sweep_mode(args):
     config_path = Path(__file__).parent / "particle_config.yaml"
     base_config = load_config(config_path)
     true_masses = jnp.linspace(1.5, 3.0, 8)
 
+    space = REFINE_SPACE if args.refine else SWEEP_SPACE
     objective = particle_sweep_asha_objective(
         base_config, true_masses, seed=args.seed, verbose=True)
     best, value, history, episodes = successive_halving(
-        objective, SWEEP_SPACE, n_configs=args.trials, eta=4,
+        objective, space, n_configs=args.trials, eta=4,
         min_budget=args.steps, max_budget=args.steps, seed=args.seed)
     print(f"\nbest: {best} -> {value:.4f} "
           f"({episodes:.0f} episode-equivalents)")
@@ -89,6 +105,10 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--sweep", action="store_true",
                         help="megakernel-scale strict-success tuning")
+    parser.add_argument("--refine", action="store_true",
+                        help="with --sweep: search the converged "
+                        "neighborhood (REFINE_SPACE) instead of the "
+                        "wide space")
     args = parser.parse_args()
 
     if args.sweep:

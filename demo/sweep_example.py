@@ -56,6 +56,9 @@ def main():
     parser.add_argument("--scenarios", type=int, default=16)
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tuned", action="store_true",
+                        help="particle task: use the megakernel-ASHA "
+                        "tuned config (particle_config_tuned.yaml)")
     args = parser.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -100,7 +103,9 @@ def main():
         solved = sum(1 for r in rows if r[3] < 1.0)
         print(f"\nswing-up achieved: {solved}/{n} scenarios")
     else:
-        config = load_config(HERE / "particle_config.yaml")
+        config = load_config(
+            HERE / ("particle_config_tuned.yaml" if args.tuned
+                    else "particle_config.yaml"))
         stack = build_particle_stack(config, jax.random.key(args.seed))
         exp = config["exp_params"]
         sweep = megakernel_particle_sweep_fn(

@@ -330,20 +330,42 @@ class FusedMPF(MPF):
     `mpf.py:26-38`); semantics match `MPF(reference_compat=False)`.
     """
 
-    def __init__(self, likelihood, interpret=False, **kwargs):
+    def __init__(self, likelihood, interpret=False, packed=True,
+                 use_bf16=False, **kwargs):
         kwargs.pop("reference_compat", None)
         super().__init__(likelihood, reference_compat=False, **kwargs)
         self._interpret = bool(interpret)
+        # packed=True (r3 default): the MPF state dim is 1-2, so the
+        # gram-identity tiles burn three 128-lane MXU dispatches per
+        # tile on <=2 useful lanes; the packed layout does the same
+        # tile with ONE matmul (see _phi_kernel_packed /
+        # _score_kernel_packed). use_bf16 additionally streams the K /
+        # responsibility tile in bf16 with f32 accumulation (~0.3% phi
+        # / ~1.4% prior-score error — opt-in).
+        self._packed = bool(packed)
+        self._use_bf16 = bool(use_bf16)
 
     def phi(self, mstate: MPFState, bw):
-        from ..ops.pallas_gmm import gmm_prior_score_pallas
-        from ..ops.pallas_svgd import svgd_phi_pallas
+        from ..ops.pallas_gmm import (
+            gmm_prior_score_pallas,
+            gmm_prior_score_pallas_packed,
+        )
+        from ..ops.pallas_svgd import (
+            svgd_phi_pallas,
+            svgd_phi_pallas_packed,
+        )
 
         x = mstate.x
-        grad_prior = gmm_prior_score_pallas(
-            x, mstate.prior.locs, mstate.prior_bw,
-            interpret=self._interpret,
-        )
+        if self._packed:
+            grad_prior = gmm_prior_score_pallas_packed(
+                x, mstate.prior.locs, mstate.prior_bw,
+                use_bf16=self._use_bf16, interpret=self._interpret,
+            )
+        else:
+            grad_prior = gmm_prior_score_pallas(
+                x, mstate.prior.locs, mstate.prior_bw,
+                interpret=self._interpret,
+            )
 
         def log_lik(t):
             pred = self.likelihood.sample(mstate.lik, t)
@@ -351,5 +373,10 @@ class FusedMPF(MPF):
 
         grad_lik = jax.grad(log_lik)(x)
         score = grad_lik + grad_prior
+        if self._packed:
+            return svgd_phi_pallas_packed(
+                x, score, jnp.asarray(bw, jnp.float32),
+                use_bf16=self._use_bf16, interpret=self._interpret,
+            )
         return svgd_phi_pallas(x, score, jnp.asarray(bw, jnp.float32),
                                interpret=self._interpret)

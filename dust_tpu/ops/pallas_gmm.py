@@ -139,3 +139,113 @@ def gmm_prior_score_pallas(x, centers, bw, block_i=256, block_k=1024,
         interpret=interpret,
     )(bw_arr, xp, cp)
     return out[:m, :d]
+
+
+def _score_kernel_packed(bw_ref, xi_ref, ckt_ref, pk_ref, out_ref,
+                         acc_ref, max_ref, *, block_k, k_total, num_k,
+                         d, use_bf16):
+    """Packed-layout GMM score tile (r3, VERDICT-r2 #6 — same move as
+    `pallas_svgd._phi_kernel_packed`): explicit per-dimension broadcast
+    diffs against a pre-transposed [8, bk] center block replace the
+    128-lane Gram matmul, and the weighted-center sum plus the softmax
+    normalizer ride ONE [bm, bk] x [bk, 128] matmul against
+    `pk = [centers | ones]` (columns 0:d, d). The online-softmax
+    rescale applies to the packed accumulator as a whole (numerator
+    and denominator scale identically). The padded-col -inf mask is
+    kept: vsum/norm are insensitive to a max shift, but a padded
+    column's logit (-||x_i||^2 / 2bw^2) can exceed the true max and
+    underflow the normalizer when x_i sits far from every center."""
+    kb = pl.program_id(1)
+    bw = bw_ref[0, 0]
+    inv2 = 0.5 / (bw * bw)
+    xi = xi_ref[:]
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        max_ref[:] = jnp.full_like(max_ref, -jnp.inf)
+
+    d2 = None
+    for dd in range(d):
+        diff = xi[:, dd:dd + 1] - ckt_ref[dd:dd + 1, :]   # [bm, bk]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    logits = -d2 * inv2
+    k_ids = jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, dimension=1
+    ) + kb * block_k
+    logits = jnp.where(k_ids < k_total, logits, -jnp.inf)
+
+    m_old = max_ref[:]
+    m_new = jnp.maximum(
+        m_old, jnp.max(logits, axis=1, keepdims=True)
+    )
+    scale = jnp.exp(m_old - m_new)
+    p = jnp.exp(logits - m_new[:, :1])                    # [bm, bk]
+    if use_bf16:
+        p = p.astype(jnp.bfloat16)
+    acc_ref[:] = acc_ref[:] * scale + jnp.dot(
+        p, pk_ref[:], preferred_element_type=jnp.float32
+    )
+    max_ref[:] = m_new
+
+    @pl.when(kb == num_k - 1)
+    def _finish():
+        acc = acc_ref[:]
+        mean_c = acc[:, 0:d] / acc[:, d:d + 1]
+        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[:, 0:d] = (mean_c - xi[:, 0:d]) * (2.0 * inv2)
+
+
+@functools.partial(jax.jit, static_argnames=("block_i", "block_k",
+                                             "use_bf16", "interpret"))
+def gmm_prior_score_pallas_packed(x, centers, bw, block_i=256,
+                                  block_k=1024, use_bf16=False,
+                                  interpret=False):
+    """Packed-layout streaming GMM score (see `_score_kernel_packed`).
+    Identical math to `gmm_prior_score_pallas`; requires d <= 8."""
+    m, d = x.shape
+    if d > 8 or d + 1 > 128:
+        raise ValueError("packed GMM layout requires d <= 8")
+    k = centers.shape[0]
+    mp = _round_up(max(m, block_i), block_i)
+    kp = _round_up(max(k, block_k), block_k)
+    dp = 128
+    num_k = kp // block_k
+
+    mu = jax.lax.stop_gradient(jnp.mean(centers, axis=0, keepdims=True))
+    x = x - mu
+    centers = centers - mu
+    xp = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(x)
+    ckt = jnp.zeros((8, kp), jnp.float32).at[:d, :k].set(centers.T)
+    pk_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    pk = (jnp.zeros((kp, dp), jnp.float32)
+          .at[:k, 0:d].set(centers)
+          .at[:k, d].set(1.0)).astype(pk_dtype)
+    bw_arr = jnp.asarray(bw, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _score_kernel_packed, block_k=block_k, k_total=k, num_k=num_k,
+        d=d, use_bf16=use_bf16
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // block_i, num_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_i, dp), lambda i, kb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_k), lambda i, kb: (0, kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, dp), lambda i, kb: (kb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_i, dp), lambda i, kb: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, dp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_i, dp), jnp.float32),
+            pltpu.VMEM((block_i, dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bw_arr, xp, ckt, pk)
+    return out[:m, :d]

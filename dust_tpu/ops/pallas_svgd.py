@@ -144,6 +144,102 @@ def svgd_phi_pallas(x, score, bw, block_i=256, block_j=1024, interpret=False):
     return phi[:m, :d]
 
 
+def _phi_kernel_packed(bw_ref, xi_ref, xjt_ref, pk_ref, phi_ref,
+                       acc_ref, *, num_j, d, use_bf16):
+    """Packed-layout phi tile (r3, VERDICT-r2 #6): the MPF state dim is
+    tiny (d = 1-2), so the gram-identity layout of `_phi_kernel` burns
+    three 128-lane MXU dispatches per tile on 2 useful lanes — measured
+    1.7% useful-MXU at m=8192 (`BASELINE.md` roofline). This layout
+    does the same tile with ONE matmul:
+
+    * distances come from explicit per-dimension broadcast diffs
+      against a pre-transposed [8, bn] particle block (`xjt_ref`) —
+      VPU work linear in d, no [bm, 128] x [128, bn] contraction;
+    * drive (K @ score), kx (K @ x) and rowsum(K) ride ONE
+      [bm, bn] x [bn, 128] matmul against a packed operand
+      `pk = [score | x | ones]` (columns 0:d, d:2d, 2d) — the ones
+      column doubles as the padded-row mask, so no iota masking.
+
+    acc_ref: [bm, 128] f32 accumulator persisting across j steps.
+    `use_bf16` casts K and streams pk in bf16 (one MXU pass instead of
+    the f32 split-bf16 multi-pass) with f32 accumulation.
+    """
+    j = pl.program_id(1)
+    bw = bw_ref[0, 0]
+    inv2 = 0.5 / (bw * bw)
+    xi = xi_ref[:]                                       # [bm, 128]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    d2 = None
+    for dd in range(d):
+        diff = xi[:, dd:dd + 1] - xjt_ref[dd:dd + 1, :]  # [bm, bn]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    k = jnp.exp(-d2 * inv2)
+    if use_bf16:
+        k = k.astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(k, pk_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_j - 1)
+    def _finish():
+        acc = acc_ref[:]
+        rows = acc[:, 2 * d:2 * d + 1]                   # rowsum(K)
+        repel = (rows * xi[:, 0:d] - acc[:, d:2 * d]) * (2.0 * inv2)
+        phi_ref[:] = jnp.zeros_like(phi_ref)
+        phi_ref[:, 0:d] = acc[:, 0:d] + repel            # /m by caller
+
+
+@functools.partial(jax.jit, static_argnames=("block_i", "block_j",
+                                             "use_bf16", "interpret"))
+def svgd_phi_pallas_packed(x, score, bw, block_i=256, block_j=1024,
+                           use_bf16=False, interpret=False):
+    """Packed-layout fused phi (see `_phi_kernel_packed`). Identical
+    math to `svgd_phi_pallas` (parity-tested); requires d <= 8."""
+    m, d = x.shape
+    if d > 8 or 2 * d + 1 > 128:
+        raise ValueError("packed phi layout requires d <= 8")
+    mp = _round_up(max(m, max(block_i, block_j)), block_i)
+    mp = _round_up(mp, block_j)
+    dp = 128
+
+    x = x - jax.lax.stop_gradient(jnp.mean(x, axis=0, keepdims=True))
+    xp = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(x)
+    xjt = jnp.zeros((8, mp), jnp.float32).at[:d, :m].set(x.T)
+    pk_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    pk = (jnp.zeros((mp, dp), jnp.float32)
+          .at[:m, 0:d].set(score)
+          .at[:m, d:2 * d].set(x)
+          .at[:m, 2 * d].set(1.0)).astype(pk_dtype)
+    bw_arr = jnp.asarray(bw, jnp.float32).reshape(1, 1)
+
+    num_j = mp // block_j
+    grid = (mp // block_i, num_j)
+    kernel = functools.partial(_phi_kernel_packed, num_j=num_j, d=d,
+                               use_bf16=use_bf16)
+    phi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # bw
+            pl.BlockSpec((block_i, dp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),            # x_i
+            pl.BlockSpec((8, block_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),            # x_j^T
+            pl.BlockSpec((block_j, dp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),            # packed
+        ],
+        out_specs=pl.BlockSpec((block_i, dp), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, dp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_i, dp), jnp.float32)],
+        interpret=interpret,
+    )(bw_arr, xp, xjt, pk)
+    return phi[:m, :d] / jnp.float32(m)
+
+
 def fused_svgd_phi(x, score, bw, min_particles_for_pallas=512):
     """Dispatch: Pallas on TPU for large m, jnp path otherwise."""
     m = x.shape[0]

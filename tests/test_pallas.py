@@ -50,3 +50,36 @@ def test_pallas_phi_far_from_origin(rng):
     # (~2000 * 2^-23 per coordinate); uncentered this diverges by O(1)
     np.testing.assert_allclose(np.asarray(far), np.asarray(near),
                                atol=2e-3)
+
+
+@pytest.mark.parametrize("m,d", [(64, 2), (137, 5), (512, 2), (300, 1)])
+def test_pallas_phi_packed_matches_reference(rng, m, d):
+    """Packed layout (r3: explicit-diff distances + one
+    [score | x | ones] matmul per tile) == oracle, incl. padding via
+    the ones-column mask."""
+    from dust_tpu.ops.pallas_svgd import svgd_phi_pallas_packed
+
+    x = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32)) + 1.5
+    score = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32)) * 5.0
+    oracle = svgd_phi_reference(x, score, 0.7)
+    fused = svgd_phi_pallas_packed(x, score, 0.7, block_i=128,
+                                   block_j=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_phi_packed_bf16_demo_tolerance(rng):
+    """bf16 K streaming (f32 accumulate) stays within ~0.5% of the
+    oracle — the opt-in fast path's accuracy contract."""
+    from dust_tpu.ops.pallas_svgd import svgd_phi_pallas_packed
+
+    m, d = 512, 2
+    x = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+    score = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32)) * 5.0
+    oracle = svgd_phi_reference(x, score, 0.7)
+    fused = svgd_phi_pallas_packed(x, score, 0.7, block_i=128,
+                                   block_j=128, use_bf16=True,
+                                   interpret=True)
+    scale = float(jnp.abs(oracle).max())
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               atol=5e-3 * scale)

@@ -81,3 +81,44 @@ def test_streaming_gmm_score_far_from_origin(rng):
     # (~3000 * 2^-23 per coordinate); uncentered this diverges by O(1)
     np.testing.assert_allclose(np.asarray(far), np.asarray(near),
                                atol=5e-3)
+
+
+@pytest.mark.parametrize("m,k,d", [(64, 64, 2), (200, 130, 3),
+                                   (300, 300, 1)])
+def test_streaming_gmm_score_packed_matches_oracle(rng, m, k, d):
+    """Packed layout (r3: explicit-diff logits + one [centers | ones]
+    matmul per tile) == oracle, incl. ragged padding."""
+    from dust_tpu.ops.pallas_gmm import gmm_prior_score_pallas_packed
+
+    x = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32)) + 0.8
+    centers = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32))
+    oracle = gmm_prior_score_reference(x, centers, 0.4)
+    fused = gmm_prior_score_pallas_packed(x, centers, 0.4, block_i=128,
+                                          block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mpf_gram_layout_matches_packed(rng):
+    """Both FusedMPF kernel layouts produce the same optimize
+    trajectory (packed=True is the r3 default; packed=False keeps the
+    r2 gram-identity tiles)."""
+    model = PendulumModel(uncertain_params=("length", "mass"))
+    lik = GaussianLikelihood(obs_std=0.1, model=model)
+    init = rng.uniform(0.6, 1.3, size=(64, 2)).astype(np.float32)
+    obs = np.array([2.8, -0.2], dtype=np.float32)
+
+    outs = []
+    for packed in (False, True):
+        mpf = FusedMPF(likelihood=lik, optimizer=optax.sgd(1e-3),
+                       interpret=True, packed=packed)
+        ms = mpf.init_state(init, obs, dim_a=1, bw=0.2)
+        ms, g, _ = mpf.optimize(ms, jnp.array([0.8]),
+                                jnp.array([2.7, -0.5]), bw=0.3,
+                                n_steps=4)
+        outs.append((ms.x, g))
+    np.testing.assert_allclose(np.asarray(outs[0][0]),
+                               np.asarray(outs[1][0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[0][1]),
+                               np.asarray(outs[1][1]), rtol=1e-3)
