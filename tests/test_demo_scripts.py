@@ -74,3 +74,11 @@ def test_sweep_example_runs():
                "--scenarios", "8", "--steps", "4"])
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "success" in r2.stdout
+
+
+def test_particle_example_tuned_config_runs():
+    """--tuned loads particle_config_tuned.yaml (the megakernel-ASHA
+    strict-success config; see demo/particle_tuning.py --sweep)."""
+    r = _run(["demo/particle_example.py", "--tuned", "--steps", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "episode 0" in r.stdout

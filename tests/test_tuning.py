@@ -278,3 +278,20 @@ def test_particle_sweep_asha_objective_smoke():
     scores = objective(trials, budget=2)
     assert np.isfinite(scores[0]) and 0.0 < scores[0] < 5.1
     assert scores[1] == np.inf
+
+
+def test_tuned_particle_config_values():
+    """The shipped tuned config reaches the model/stack builders with
+    the refine-search winner's values (2026-08-20, seeds 7/21, 8/8
+    strict success at 600 steps on held-out seeds — BASELINE.md)."""
+    from dust_tpu.experiments import build_particle_stack, load_config
+
+    cfg = load_config("/root/repo/demo/particle_config_tuned.yaml")
+    exp = cfg["exp_params"]
+    assert abs(exp["learning_rate"] - 292.229416) < 1e-4
+    assert abs(exp["alpha"] - 0.307686) < 1e-5
+    assert cfg["sim_params"]["steps"] == 600
+    stack = build_particle_stack(cfg, jax.random.key(0))
+    # terminal weights layout: [qpos_T, qpos_T, qvel_T, qvel_T]
+    assert float(stack.model.w_term[2]) == 800.0
+    assert stack.use_svmpc and stack.mpf is not None
