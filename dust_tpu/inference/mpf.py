@@ -330,20 +330,34 @@ class FusedMPF(MPF):
     `mpf.py:26-38`); semantics match `MPF(reference_compat=False)`.
     """
 
-    def __init__(self, likelihood, interpret=False, packed=True,
+    def __init__(self, likelihood, interpret=False, packed="auto",
                  use_bf16=False, **kwargs):
         kwargs.pop("reference_compat", None)
         super().__init__(likelihood, reference_compat=False, **kwargs)
         self._interpret = bool(interpret)
-        # packed=True (r3 default): the MPF state dim is 1-2, so the
-        # gram-identity tiles burn three 128-lane MXU dispatches per
-        # tile on <=2 useful lanes; the packed layout does the same
-        # tile with ONE matmul (see _phi_kernel_packed /
-        # _score_kernel_packed). use_bf16 additionally streams the K /
-        # responsibility tile in bf16 with f32 accumulation (~0.3% phi
-        # / ~1.4% prior-score error — opt-in).
-        self._packed = bool(packed)
+        # packed: the MPF state dim is 1-2, so the gram-identity tiles
+        # burn three 128-lane MXU dispatches per tile on <=2 useful
+        # lanes; the packed layout (_phi_kernel_packed /
+        # _score_kernel_packed) does the same tile with ONE matmul.
+        # Measured on v5e (bench/probes/fusedmpf_probe.py, 2026-08-20):
+        # e2e optimize +18% at m=8192 (64.2 vs 54.4 updates/s), +36%
+        # at m=32768 (5.67 vs 4.18) but -10% at m=2048 (extra input
+        # streams outweigh the saved matmuls at small grids) — so
+        # "auto" picks packed iff m >= 4096. The modest gain from
+        # deleting 67% of MXU FLOPs is the measured MXU-occupancy
+        # verdict (VERDICT r2 #6): these kernels are bound by the
+        # [bm, bn] VPU exp/d2 elementwise stream, not the MXU — the
+        # padded matmuls ride a mostly-idle MXU. use_bf16 streams the
+        # K / responsibility tile in bf16 with f32 accumulation
+        # (~0.3% phi / ~1.4% prior-score error): measured NEUTRAL to
+        # slightly negative everywhere — kept opt-in for completeness.
+        self._packed = packed if packed == "auto" else bool(packed)
         self._use_bf16 = bool(use_bf16)
+
+    def _use_packed(self, m):
+        if self._packed == "auto":
+            return m >= 4096
+        return self._packed
 
     def phi(self, mstate: MPFState, bw):
         from ..ops.pallas_gmm import (
@@ -356,7 +370,8 @@ class FusedMPF(MPF):
         )
 
         x = mstate.x
-        if self._packed:
+        packed = self._use_packed(x.shape[0])
+        if packed:
             grad_prior = gmm_prior_score_pallas_packed(
                 x, mstate.prior.locs, mstate.prior_bw,
                 use_bf16=self._use_bf16, interpret=self._interpret,
@@ -373,7 +388,7 @@ class FusedMPF(MPF):
 
         grad_lik = jax.grad(log_lik)(x)
         score = grad_lik + grad_prior
-        if self._packed:
+        if packed:
             return svgd_phi_pallas_packed(
                 x, score, jnp.asarray(bw, jnp.float32),
                 use_bf16=self._use_bf16, interpret=self._interpret,
