@@ -629,7 +629,13 @@ def main():
     for name, fn in runs.items():
         if args.only and name != args.only:
             continue
-        solves = fn()
+        try:
+            solves = fn()
+        except Exception as exc:  # one config must not kill the run
+            print(json.dumps({"config": name, "error":
+                              f"{type(exc).__name__}: {exc}"[:400],
+                              "device": dev}))
+            continue
         print(json.dumps({"config": name,
                           "solves_per_s": round(solves, 2),
                           "device": dev}))
@@ -655,7 +661,13 @@ def main():
     for name, fn in sweeps.items():
         if args.only and not name.startswith(args.only):
             continue
-        solves, episodes = fn()
+        try:
+            solves, episodes = fn()
+        except Exception as exc:  # one config must not kill the run
+            print(json.dumps({"config": name, "error":
+                              f"{type(exc).__name__}: {exc}"[:400],
+                              "device": dev}))
+            continue
         print(json.dumps({
             "config": name,
             "solves_per_s": round(solves, 2),

@@ -299,9 +299,16 @@ def _pendulum_solve_kernel(scal_ref, acts_t_ref, acts_mm_ref, il_ref,
         return cost, c * cd - s * sd, s * cd + c * sd, om
 
     # vector trig on the broadcast tile: Mosaic has no scalar-core
-    # transcendentals, so evaluate cos/sin once on the splatted angle
+    # transcendentals, so evaluate cos/sin once on the splatted angle.
+    # anchor: scalar-splat loop carries get a REPLICATED vector layout,
+    # but the body's outputs are data-dependent — newer Mosaic rejects
+    # the non-replicated->replicated carry relayout ("Invalid relayout
+    # ... replicated in destination but not in source"), so tie every
+    # initial carry to a VMEM-loaded tile with an exact +0.0
+    anchor = il * 0.0
     cost, c, _, om = jax.lax.fori_loop(
-        0, hz, body, (cost, jnp.cos(zs + th0), jnp.sin(zs + th0), zs + om0)
+        0, hz, body, (cost + anchor, jnp.cos(zs + th0) + anchor,
+                      jnp.sin(zs + th0) + anchor, zs + om0 + anchor)
     )
     cost = cost + _SWINGUP_W * (c - 1.0) ** 2 + om * om
 
@@ -502,7 +509,9 @@ def _particle_solve_kernel(scal_ref, ax_ref, ay_ref, acts_mm_ref, im_ref,
         vy_ref[:] = jnp.clip(vy + acc_y * scale, -max_speed, max_speed)
         return cost
 
-    cost = jax.lax.fori_loop(0, hz, body, jnp.zeros(shape, jnp.float32))
+    # anchor: see _pendulum_solve_kernel — the scalar-zero carry would
+    # be layout-replicated while the body output is not
+    cost = jax.lax.fori_loop(0, hz, body, im * 0.0)
     px = px_ref[:]
     py = py_ref[:]
     vx = vx_ref[:]

@@ -227,25 +227,31 @@ def _pendulum_sweep_kernel(
 
         # ---- per-scenario Silverman bandwidths (m*hz flattened values
         # per scenario, one 128-lane row each; ONE row-batched bitonic
-        # sort computes all scenarios' order statistics at once) ----
+        # sort computes all scenarios' order statistics at once).
+        # Packing is scenario-per-sublane (the particle kernel's
+        # rr-major trick, r3): stacking rows s*m+q across scenarios
+        # makes each (q-)shift ONE [8, 128]-vreg roll+select for all
+        # scenarios at once — m ops instead of m*n_sc ----
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        sv_rows = []
-        for s in range(n_sc):
-            sv_row = jnp.full((1, 128), _POS_BIG, jnp.float32)
-            for q in range(m):
-                chunk = pltpu.roll(
-                    theta[s * m + q:s * m + q + 1, :], shift=q * hz,
-                    axis=1,
-                )
-                in_chunk = (lane1 >= q * hz) & (lane1 < (q + 1) * hz)
-                sv_row = jnp.where(in_chunk, chunk, sv_row)
-            sv_rows.append(sv_row)
-        bw8 = _silverman_rows(jnp.concatenate(sv_rows, axis=0), m * hz)
-        bw_s_list = [bw8[s:s + 1, :] for s in range(n_sc)]
-        bw_col = jnp.zeros((smp, 1), jnp.float32)
-        for s in range(n_sc):
-            bw_col = jnp.where(s_of_prow[:, 0:1] == s, bw_s_list[s],
-                               bw_col)
+        sv_tile = jnp.full((8, 128), _POS_BIG, jnp.float32)
+        for q in range(m):
+            rows_q = jnp.concatenate(
+                [theta[s * m + q:s * m + q + 1, :]
+                 for s in range(n_sc)]
+                + ([jnp.full((8 - n_sc, 128), _POS_BIG, jnp.float32)]
+                   if n_sc < 8 else []),
+                axis=0,
+            )
+            chunk = pltpu.roll(rows_q, shift=q * hz, axis=1)
+            in_chunk = (lane8 >= q * hz) & (lane8 < (q + 1) * hz)
+            sv_tile = jnp.where(in_chunk, chunk, sv_tile)
+        bw8 = _silverman_rows(sv_tile, m * hz)
+        # scenario column -> per-particle-row column by pure movement
+        bw_col = jnp.concatenate(
+            [jnp.broadcast_to(bw8[s:s + 1, :], (m, 1))
+             for s in range(n_sc)]
+            + ([jnp.zeros((smp - sm, 1), jnp.float32)]
+               if smp != sm else []), axis=0)
         inv_bw2_col = 1.0 / (bw_col * bw_col)
 
         # ---- dynamics draws from each scenario's MPF prior ----
@@ -324,13 +330,18 @@ def _pendulum_sweep_kernel(
         )
 
         # ---- rollouts: all S * n_params * n_act * m trajectories ----
-        th0_col = jnp.zeros((rows, 1), jnp.float32)
-        om0_col = jnp.zeros((rows, 1), jnp.float32)
-        for s in range(n_sc):
-            th0_col = jnp.where(s_of_rrow[:, 0:1] == s,
-                                col_at(th_col, s), th0_col)
-            om0_col = jnp.where(s_of_rrow[:, 0:1] == s,
-                                col_at(om_col, s), om0_col)
+        def splat_rcol(col):
+            """[8, 1] scenario column -> [rows, 1] rollout-row column
+            by pure movement (per-scenario broadcast + param-block
+            tile; r3, the particle kernel's splat_rows), replacing
+            2 x n_sc serial full-column masked selects."""
+            bs = jnp.concatenate(
+                [jnp.broadcast_to(col[s:s + 1, :], (m, 1))
+                 for s in range(n_sc)], axis=0)
+            return jnp.concatenate([bs] * n_params, axis=0)
+
+        th0_col = splat_rcol(th_col)
+        om0_col = splat_rcol(om_col)
 
         c_grav = -3.0 * g_model * 0.5 * dt * il24
         c_act = 3.0 * dt * im24 * il24 * il24
@@ -390,12 +401,18 @@ def _pendulum_sweep_kernel(
         mcost_v = jnp.where(valid, mcost, _POS_BIG)
 
         # ---- DISCO update with per-scenario normalizers ----
-        beta_col = jnp.zeros((smp, 1), jnp.float32)
-        for s in range(n_sc):
-            b_s = jnp.min(
-                jnp.where(s_of_prow == s, mcost_v, _POS_BIG)
-            )
-            beta_col = jnp.where(s_of_prow[:, 0:1] == s, b_s, beta_col)
+        # per-scenario beta = block min: one row-min + an [n_sc, m]
+        # reshape-min + broadcast/concat splat (r3), replacing n_sc
+        # serial whole-tile masked min reductions (min is exact, so
+        # the regrouping is bitwise-identical)
+        rm = jnp.min(mcost_v, axis=1, keepdims=True)      # [smp, 1]
+        bmin = jnp.min(rm[0:sm, 0:1].reshape(n_sc, m), axis=1,
+                       keepdims=True)                     # [n_sc, 1]
+        beta_col = jnp.concatenate(
+            [jnp.broadcast_to(bmin[s:s + 1, :], (m, 1))
+             for s in range(n_sc)]
+            + ([jnp.zeros((smp - sm, 1), jnp.float32)]
+               if smp != sm else []), axis=0)
         lc = jnp.where(valid, -(mcost - beta_col) * inv_temp, _NEG_BIG)
         row_max = jnp.max(lc, axis=1, keepdims=True)
         e = jnp.where(valid, jnp.exp(lc - row_max), 0.0)
@@ -548,13 +565,13 @@ def _pendulum_sweep_kernel(
                          keepdims=True)                   # [smp, 1]
         onehot = (rowm1 == i_star).astype(jnp.float32)
         a_all = onehot * theta_new[:, 0:1]                # [smp, 1]
-        act_col = jnp.zeros((8, 1), jnp.float32)
-        i81s = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-        for s in range(n_sc):
-            in_s = (rowm1 >= s * m) & (rowm1 < (s + 1) * m)
-            act_col = jnp.where(
-                i81s == s, jnp.sum(jnp.where(in_s, a_all, 0.0)),
-                act_col)
+        # per-scenario selected action: one [n_sc, m] reshape-sum
+        # (r3, the particle kernel's block_sum_col), replacing the
+        # n_sc serial masked-sum + select chain
+        a_sum = jnp.sum(a_all[0:sm, 0:1].reshape(n_sc, m), axis=1,
+                        keepdims=True)                    # [n_sc, 1]
+        act_col = (a_sum if n_sc == 8 else jnp.concatenate(
+            [a_sum, jnp.zeros((8 - n_sc, 1), jnp.float32)], axis=0))
 
         rolled = pltpu.roll(theta_new, shift=128 - 1, axis=1)
         theta_fwd = jnp.where(
@@ -616,17 +633,23 @@ def _pendulum_sweep_kernel(
             bwm8 = _silverman_rows(
                 jnp.concatenate(mrows, axis=0), 2 * m_mpf
             ) * mpf_bw_scale
-        bw_mpf_col = jnp.zeros((8, 1), jnp.float32)
+        # bw_mpf column directly (r3): the fixed bandwidth splats, the
+        # Silverman one IS bwm8 — zero rows >= n_sc to preserve the
+        # old loop's unset-row behavior
+        i81c = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        if mpf_fixed_bw is not None:
+            bw_mpf_col = jnp.where(i81c < n_sc,
+                                   jnp.float32(mpf_fixed_bw), 0.0)
+        else:
+            bwm8_p = (bwm8 if n_sc == 8 else jnp.concatenate(
+                [bwm8, jnp.zeros((8 - n_sc, 1), jnp.float32)], axis=0))
+            bw_mpf_col = jnp.where(i81c < n_sc, bwm8_p, 0.0)
         scal_s = []                   # per-scenario MPF scalars
         for s in range(n_sc):
             if mpf_fixed_bw is not None:
                 bw_mpf = jnp.float32(mpf_fixed_bw)
             else:
                 bw_mpf = bwm8[s:s + 1, :]
-            bw_mpf_col = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s,
-                bw_mpf, bw_mpf_col,
-            )
             # 0-d col_at extractions of the step-top columns — the
             # same values the old per-scenario full-tile masked sums
             # produced, without the ~40 serial whole-tile reductions
@@ -1030,9 +1053,7 @@ def _pendulum_sweep_kernel(
         om_row = scatter8(om2)
         act_row = scatter8(act_col)
         bwm_row = scatter8(bw_mpf_col)
-        bws_row = jnp.zeros((1, 128), jnp.float32)
-        for s in range(n_sc):
-            bws_row = jnp.where(lane1 == s, bw_s_list[s], bws_row)
+        bws_row = jnp.where(lane1 < n_sc, scatter8(bw8), 0.0)
         log_row = (
             jnp.where(lane1 < 8, cost_row, 0.0)
             + jnp.where((lane1 >= 8) & (lane1 < 16),
