@@ -364,3 +364,126 @@ def html_part2d_traj(model, trajectories, save_path=None, rollouts=None):
     return _render("Trajectories on the occupancy map", series,
                    xlabel="map x", w=620, h=620, image=image,
                    save_path=save_path)
+
+
+# --------------------------------------------------------------- vega
+# Altair-COMPATIBLE output: the reference's chart is an altair (= vega-
+# lite) layered spec (`dust/utils/plots.py:71-163`). The hand-rolled
+# HTML above replicates its interactions offline; these emit the
+# PORTABLE artifact — a genuine vega-lite v5 JSON spec with the same
+# layers (basis-interpolated mean line, invisible nearest-x hover
+# selectors, highlighted points, gray rule, value labels, category10
+# colors, 1000x400, bound-scales zoom) — loadable by altair
+# (`alt.Chart.from_json`), vega-embed, or any vega tooling.
+
+def vega_lite_mean_results(df, value="AvgCumCost", title=None,
+                           x_key="Timestep", x_label="Timestep",
+                           y_label=None, color_key="Case",
+                           save_path=None):
+    """Vega-lite v5 spec mirroring `plot_mean_results`
+    (`dust/utils/plots.py:82-160`): layer = line + selectors + points
+    + rules + text, nearest-point hover param, mean aggregation in the
+    encoding (the reference aggregates in-spec, not in pandas).
+    Returns the spec dict; `save_path` writes JSON (the reference
+    writes `<value>_plot.html`; pair with `vega_embed_html` for
+    that)."""
+    source = df.copy()
+    if "AvgCumCost" in source and "Timestep" in source:
+        # reference derivation, `dust/utils/plots.py:83`
+        source["CumCost"] = source["AvgCumCost"] * (source["Timestep"]
+                                                   + 1)
+    columns = [c for c in (color_key, value, x_key) if c in source]
+    records = source[columns].to_dict("records")
+    records = [{k: (float(v) if isinstance(v, (int, float, np.number))
+                    and k != color_key else str(v) if k == color_key
+                    else v) for k, v in r.items()} for r in records]
+
+    x_enc = {"field": x_key, "type": "quantitative", "title": x_label}
+    y_enc = {"field": value, "aggregate": "mean",
+             "type": "quantitative", "title": y_label or value}
+    color_enc = {"field": color_key, "type": "nominal",
+                 "scale": {"scheme": "category10"}}
+    line_enc = {"x": x_enc, "y": y_enc, "color": color_enc}
+    nearest = {
+        "name": "nearest",
+        "select": {"type": "point", "nearest": True, "on": "mouseover",
+                   "fields": [x_key], "clear": "mouseout"},
+    }
+    spec = {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "title": title or f"Mean {value} per case",
+        "width": 1000,
+        "height": 400,
+        "data": {"values": records},
+        "layer": [
+            {
+                "mark": {"type": "line", "interpolate": "basis",
+                         "clip": True},
+                "encoding": line_enc,
+                "params": [{"name": "grid", "select": "interval",
+                            "bind": "scales"}],  # .interactive()
+            },
+            {
+                "mark": "point",
+                "encoding": {"x": x_enc, "opacity": {"value": 0}},
+                "params": [nearest],
+            },
+            {
+                "mark": "point",
+                "encoding": {
+                    **line_enc,
+                    "opacity": {
+                        "condition": {"param": "nearest",
+                                      "empty": False, "value": 1},
+                        "value": 0,
+                    },
+                },
+            },
+            {
+                "mark": {"type": "rule", "color": "gray"},
+                "encoding": {"x": x_enc},
+                "transform": [{"filter": {"param": "nearest",
+                                          "empty": False}}],
+            },
+            {
+                "mark": {"type": "text", "align": "left", "dx": 5,
+                         "dy": -5},
+                "encoding": {
+                    **line_enc,
+                    "text": {
+                        "condition": {"param": "nearest",
+                                      "empty": False, "field": value,
+                                      "aggregate": "mean",
+                                      "type": "quantitative"},
+                        "value": " ",
+                    },
+                },
+            },
+        ],
+    }
+    if save_path is not None:
+        with open(save_path, "w") as f:
+            json.dump(spec, f, indent=1)
+    return spec
+
+
+def vega_embed_html(spec, save_path=None):
+    """Wrap a vega-lite spec in the standard vega-embed HTML page (the
+    format `chart.save(*.html)` produces in the reference). NOTE: the
+    scripts load from the jsdelivr CDN, so RENDERING needs network —
+    in an offline environment use the self-contained exporters above;
+    the spec JSON itself is offline-portable."""
+    page = (
+        "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">\n"
+        "<script src=\"https://cdn.jsdelivr.net/npm/vega@5\"></script>\n"
+        "<script src=\"https://cdn.jsdelivr.net/npm/vega-lite@5\">"
+        "</script>\n"
+        "<script src=\"https://cdn.jsdelivr.net/npm/vega-embed@6\">"
+        "</script>\n</head><body>\n<div id=\"vis\"></div>\n<script>\n"
+        f"vegaEmbed('#vis', {json.dumps(spec)});\n"
+        "</script>\n</body></html>\n"
+    )
+    if save_path is not None:
+        with open(save_path, "w") as f:
+            f.write(page)
+    return page

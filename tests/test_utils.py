@@ -154,3 +154,51 @@ def test_real_harness_dataframe_feeds_plots(tmp_path):
                               save_path=tmp_path / "r.png")
     for f in ("m", "s", "r"):
         assert (tmp_path / f"{f}.png").stat().st_size > 0
+
+
+def test_vega_lite_spec_matches_reference_chart(tmp_path):
+    """`vega_lite_mean_results` emits a genuine vega-lite v5 layered
+    spec with the reference chart's structure
+    (`dust/utils/plots.py:82-160`): basis mean line + invisible
+    nearest-x selectors + conditional points + gray rule + value
+    labels, category10 colors, 1000x400, bound-scales zoom — and the
+    reference's in-pandas CumCost derivation. `vega_embed_html` wraps
+    it in the standard vega-embed page."""
+    import json
+
+    from dust_tpu.utils import plots_html
+
+    df = _fake_epoch_df()
+    spec = plots_html.vega_lite_mean_results(
+        df, save_path=tmp_path / "avgcumcost_plot.json")
+    assert spec["$schema"].endswith("vega-lite/v5.json")
+    assert spec["width"] == 1000 and spec["height"] == 400
+    marks = [layer["mark"] for layer in spec["layer"]]
+    assert marks[0] == {"type": "line", "interpolate": "basis",
+                       "clip": True}
+    assert marks[3] == {"type": "rule", "color": "gray"}
+    assert marks[4]["type"] == "text"
+    line = spec["layer"][0]["encoding"]
+    assert line["y"]["aggregate"] == "mean"
+    assert line["color"]["scale"]["scheme"] == "category10"
+    sel = spec["layer"][1]["params"][0]["select"]
+    assert sel["nearest"] and sel["on"] == "mouseover" and \
+        sel["fields"] == ["Timestep"]
+    assert spec["layer"][0]["params"][0]["select"] == "interval"
+    # data records are plain JSON with the case/value/x columns
+    rec = spec["data"]["values"][0]
+    assert set(rec) == {"Case", "AvgCumCost", "Timestep"}
+    json.dumps(spec)  # fully serializable
+    # round-trips through the saved file
+    saved = json.loads((tmp_path / "avgcumcost_plot.json").read_text())
+    assert saved == json.loads(json.dumps(spec))
+
+    # CumCost derivation (reference `plots.py:83`) available as a value
+    spec2 = plots_html.vega_lite_mean_results(df, value="CumCost")
+    assert spec2["data"]["values"][0]["CumCost"] == (
+        df["AvgCumCost"].iloc[0] * (df["Timestep"].iloc[0] + 1))
+
+    page = plots_html.vega_embed_html(spec,
+                                      save_path=tmp_path / "m.html")
+    assert "vegaEmbed" in page and "vega-lite@5" in page
+    assert (tmp_path / "m.html").read_text() == page
