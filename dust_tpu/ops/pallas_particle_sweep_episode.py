@@ -573,10 +573,19 @@ def _particle_sweep_kernel(
         valid = (lane_sm < n_act) & valid_sm
         mcost_v = jnp.where(valid, mcost, _POS_BIG)
 
-        beta_col = jnp.zeros((smp, 1), jnp.float32)
-        for s in range(n_sc):
-            b_s = jnp.min(jnp.where(s_of_prow == s, mcost_v, _POS_BIG))
-            beta_col = jnp.where(s_of_prow[:, 0:1] == s, b_s, beta_col)
+        # per-scenario beta = block min: one row-min + an [n_sc, m]
+        # reshape-min + broadcast/concat splat (r3, same as the
+        # pendulum kernel), replacing n_sc serial whole-tile masked
+        # min reductions (min is exact, so the regrouping is
+        # bitwise-identical)
+        rm = jnp.min(mcost_v, axis=1, keepdims=True)      # [smp, 1]
+        bmin = jnp.min(rm[0:sm, 0:1].reshape(n_sc, m), axis=1,
+                       keepdims=True)                     # [n_sc, 1]
+        beta_col = jnp.concatenate(
+            [jnp.broadcast_to(bmin[s:s + 1, :], (m, 1))
+             for s in range(n_sc)]
+            + ([jnp.zeros((smp - sm, 1), jnp.float32)]
+               if smp != sm else []), axis=0)
         lc = jnp.where(valid, -(mcost - beta_col) * inv_temp, _NEG_BIG)
         row_max = jnp.max(lc, axis=1, keepdims=True)
         e = jnp.where(valid, jnp.exp(lc - row_max), 0.0)
