@@ -5,8 +5,8 @@ the single-episode latency headline (53 us/solve on v5e). On scenario
 sweeps the per-step-kernel stack previously won (42.2k solves/s at
 n=256) because vmapping batches its XLA glue wide while a vmapped
 megakernel would serialize whole episodes. This kernel wins the sweep
-headline: 331.5k solves/s at n=256 on v5e (32 scanned groups of S=8,
-the bench.py default; 387.9k at n=4096 — see BASELINE.md).
+headline: 351.8k solves/s at n=256 on v5e (32 scanned groups of S=8,
+the bench.py default; 417.7k at n=4096 — r3, see BASELINE.md).
 
 This kernel batches S scenarios INSIDE one episode megakernel: every
 tile gains a scenario axis in its rows, so each of the `steps`
@@ -54,8 +54,8 @@ adapter rejecting what the kernel does not model — VERDICT r1 #1c):
 
 * S <= 8: the simulator/log tiles put one scenario per sublane of one
   [8, 128] vreg. Larger sweeps batch on the GROUP axis instead (vmap /
-  lax.scan of whole programs, zero overhead — measured 331.5k solves/s
-  at n=256 vs 387.9k at n=4096: group batching already saturates the
+  lax.scan of whole programs, zero overhead — measured 351.8k solves/s
+  at n=256 vs 417.7k at n=4096 (r3): group batching already saturates the
   chip, so widening S would add tile-padding complexity for no
   throughput). Lifting S is deliberately NOT done.
 * controller `a_seq` == 0: the DISCO delta drops the a_seq term, valid
