@@ -41,6 +41,11 @@ import jax.numpy as jnp
 
 from dust_tpu.experiments import build_pendulum_stack, load_config
 from dust_tpu.simulation import PendulumSimulation
+from dust_tpu.utils.cache import enable_persistent_cache
+
+# Megakernel compiles cost 8-15 min on the remote AOT compiler; the
+# persistent cache turns re-runs of unchanged programs into disk loads.
+enable_persistent_cache()
 
 # torch CPU reference, measured by bench/reference_bench.py on this
 # machine (anomaly detection off; best of 20/60/120-step runs — the
@@ -56,6 +61,9 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # tunnel weather, not the solver. CHAIN=4 amortizes it to <2% of the
 # measurement. BENCH_CHAIN=1 restores the per-dispatch view.
 CHAIN = int(os.environ.get("BENCH_CHAIN", "4"))
+
+# set by bench_episode_sweep: wall time of the first (compiling) dispatch
+FIRST_COMPILE_S = None
 
 
 def build(key):
@@ -160,8 +168,13 @@ def bench_episode_sweep(stack, config):
         )
         return chained(seeds)
 
+    global FIRST_COMPILE_S
+    t0 = time.perf_counter()
     costs = run(0)
     costs.block_until_ready()  # compile + warm
+    # wall time of the first dispatch = megakernel compile (minutes on
+    # the remote AOT path; seconds when the persistent cache hits)
+    FIRST_COMPILE_S = time.perf_counter() - t0
     times = []
     for i in range(REPEATS):
         t0 = time.perf_counter()
@@ -424,6 +437,10 @@ def main():
         "episode_steps": STEPS,
         "episode_mode": mode,
         "swingup_min_cost_sanity": round(swingup_cost, 4),
+        "first_compile_s": (
+            round(FIRST_COMPILE_S, 1) if FIRST_COMPILE_S is not None
+            else "n/a"
+        ),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -40,6 +40,9 @@ from dust_tpu.experiments import (
     load_config,
 )
 from dust_tpu.simulation import PendulumSimulation, particle_episode_fn
+from dust_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 ROOT = Path(__file__).resolve().parent.parent
 

@@ -21,6 +21,9 @@ import numpy as np
 from dust_tpu.experiments import build_particle_stack, load_config
 from dust_tpu.simulation import run_particle_episode
 from dust_tpu.utils.helper import create_video_from_plots, save_progress
+from dust_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def _map_axes(model):

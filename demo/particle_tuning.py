@@ -37,6 +37,9 @@ from dust_tpu.tuning import (
     random_search,
     successive_halving,
 )
+from dust_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 SPACE = {
     "learning_rate": (1.0, 300.0, "log"),

@@ -21,6 +21,9 @@ import pandas as pd
 from dust_tpu.experiments import build_pendulum_stack, load_config
 from dust_tpu.simulation import PendulumSimulation
 from dust_tpu.utils.helper import save_progress
+from dust_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 CASES = {
     "dust": "DuSt-MPC",

@@ -34,6 +34,9 @@ from dust_tpu.simulation import (
     megakernel_particle_sweep_fn,
     megakernel_pendulum_sweep_fn,
 )
+from dust_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 HERE = Path(__file__).parent
 

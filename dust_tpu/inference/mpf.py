@@ -354,7 +354,12 @@ class FusedMPF(MPF):
         self._packed = packed if packed == "auto" else bool(packed)
         self._use_bf16 = bool(use_bf16)
 
-    def _use_packed(self, m):
+    def _use_packed(self, m, d):
+        # the packed kernels' [score|x|ones] lane layout holds at most
+        # d <= 8 state dims (pallas_svgd.py:202, pallas_gmm.py:207);
+        # larger-d likelihoods must stay on the gram layout (ADVICE r3)
+        if d > 8:
+            return False
         if self._packed == "auto":
             return m >= 4096
         return self._packed
@@ -370,7 +375,7 @@ class FusedMPF(MPF):
         )
 
         x = mstate.x
-        packed = self._use_packed(x.shape[0])
+        packed = self._use_packed(x.shape[0], x.shape[1])
         if packed:
             grad_prior = gmm_prior_score_pallas_packed(
                 x, mstate.prior.locs, mstate.prior_bw,

@@ -157,6 +157,15 @@ def _silverman_groups(v, g, n):
     return jnp.maximum(sigma * (n * 3.0 / 4.0) ** (-0.2), 1e-6)
 
 
+def _pack2(n_act, n_params):
+    """Half-lane param packing applies when the action axis fits one
+    64-lane half and params pair up evenly (see kernel docstring).
+    Computed HERE ONCE and passed to the kernel as a static arg so the
+    wrapper's scratch-row computation and the kernel's layout can never
+    drift (ADVICE r3)."""
+    return n_act <= 64 and n_params % 2 == 0 and n_params > 1
+
+
 def _particle_sweep_kernel(
         seed_ref, scal_ref, masses_ref, theta0_ref, locs0_ref,
         lmix0_ref, amat0_ref, mpfx0_ref, *rest,
@@ -164,7 +173,7 @@ def _particle_sweep_kernel(
         dt, max_acc, max_speed, weights, target, rects, grid, crash,
         success_dist, change_at, exp_util, weighted_prior,
         mpf_log_space, use_fixed_mpf_bw, mpf_bw_scale, host_noise,
-        unroll):
+        unroll, pack2):
     """S-scenario particle-navigation DuSt episodes in one program.
 
     seed (SMEM int32 [1, 2]); scal (SMEM f32 [1, 16]):
@@ -208,7 +217,6 @@ def _particle_sweep_kernel(
     # construction (lane-mirrored), only 1/mass differs per half.
     # HALVES every [rows, 128] op of the hz-step rollout loop (the
     # largest section of the particle group-step, r3 section probe).
-    pack2 = n_act <= 64 and n_params % 2 == 0 and n_params > 1
     npr = n_params // 2 if pack2 else n_params
     rows = npr * sm
     mp = mpfx0_ref.shape[0] // ((n_sc + 1) // 2)
@@ -995,6 +1003,9 @@ def fused_particle_sweep_episode(
                          "rows per scenario)")
     sm = n_sc * m
     smp = _round8(sm)
+    # single source of truth for the half-lane packing decision — the
+    # kernel receives this as a static arg (ADVICE r3)
+    pack2 = _pack2(n_act, n_params)
     mp = _round8(max(m_mpf, 8))
     if mp > 64:
         raise ValueError("particle sweep kernel: m_mpf <= 64 (two "
@@ -1079,11 +1090,8 @@ def fused_particle_sweep_episode(
         mpf_log_space=bool(mpf_log_space),
         use_fixed_mpf_bw=bool(use_fixed_mpf_bw),
         mpf_bw_scale=float(mpf_bw_scale), host_noise=host_noise,
-        unroll=bool(unroll),
+        unroll=bool(unroll), pack2=pack2,
     )
-    # half-lane param packing (see kernel): the rollout scratch needs
-    # only n_params//2 row blocks when two params share the lane halves
-    pack2 = n_act <= 64 and n_params % 2 == 0 and n_params > 1
     rows = (n_params // 2 if pack2 else n_params) * sm
     outs = pl.pallas_call(
         kernel,

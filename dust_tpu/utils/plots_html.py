@@ -23,6 +23,7 @@ Each returns the HTML string and optionally writes it to `save_path`.
 from __future__ import annotations
 
 import json
+import math
 
 import numpy as np
 
@@ -394,9 +395,19 @@ def vega_lite_mean_results(df, value="AvgCumCost", title=None,
                                                    + 1)
     columns = [c for c in (color_key, value, x_key) if c in source]
     records = source[columns].to_dict("records")
-    records = [{k: (float(v) if isinstance(v, (int, float, np.number))
-                    and k != color_key else str(v) if k == color_key
-                    else v) for k, v in r.items()} for r in records]
+
+    def _cell(k, v):
+        if k == color_key:
+            return str(v)
+        if isinstance(v, (int, float, np.number)):
+            v = float(v)
+            # json.dump would emit bare NaN/Infinity tokens — invalid
+            # JSON that vega-embed / altair from_json reject; vega-lite
+            # treats null as missing, which is the right semantic
+            return v if math.isfinite(v) else None
+        return v
+
+    records = [{k: _cell(k, v) for k, v in r.items()} for r in records]
 
     x_enc = {"field": x_key, "type": "quantitative", "title": x_label}
     y_enc = {"field": value, "aggregate": "mean",

@@ -210,7 +210,8 @@ def test_particle_sweep_hardware_parity_host_noise():
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
-                    reason="hardware parity test (set DUST_TPU_TESTS=1)")
+                    reason="hardware parity test (needs TPU backend; "
+                           "runs under DUST_TPU_TESTS=1 env)")
 def test_particle_sweep_hardware_parity_obstacle_path():
     """Hardware parity with the obstacle-geometry path HOT: the demo
     grid_4x4 map and crash/occupancy logic execute in both kernels,
