@@ -135,16 +135,20 @@ def build(key):
 
 def bench_episode_sweep(stack, config):
     """Scenario-batched sweep megakernel (ops/pallas_sweep_episode.py):
-    8 independent episodes per Pallas program (per-scenario true
+    S independent episodes per Pallas program (per-scenario true
     parameters spanning the robustness range, per-scenario seeds /
-    bandwidths / MPF posteriors), lax.scan over BENCH_SWEEP_N/8 groups
+    bandwidths / MPF posteriors), lax.scan over BENCH_SWEEP_N/S groups
     in one dispatch. The headline chip-throughput view; unrolled inner
-    loops are ~6% faster since the glue slimming (compile ~45 s vs
-    ~12 s; BENCH_SWEEP_UNROLL=0 restores the rolled body)."""
+    loops are ~6% faster since the glue slimming (BENCH_SWEEP_UNROLL=0
+    restores the rolled body). S defaults to 16 (r4): the group-step is
+    substantially LATENCY-bound (13.3/17.3/22.8/34.0 us at S=2/4/8/16
+    measured back-to-back), so the widened scenario tiles buy ~17%
+    end-to-end over S=8 (470k vs 402k solves/s at 1024 episodes per
+    dispatch); BENCH_SWEEP_S=8 restores the r1-r3 layout."""
     from dust_tpu.simulation import megakernel_pendulum_sweep_fn
 
     n_sweep = int(os.environ.get("BENCH_SWEEP_N", "256"))
-    S = 8
+    S = int(os.environ.get("BENCH_SWEEP_S", "16"))
     groups = max(1, n_sweep // S)
     sweep = megakernel_pendulum_sweep_fn(
         stack, config["exp_params"], steps=STEPS, n_sc=S, warm_up=0,

@@ -7,13 +7,31 @@ toggling STATIC kernel args (semantics change, timing attribution only):
   mpf0_fbw_np1         + n_params=1 (rollout rows 192 -> 24: the
                        row-scaled rollout/cost/draw-scatter cost)
 
+r4: SECTION=1 additionally measures each probe_skip section gate
+(pallas_sweep_episode.py) as full-minus-skip[x] marginals — the
+decomposition of the r3 "rest" bucket (VERDICT r3 #1): rng (hardware
+PRNG Box-Muller fills), silverman (SVMPC bandwidth sort), draws
+(dynamics-parameter draws + rollout-row scatter), rollout (hz-step
+fori), disco (softmax weight tiles), acc (hz-step delta/glik
+accumulation), stein (SVMPC Stein + GMM prior matmuls), forward
+(selection gram + argmax + roll), sim ([8,1] physics), mpfglue
+(MPF stack/colbcast glue around the loop), logs (log-row scatters).
+
 Dispatch overhead is amortized exactly like phase_probe: one jitted
 scan over GROUPS whole-episode programs per dispatch.
 
-Run on real TPU: python - < bench/probes/section_probe.py
+Run on real TPU: python bench/probes/section_probe.py
 """
 import os
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent.parent))
+
+from dust_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +43,8 @@ HZ, M, NA, MM = 30, 3, 128, 50
 N_SC, STEPS, GROUPS = 8, 200, 32
 
 
-def run(tag, n_params=8, m_mpf=MM, mpf_steps=20, mpf_fixed_bw=None):
+def run(tag, n_params=8, m_mpf=MM, mpf_steps=20, mpf_fixed_bw=None,
+        probe_skip=()):
     key = jax.random.key(0)
     theta0 = jax.random.normal(key, (M, HZ)) * 0.3
     mpfx0 = jnp.ones((m_mpf, 2))
@@ -39,7 +58,9 @@ def run(tag, n_params=8, m_mpf=MM, mpf_steps=20, mpf_fixed_bw=None):
             2.0, 2.0, 1.0, 1.0, 2.0, 1e-3, 0.1,
             n_sc=N_SC, steps=STEPS, hz=HZ, m=M, n_params=n_params,
             n_act=NA, m_mpf=m_mpf, mpf_steps=mpf_steps,
-            mpf_fixed_bw=mpf_fixed_bw, unroll=os.environ.get("UNROLL", "1") == "1",
+            mpf_fixed_bw=mpf_fixed_bw,
+            unroll=os.environ.get("UNROLL", "1") == "1",
+            probe_skip=probe_skip,
         )["cost"]
 
     @jax.jit
@@ -64,8 +85,26 @@ def run(tag, n_params=8, m_mpf=MM, mpf_steps=20, mpf_fixed_bw=None):
 
 
 full = run("full")
-m0 = run("mpf0", mpf_steps=0)
-fbw = run("mpf0_fbw", mpf_steps=0, mpf_fixed_bw=0.1)
-np1 = run("mpf0_fbw_np1", mpf_steps=0, mpf_fixed_bw=0.1, n_params=1)
-print(f"MPF loop: {full - m0:.1f} us, MPF silverman: {m0 - fbw:.1f} us, "
-      f"7/8 of rollout rows: {fbw - np1:.1f} us, rest: {np1:.1f} us")
+if os.environ.get("SECTION", "0") == "1":
+    # full-minus-skip[x] marginal per section gate (r4)
+    sections = ["rng", "silverman", "draws", "rollout", "disco", "acc",
+                "stein", "forward", "sim", "mpfglue", "logs"]
+    marg = {}
+    for s in sections:
+        t = run(f"skip_{s}", probe_skip=(s,))
+        marg[s] = full - t
+    print("---- marginals (full - skip[x]) ----")
+    total = 0.0
+    for s in sections:
+        print(f"  {s:10s} {marg[s]:5.1f} us")
+        total += marg[s]
+    print(f"  {'SUM':10s} {total:5.1f} us of {full:.1f} "
+          "(sections overlap with glue; sum < full expected)")
+else:
+    m0 = run("mpf0", mpf_steps=0)
+    fbw = run("mpf0_fbw", mpf_steps=0, mpf_fixed_bw=0.1)
+    np1 = run("mpf0_fbw_np1", mpf_steps=0, mpf_fixed_bw=0.1,
+              n_params=1)
+    print(f"MPF loop: {full - m0:.1f} us, "
+          f"MPF silverman: {m0 - fbw:.1f} us, "
+          f"7/8 of rollout rows: {fbw - np1:.1f} us, rest: {np1:.1f} us")

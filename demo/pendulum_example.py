@@ -33,6 +33,55 @@ CASES = {
 }
 
 
+def render_frames(df_ep, out_dir, fps=20):
+    """Per-step pendulum frames + MP4 — the headless counterpart of the
+    reference's live gym window (`/root/reference/dust/utils/
+    simulations.py:105-106` calls `env.render()` every MPC step when
+    `render=True`; gym-v0 pendulum draws a rod from the pivot at angle
+    theta, 0 = upright). One persistent figure; only the rod/bob/torque
+    artists update between frames (the particle demo's pattern,
+    `demo/particle_example.py:61-82`)."""
+    import math
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from dust_tpu.utils.helper import create_video_from_plots
+
+    out_dir = Path(out_dir)
+    plot_dir = out_dir / "plots"
+    plot_dir.mkdir(parents=True, exist_ok=True)
+    thetas = df_ep["Position"].to_numpy()
+    actions = df_ep["Actions"].to_numpy()
+    costs = df_ep["Cost"].to_numpy()
+
+    fig, ax = plt.subplots(figsize=(4, 4))
+    ax.set_xlim(-1.3, 1.3)
+    ax.set_ylim(-1.3, 1.3)
+    ax.set_aspect("equal")
+    ax.axhline(0.0, color="#cccccc", lw=0.8, zorder=0)
+    ax.axvline(0.0, color="#cccccc", lw=0.8, zorder=0)
+    (rod,) = ax.plot([], [], lw=5, color="#8b5a2b", solid_capstyle="round")
+    (bob,) = ax.plot([], [], "o", markersize=14, color="#1f77b4")
+    # applied torque as a bar under the pendulum (gym draws a rotating
+    # arrow; a signed bar carries the same signal headlessly)
+    (torque,) = ax.plot([], [], lw=6, color="#d62728",
+                        solid_capstyle="butt")
+    title = ax.set_title("")
+    for t in range(len(thetas)):
+        x, y = math.sin(thetas[t]), math.cos(thetas[t])
+        rod.set_data([0.0, x], [0.0, y])
+        bob.set_data([x], [y])
+        torque.set_data([0.0, actions[t] / 2.0], [-1.2, -1.2])
+        title.set_text(f"t={t}  cost={costs[t]:.2f}")
+        fig.savefig(plot_dir / f"frame_{t:04d}.png")
+    plt.close(fig)
+    video = create_video_from_plots(out_dir, plot_dir, fps=fps)
+    return plot_dir, video
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default=None)
@@ -41,6 +90,10 @@ def main():
     parser.add_argument("--cases", default="dust,svmpc,mppi,disco_utf")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save", action="store_true")
+    parser.add_argument("--render", action="store_true",
+                        help="per-step pendulum frames + MP4 for each "
+                        "case's episode 0 (headless stand-in for the "
+                        "reference's live gym window)")
     args = parser.parse_args()
 
     config_path = args.config or Path(__file__).parent / "pendulum_config.yaml"
@@ -103,6 +156,13 @@ def main():
             lambda s: s.tail(max(steps // 10, 1)).mean()
         )
         print(f"{label}: mean terminal cost per episode:\n{tail}")
+        if args.render:
+            out = save_progress(
+                data=df.reset_index().to_dict(), params=config_data
+            )
+            frames, video = render_frames(df[df["Iteration"] == 0], out)
+            n_frames = len(list(frames.glob("frame_*.png")))
+            print(f"  rendered {n_frames} frames -> {video}")
 
     print("\nSummary (mean AvgCumCost at final step):")
     print(

@@ -241,12 +241,14 @@ def megakernel_pendulum_sweep_fn(stack, exp_params, steps, n_sc,
                                  warm_up=0, unroll=True,
                                  interpret=False, svmpc_only=False):
     """Scenario-batched sweep megakernel adapter
-    (`ops/pallas_sweep_episode.py`): n_sc <= 8 independent pendulum
+    (`ops/pallas_sweep_episode.py`): n_sc <= 16 independent pendulum
     DuSt episodes — per-scenario true parameters, seeds, Silverman
     bandwidths and MPF posteriors — advance in lockstep inside ONE
-    Pallas program. The pod-scale sweep path: vmap/scan over groups of
-    8 for larger sweeps. Returns sweep(seed [2] int32,
-    true_lengths [n_sc], true_masses [n_sc]) -> per-scenario logs.
+    Pallas program. The pod-scale sweep path: vmap/scan over groups
+    for larger sweeps; n_sc=16 is the throughput layout (r4 — the
+    group-step is latency-bound, BASELINE.md), n_sc=8 the r1-r3 one.
+    Returns sweep(seed [2] int32, true_lengths [n_sc],
+    true_masses [n_sc]) -> per-scenario logs.
 
     svmpc_only=True degenerates the dual loop into the SV-MPC
     single-posterior case (`pendulum_example.py:191-215` semantics:

@@ -51,6 +51,25 @@ def test_particle_example_render_frames_and_video(tmp_path):
     assert len(frames) == n_steps
 
 
+def test_pendulum_example_render_frames_and_video():
+    """--render emits one pendulum frame per step plus the MP4 — the
+    headless counterpart of the reference's live gym window
+    (`/root/reference/dust/utils/simulations.py:105-106`)."""
+    import re
+
+    r = _run(["demo/pendulum_example.py", "--steps", "5", "--cases",
+              "svmpc", "--episodes", "1", "--render"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = re.search(r"rendered (\d+) frames -> (\S+)", r.stdout)
+    assert m, r.stdout[-2000:]
+    assert int(m.group(1)) == 5
+    video = Path(m.group(2))
+    assert video.name == "video.mp4" and video.exists()
+    assert video.stat().st_size > 0
+    frames = sorted(video.parent.glob("plots/frame_*.png"))
+    assert len(frames) == 5
+
+
 def test_pendulum_tuning_parallel_lr_runs():
     r = _run(["demo/pendulum_tuning.py", "--parallel-lr", "3",
               "--steps", "5"])

@@ -117,6 +117,155 @@ def build_sweep():
 """
 
 
+BULK_WORKER = r"""
+import sys
+pid, port = int(sys.argv[1]), sys.argv[2]
+import jax
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+from dust_tpu.parallel.mesh import initialize_distributed
+assert initialize_distributed(f"localhost:{port}", num_processes=2,
+                              process_id=pid)
+assert jax.process_count() == 2
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+sys.path.insert(0, "__TMPROOT__")
+import bulk_common as bc
+
+devs = jax.devices()
+assert len(devs) == 4
+mesh = Mesh(devs, ("particle",))
+shard = NamedSharding(mesh, P("particle"))
+rep = NamedSharding(mesh, P())
+
+def place(tree, sh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_callback(
+            jnp.shape(x), sh, lambda idx, x=x: jnp.asarray(x)[idx]
+        ),
+        tree,
+    )
+
+# --- particle-axis ShardedMPF: the all_gather carries the [m, d]
+# particle/score payload across the PROCESS boundary ---
+mpf = bc.make_sharded_mpf(mesh)
+init, obs, action, new_obs = bc.mpf_inputs()
+ms0 = mpf.init_state(jnp.asarray(init), jnp.asarray(obs), dim_a=1,
+                     bw=0.2)
+m = init.shape[0]
+ms0 = jax.tree_util.tree_map(
+    lambda leaf: place(
+        leaf,
+        shard if hasattr(leaf, "shape") and leaf.shape[:1] == (m,)
+        else rep,
+    ),
+    ms0,
+)
+
+def run_mpf(ms, a, o):
+    ms1, grads, _ = mpf.optimize(ms, a, o, bw=0.3, n_steps=5)
+    return jnp.sum(ms1.x), jnp.sum(ms1.x * ms1.x), grads[-1]
+
+s1, s2, g = jax.jit(run_mpf, out_shardings=rep)(
+    ms0, place(jnp.asarray(action), rep), place(jnp.asarray(new_obs), rep)
+)
+print(f"proc{pid} MPF={float(s1):.6f},{float(s2):.6f},{float(g):.6f}",
+      flush=True)
+
+# --- rollout-axis DISCO forward: psum/pmin reassembly of the
+# information-theoretic update across processes ---
+rmesh = Mesh(devs, ("rollout",))
+rshard = NamedSharding(rmesh, P("rollout"))
+rrep = NamedSharding(rmesh, P())
+ctrl, model, dstate, state, eps = bc.rollout_setup()
+from dust_tpu.parallel.rollout import make_sharded_disco_forward
+fwd = make_sharded_disco_forward(ctrl, model, rmesh)
+
+def run_fwd(ds, st, e):
+    ds1, costs, omega = fwd(ds, st, e)
+    return jnp.sum(ds1.a_mat), jnp.mean(costs), jnp.sum(omega * omega)
+
+a1, c1, o1 = jax.jit(run_fwd, out_shardings=rrep)(
+    place(dstate, rrep), place(jnp.asarray(state), rrep),
+    place(jnp.asarray(eps), rshard),
+)
+print(f"proc{pid} FWD={float(a1):.6f},{float(c1):.6f},{float(o1):.6f}",
+      flush=True)
+"""
+
+BULK_COMMON = """
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+M = 256
+
+
+def mpf_inputs():
+    rng = np.random.default_rng(11)
+    init = rng.uniform(0.6, 1.3, size=(M, 2)).astype(np.float32)
+    obs = np.array([2.8, -0.2], dtype=np.float32)
+    action = np.array([0.8], dtype=np.float32)
+    new_obs = np.array([2.7, -0.5], dtype=np.float32)
+    return init, obs, action, new_obs
+
+
+def _likelihood():
+    from dust_tpu.inference import GaussianLikelihood
+    from dust_tpu.models import PendulumModel
+
+    model = PendulumModel(uncertain_params=("length", "mass"))
+    return GaussianLikelihood(obs_std=0.1, model=model)
+
+
+def make_sharded_mpf(mesh):
+    from dust_tpu.parallel.stein import ShardedMPF
+
+    return ShardedMPF(likelihood=_likelihood(), mesh=mesh,
+                      optimizer=optax.sgd(1e-3))
+
+
+def make_plain_mpf():
+    from dust_tpu.inference import MPF
+
+    return MPF(likelihood=_likelihood(), optimizer=optax.sgd(1e-3))
+
+
+def rollout_setup():
+    from dust_tpu.controllers import MultiDisco
+    from dust_tpu.models import PendulumModel
+    from dust_tpu.spaces import Box
+    from tests.test_disco import inst_cost_jnp, term_cost_jnp
+
+    rng = np.random.default_rng(13)
+    model = PendulumModel()
+    n_actions, n_pol, horizon = 64, 3, 10
+    ctrl = MultiDisco(
+        observation_space=Box(dim=2),
+        action_space=Box(dim=1, low=-2.0, high=2.0),
+        hz_len=horizon,
+        n_policies=n_pol,
+        action_samples=n_actions,
+        temperature=0.8,
+        a_cov=4.0 * jnp.eye(1),
+        inst_cost_fn=inst_cost_jnp,
+        term_cost_fn=term_cost_jnp,
+        params_sampling="none",
+    )
+    a_mat0 = jnp.asarray(rng.normal(size=(n_pol, horizon, 1)),
+                         jnp.float32)
+    eps = jnp.asarray(
+        rng.normal(size=(n_actions, n_pol, horizon, 1)) * 2, jnp.float32
+    )
+    state = np.array([[3.0, 0.2]], dtype=np.float32)
+    dstate = ctrl.init_state(a_mat0)
+    return ctrl, model, dstate, state, eps
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -176,3 +325,83 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         sys.path.remove(str(tmp_path))
         sys.modules.pop("worker_common", None)
     np.testing.assert_allclose(means[0], expected, rtol=2e-5)
+
+
+def test_two_process_bulk_collectives_match_single_process(tmp_path):
+    """The particle-axis ShardedMPF all_gather (real [m, d] payload) and
+    the rollout-axis DISCO psum/pmin cross the PROCESS boundary and
+    reproduce the single-process math (VERDICT r3 #4: the DCN story was
+    previously validated only for scenario-DP scalar traffic)."""
+    (tmp_path / "bulk_common.py").write_text(BULK_COMMON)
+    (tmp_path / "bulk_worker.py").write_text(
+        BULK_WORKER.replace("__TMPROOT__", str(tmp_path))
+    )
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = str(ROOT)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(tmp_path / "bulk_worker.py"), str(i),
+             str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(ROOT), env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, out
+
+    vals = {}
+    for out in outs:
+        for tag in ("MPF", "FWD"):
+            match = re.search(rf"{tag}=([-\d.]+),([-\d.]+),([-\d.]+)",
+                              out)
+            assert match, out
+            vals.setdefault(tag, []).append(
+                tuple(float(g) for g in match.groups())
+            )
+    # both processes agree on the replicated cluster-wide digests
+    assert vals["MPF"][0] == vals["MPF"][1], vals
+    assert vals["FWD"][0] == vals["FWD"][1], vals
+
+    # single-process oracles on identical inputs
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import bulk_common as bc
+
+        mpf = bc.make_plain_mpf()
+        init, obs, action, new_obs = bc.mpf_inputs()
+        ms0 = mpf.init_state(init, obs, dim_a=1, bw=0.2)
+        ms1, grads, _ = mpf.optimize(
+            ms0, jnp.asarray(action), jnp.asarray(new_obs), bw=0.3,
+            n_steps=5,
+        )
+        exp_mpf = (float(jnp.sum(ms1.x)), float(jnp.sum(ms1.x * ms1.x)),
+                   float(grads[-1]))
+
+        ctrl, model, dstate, state, eps = bc.rollout_setup()
+        ds_ref, costs_ref, _, _, omega_ref, _ = ctrl.forward(
+            dstate, jnp.asarray(state), model, eps_noise=eps
+        )
+        exp_fwd = (float(jnp.sum(ds_ref.a_mat)),
+                   float(jnp.mean(costs_ref)),
+                   float(jnp.sum(omega_ref * omega_ref)))
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("bulk_common", None)
+
+    np.testing.assert_allclose(vals["MPF"][0], exp_mpf, rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(vals["FWD"][0], exp_fwd, rtol=2e-4,
+                               atol=1e-5)

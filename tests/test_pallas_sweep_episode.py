@@ -108,17 +108,20 @@ def _assert_sweep_matches_singles(n_sc, steps, *, unroll, interpret,
                                        err_msg=f"{k} {s}")
 
 
-@pytest.mark.parametrize("n_sc", [2, 3, 5, 8])
+@pytest.mark.parametrize("n_sc", [2, 3, 5, 8, 16])
 def test_sweep_matches_independent_single_episodes(n_sc):
     """Every scenario of the sweep kernel must reproduce an independent
     single-episode run on the same noise. n_sc=2 exercises the
-    sublane-padding path (S*m=6 rows padded to 8); n_sc=8 is the
+    sublane-padding path (S*m=6 rows padded to 8); n_sc=8 is the r1-r3
     production group size; odd n_sc (3, 5) exercises the MPF pairing's
     missing-B-half path (the last pair block has junk lanes 64:128 that
-    must stay masked out of scenario results). TPU interpret mode
-    zero-stubs the hardware PRNG and Mosaic rejects the rolled body, so
-    this CPU suite drives the ROLLED body; the hardware test below
-    covers the production unrolled path."""
+    must stay masked out of scenario results); n_sc=16 exercises the r4
+    WIDENED scenario tiles (ns=16 sim/log rows, 8 MPF pair blocks,
+    stride-16 log packing — the latency-bound group-step makes S=16 the
+    throughput layout, BASELINE.md r4). TPU interpret mode zero-stubs
+    the hardware PRNG and Mosaic rejects the rolled body, so this CPU
+    suite drives the ROLLED body; the hardware test below covers the
+    production unrolled path."""
     _assert_sweep_matches_singles(n_sc, 2, unroll=False, interpret=True)
 
 
@@ -364,7 +367,7 @@ def test_sweep_layout_guards_raise():
     with pytest.raises(ValueError, match="m_mpf"):
         run(m_mpf=80)     # two scenarios cannot share 128 lanes
     with pytest.raises(ValueError, match="n_sc"):
-        run(n_sc=9)
+        run(n_sc=17)      # 16 is the r4 widened-layout ceiling
 
 
 def test_sweep_adapter_semantic_guards_raise():
