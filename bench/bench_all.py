@@ -623,6 +623,9 @@ def main():
         "mpf_large_m8192": lambda: bench_mpf_large(
             8192, 20, 10 if args.quick else 20, repeats
         ),
+        "mpf_large_m32768_fused": lambda: bench_mpf_large(
+            32768, 20, 3 if args.quick else 6, repeats, fused=True
+        ),
         "particle_large": lambda: bench_particle_large(
             20 if args.quick else 50, repeats
         ),
@@ -630,7 +633,7 @@ def main():
         "skid_steer_scan": lambda: bench_skid_steer_scan(steps, repeats),
     }
     for name, fn in runs.items():
-        if args.only and name != args.only:
+        if args.only and name not in args.only.split(","):
             continue
         try:
             solves = fn()

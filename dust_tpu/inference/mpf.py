@@ -375,10 +375,24 @@ class FusedMPF(MPF):
         )
 
         x = mstate.x
-        packed = self._use_packed(x.shape[0], x.shape[1])
+        m = x.shape[0]
+        packed = self._use_packed(m, x.shape[1])
+        # stream-block auto-scaling (r4, VERDICT r3 #2 follow-up —
+        # measured on v5e, block-config table in BASELINE.md "r4
+        # Gram-symmetry verdict"):
+        # growing the j/k stream block to min(m, 8192) at block_i=256
+        # cuts per-grid-step fixed costs (block copies + grid glue):
+        # e2e +21% at m=8192 (63.3 vs 52.1 updates/s same-session) and
+        # +45% at m=32768 (8.0 vs 5.5). 256 x 8192 f32 K-tiles (8 MB)
+        # compile; 512 x 8192 (16 MB) exceeds VMEM in the full update
+        # program. The r4 SYMMETRIC kernel (svgd_phi_pallas_symm,
+        # j >= i blocks only) measured NO e2e win over these blocks —
+        # see BASELINE.md "r4 Gram-symmetry verdict".
+        blk_j = min(8192, max(1024, -(-m // 1024) * 1024))
         if packed:
             grad_prior = gmm_prior_score_pallas_packed(
                 x, mstate.prior.locs, mstate.prior_bw,
+                block_k=blk_j,
                 use_bf16=self._use_bf16, interpret=self._interpret,
             )
         else:
@@ -396,6 +410,7 @@ class FusedMPF(MPF):
         if packed:
             return svgd_phi_pallas_packed(
                 x, score, jnp.asarray(bw, jnp.float32),
+                block_j=blk_j,
                 use_bf16=self._use_bf16, interpret=self._interpret,
             )
         return svgd_phi_pallas(x, score, jnp.asarray(bw, jnp.float32),

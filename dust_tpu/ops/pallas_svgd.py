@@ -240,6 +240,118 @@ def svgd_phi_pallas_packed(x, score, bw, block_i=256, block_j=1024,
     return phi[:m, :d] / jnp.float32(m)
 
 
+def _phi_kernel_packed_symm(bw_ref, xi_ref, xjt_ref, pki_ref, pkj_ref,
+                            phi_ref, acc_ref, *, num_j, d, block):
+    """Symmetric packed phi tile (r4, VERDICT r3 #2): K(i,j) = K(j,i),
+    so only j >= i blocks are evaluated — the [b, b] VPU exp/d2
+    elementwise stream, the kernels' measured BINDING resource
+    (BASELINE.md roofline), nearly halves. Each off-diagonal tile
+    contributes twice: directly into the i-rows (K @ pk_j) and mirrored
+    into the j-rows (K^T @ pk_i, one extra contraction on the
+    mostly-idle MXU — no explicit transpose, the dot contracts dim 0).
+
+    Needs a FULL-residence [mp, 128] f32 accumulator: mirror
+    contributions for block j arrive across every earlier grid row, so
+    per-i-block streaming accumulators no longer suffice. The TPU grid
+    executes sequentially on one core, making the read-modify-write
+    dynamic-slice accumulation well-defined. VMEM cost mp * 512 B —
+    the accumulator is what bounds m (see the wrapper guard).
+
+    Row-major traversal guarantees every contribution to block i
+    (mirrors from rows i' < i, directs along row i) lands before the
+    (i, num_j - 1) finish step writes the output block.
+
+    Padded-row correctness needs no masks: pk rows beyond m are zero,
+    so mirrored contractions over padded i-rows contribute exact
+    zeros, and direct contributions into padded rows are dropped by
+    the caller's [:m] slice."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j >= i)
+    def _work():
+        bw = bw_ref[0, 0]
+        inv2 = 0.5 / (bw * bw)
+        xi = xi_ref[:]                                   # [b, 128]
+        d2 = None
+        for dd in range(d):
+            diff = xi[:, dd:dd + 1] - xjt_ref[dd:dd + 1, :]
+            d2 = diff * diff if d2 is None else d2 + diff * diff
+        k = jnp.exp(-d2 * inv2)                          # [b, b]
+        acc_ref[pl.ds(i * block, block), :] += jnp.dot(
+            k, pkj_ref[:], preferred_element_type=jnp.float32
+        )
+        # mirror (gated multiplicatively: on the diagonal the direct
+        # pass already covered these pairs, so the contribution is
+        # zeroed rather than branching inside the traced body)
+        gate = (j > i).astype(jnp.float32)
+        acc_ref[pl.ds(j * block, block), :] += gate * jax.lax.dot_general(
+            k, pki_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == num_j - 1)
+    def _finish():
+        acc = acc_ref[pl.ds(i * block, block), :]
+        xi = xi_ref[:]
+        bw = bw_ref[0, 0]
+        inv2 = 0.5 / (bw * bw)
+        rows = acc[:, 2 * d:2 * d + 1]
+        repel = (rows * xi[:, 0:d] - acc[:, d:2 * d]) * (2.0 * inv2)
+        phi_ref[:] = jnp.zeros_like(phi_ref)
+        phi_ref[:, 0:d] = acc[:, 0:d] + repel            # /m by caller
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def svgd_phi_pallas_symm(x, score, bw, block=512, interpret=False):
+    """Symmetric packed-layout fused phi (see `_phi_kernel_packed_symm`).
+    Identical math to `svgd_phi_pallas` (parity-tested); d <= 8."""
+    m, d = x.shape
+    if d > 8 or 2 * d + 1 > 128:
+        raise ValueError("packed phi layout requires d <= 8")
+    mp = _round_up(max(m, block), block)
+    dp = 128
+
+    x = x - jax.lax.stop_gradient(jnp.mean(x, axis=0, keepdims=True))
+    xp = jnp.zeros((mp, dp), jnp.float32).at[:m, :d].set(x)
+    xjt = jnp.zeros((8, mp), jnp.float32).at[:d, :m].set(x.T)
+    pk = (jnp.zeros((mp, dp), jnp.float32)
+          .at[:m, 0:d].set(score)
+          .at[:m, d:2 * d].set(x)
+          .at[:m, 2 * d].set(1.0))
+    bw_arr = jnp.asarray(bw, jnp.float32).reshape(1, 1)
+
+    num_j = mp // block
+    grid = (num_j, num_j)
+    kernel = functools.partial(_phi_kernel_packed_symm, num_j=num_j,
+                               d=d, block=block)
+    phi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # bw
+            pl.BlockSpec((block, dp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),            # x_i
+            pl.BlockSpec((8, block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),            # x_j^T
+            pl.BlockSpec((block, dp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),            # packed_i
+            pl.BlockSpec((block, dp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),            # packed_j
+        ],
+        out_specs=pl.BlockSpec((block, dp), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, dp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((mp, dp), jnp.float32)],
+        interpret=interpret,
+    )(bw_arr, xp, xjt, pk, pk)
+    return phi[:m, :d] / jnp.float32(m)
+
+
 def fused_svgd_phi(x, score, bw, min_particles_for_pallas=512):
     """Dispatch: Pallas on TPU for large m, jnp path otherwise."""
     m = x.shape[0]

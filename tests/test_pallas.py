@@ -68,6 +68,26 @@ def test_pallas_phi_packed_matches_reference(rng, m, d):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("m,d", [(64, 2), (137, 5), (300, 1), (700, 2)])
+def test_pallas_phi_symm_matches_reference(rng, m, d):
+    """Symmetric packed layout (r4: j >= i blocks only, each
+    off-diagonal tile mirrored into the j-rows via a second
+    contraction, full-residence accumulator) == oracle, incl. the
+    multi-block triangle and padded final block. Kept parity-tested as
+    a MEASURED REJECTION on hardware — no e2e win over block-tuned
+    packed streaming and a VMEM ceiling at m=32768 (BASELINE.md "r4
+    Gram-symmetry verdict")."""
+    from dust_tpu.ops.pallas_svgd import svgd_phi_pallas_symm
+
+    x = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32)) + 1.5
+    score = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32)) * 5.0
+    oracle = svgd_phi_reference(x, score, 0.7)
+    fused = svgd_phi_pallas_symm(x, score, 0.7, block=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_phi_packed_bf16_demo_tolerance(rng):
     """bf16 K streaming (f32 accumulate) stays within ~0.5% of the
     oracle — the opt-in fast path's accuracy contract."""
