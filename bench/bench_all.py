@@ -443,12 +443,14 @@ def bench_skid_steer_scan(steps, repeats):
 
 def bench_particle_sweep_mega(n_scenarios, steps, repeats):
     """Scenario-batched particle sweep megakernel
-    (ops/pallas_particle_sweep_episode.py, r2): groups of 8
+    (ops/pallas_particle_sweep_episode.py, r2): groups of S
     obstacle-navigation episodes per Pallas program, lax.scan over
-    groups — the particle-task counterpart of bench_sweep_mega."""
+    groups — the particle-task counterpart of bench_sweep_mega.
+    S = 16 since r4 (widened scenario tiles, measured +3.5-6% over
+    S = 8 at n >= 256; BENCH_SWEEP_S=8 restores the r1-r3 layout)."""
     from dust_tpu.simulation import megakernel_particle_sweep_fn
 
-    S = min(8, n_scenarios)
+    S = min(int(os.environ.get("BENCH_SWEEP_S", "16")), n_scenarios)
     groups = max(1, n_scenarios // S)
     n = S * groups
     config = load_config(ROOT / "demo/particle_config.yaml")

@@ -10,7 +10,21 @@ attribution only — the pendulum `section_probe.py` pattern):
                   grouped sort + packing, draws, Stein, selection,
                   simulator, logging)
 
+r4: SECTION=1 additionally measures each probe_skip section gate
+(pallas_particle_sweep_episode.py) as full-minus-skip[x] marginals —
+the full decomposition mandated by VERDICT r3 #5: rng (hardware PRNG
+Box-Muller fills), silverman (grouped-bitonic SVMPC bandwidth sort +
+rr-major packing), draws (MPF-prior dynamics draws + rollout-row
+scatter), occ (ALL occupancy-grid tests: rollout + sim + MPF + term),
+rollout (hz-step fori over 4 state tiles), disco (beta + softmax
+weight tiles), acc (hz-step delta/glik accumulation), stein (SVMPC
+Stein + weighted GMM prior matmuls), forward (posterior weights +
+argmax + roll), sim ([8, 1] column physics), mpfglue (pair_tile/
+colbcast glue + the MPF loop), term (crash/goal termination), logs
+(12-field log-row scatter).
+
 Run on real TPU: timeout 1800 python bench/probes/particle_section_probe.py
+         SECTION=1 timeout 3600 python bench/probes/particle_section_probe.py
 """
 
 import json
@@ -22,6 +36,10 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(ROOT))
 
+from dust_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax
 import jax.numpy as jnp
 
@@ -31,12 +49,13 @@ from dust_tpu.simulation import megakernel_particle_sweep_fn
 STEPS, GROUPS, REPEATS = 200, 8, 3
 
 
-def run(tag, **overrides):
+def run(tag, probe_skip=(), **overrides):
     config = load_config(ROOT / "demo/particle_config.yaml")
     config["exp_params"].update(overrides)
     stack = build_particle_stack(config, jax.random.key(0))
     sweep = megakernel_particle_sweep_fn(
-        stack, config["exp_params"], steps=STEPS, n_sc=8, unroll=True
+        stack, config["exp_params"], steps=STEPS, n_sc=8, unroll=True,
+        probe_skip=probe_skip,
     )
     masses = jnp.linspace(1.6, 2.4, 8)
 
@@ -67,6 +86,26 @@ def run(tag, **overrides):
 
 def main():
     only = os.environ.get("ONLY")
+    if os.environ.get("SECTION", "0") == "1":
+        # full-minus-skip[x] marginal per section gate (r4)
+        sections = ["rng", "silverman", "draws", "occ", "rollout",
+                    "disco", "acc", "stein", "forward", "sim",
+                    "mpfglue", "term", "logs"]
+        if only:
+            sections = [s for s in sections if s in only.split(",")]
+        full = run("full")
+        marg = {}
+        for s in sections:
+            t = run(f"skip_{s}", probe_skip=(s,))
+            marg[s] = full - t
+        print("---- marginals (full - skip[x]) ----")
+        total = 0.0
+        for s in sections:
+            print(f"  {s:10s} {marg[s]:5.1f} us")
+            total += marg[s]
+        print(f"  {'SUM':10s} {total:5.1f} us of {full:.1f} "
+              "(sections overlap with glue; sum < full expected)")
+        return
     variants = {
         "full": {},
         "mpf0": dict(mpf_steps=0),

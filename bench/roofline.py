@@ -87,6 +87,70 @@ def sweep_group_step_flops(S=8, m=3, hz=30, n_params=8, n_act=128,
     return fl
 
 
+def particle_sweep_group_step_flops(S=8, m=6, hz=40, n_params=4,
+                                    n_act=64, m_mpf=50, mpf_steps=20,
+                                    n_occ_ops=30):
+    """FLOPs for ONE step of the PARTICLE sweep megakernel (S solves,
+    `ops/pallas_particle_sweep_episode.py`, demo shapes). Same counting
+    discipline as `sweep_group_step_flops`: elementwise ops count
+    rows*128 lanes, dot_generals 2*M*N*K, tallies are structural
+    (+-20%). pack2 (n_act <= 64, n_params even) halves the rollout
+    rows; `n_occ_ops` is the per-call occupancy-grid cost for the
+    grid_4x4 preset after interval factoring (4+4 interval tests +
+    border leftovers + clip/floor prep — ops/pallas_particle_rollout.py
+    `occupancy_hit`)."""
+    sm = S * m
+    smp = -(-sm // 8) * 8
+    pack2 = n_act <= 64 and n_params % 2 == 0 and n_params > 1
+    npr = n_params // 2 if pack2 else n_params
+    rows = npr * sm
+    mp = -(-max(m_mpf, 8) // 8) * 8
+    n_pair = (S + 1) // 2
+    nmr = n_pair * mp
+    lane = 128
+    g_bw = 1
+    while g_bw * 128 < m * hz * 2:
+        g_bw *= 2
+    fl = {}
+    # hardware PRNG: (hz*2*smp + 16*S) rows of normals/uniforms
+    # (~8 FLOPs each) + draw plumbing (x64 broadcast selects [8S, 128],
+    # one-hot draw select, 2 masked lane-sum scatters to [rows, 128])
+    fl["rng"] = (hz * 2 * smp + 16 * S) * lane * 8
+    fl["draws"] = (8 * S * 10 + rows * 6) * lane
+    # SVMPC Silverman: rr-major packing (~m + n_flat/64 single-vreg
+    # roll+selects on [8, 128]) + grouped bitonic over [g*8, 128]
+    # (sum_{i<=log2(g*128)} i stages x ~6 ops) + stats glue
+    n_flat = m * hz * 2
+    stages = sum(range(1, (g_bw * 128).bit_length()))
+    fl["silverman"] = (m + n_flat // 64) * 8 * lane * 4 \
+        + stages * 6 * g_bw * 8 * lane + 20 * g_bw * 8 * lane
+    # rollouts: hz iterations x [rows, 128] x ~30 FLOPs/lane (cost 10,
+    # action mirror+clips 8, physics 8, glue) — occupancy separate
+    fl["rollout"] = (hz + 1) * rows * lane * 30
+    # occupancy tests: one per rollout iteration + terminal (+ sim,
+    # term, MPF-likelihood calls on [8, 1] columns — negligible adds)
+    fl["occupancy"] = (hz + 1) * rows * lane * n_occ_ops
+    # param fold + per-scenario DISCO beta + two softmaxes on [smp, 128]
+    fl["disco"] = (npr + 2) * sm * lane + 100 * smp * lane
+    # hz-step delta/glik accumulation: 4 row-dots + 4 selects per step
+    fl["acc"] = hz * 12 * smp * lane
+    # Stein + weighted GMM prior + forward selection: 8 block matmuls
+    # [smp, smp] x [smp, 128|smp] + ~80 elementwise [smp, 128] ops
+    fl["stein+forward"] = 8 * 2 * smp * smp * lane + 80 * smp * lane
+    # MPF: mpf_steps x (~50 elementwise ops on the stacked [nmr, 128]
+    # pairwise tiles + 6 per-pair-block row sums + THREE colbcast
+    # lane-broadcast matmuls) + the commit/setup colbcasts
+    colbcast = 2 * nmr * lane * lane + 3 * nmr * lane
+    fl["mpf_elementwise"] = mpf_steps * (50 + 6) * nmr * lane \
+        + 30 * 8 * lane
+    fl["mpf_colbcast_mxu"] = (3 * mpf_steps + 3) * colbcast
+    # simulator + termination + logs: [8, 1]/[8, 128] column physics,
+    # 12-field scatter
+    fl["sim+term+logs"] = 60 * 8 * lane + 24 * 8 * lane
+    fl["total"] = sum(fl.values())
+    return fl
+
+
 def fused_mpf_update_flops(m=2048, d=2, steps=20):
     """FLOPs for one FusedMPF posterior update (ops/pallas_mpf.py):
     steps x (Gram build + kernel + two K-matmuls + score glue)."""
@@ -149,6 +213,42 @@ def measure_sweep(steps=200, groups=32, repeats=3):
     return best / (groups * steps)     # seconds per group-step
 
 
+def measure_particle_sweep(steps=200, groups=8, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from dust_tpu.experiments import build_particle_stack, load_config
+    from dust_tpu.simulation import megakernel_particle_sweep_fn
+
+    config = load_config(ROOT / "demo/particle_config.yaml")
+    stack = build_particle_stack(config, jax.random.key(0))
+    sweep = megakernel_particle_sweep_fn(
+        stack, config["exp_params"], steps=steps, n_sc=8, unroll=True
+    )
+    masses = jnp.linspace(1.6, 2.4, 8)
+
+    @jax.jit
+    def run_groups(seeds):
+        return jax.lax.scan(
+            lambda _, sd: (0, sweep(sd, masses)["cum"]), 0, seeds
+        )[1]
+
+    def run(i):
+        seeds = jnp.stack(
+            [jnp.full((groups,), i, jnp.int32),
+             jnp.arange(groups, dtype=jnp.int32) * 1000], axis=1
+        )
+        return run_groups(seeds)
+
+    run(0).block_until_ready()
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(i + 1).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best / (groups * steps)     # seconds per group-step
+
+
 def measure_fused_mpf(m, steps=20, repeats=3, chain=20):
     import jax
     import jax.numpy as jnp
@@ -189,10 +289,13 @@ def measure_fused_mpf(m, steps=20, repeats=3, chain=20):
 
 # r2 recorded rates (SKIP_MEASURE path; refreshed whenever the script
 # runs on hardware)
-RECORDED = {        # measured r2 2026-08-19 on one v5e via the tunnel
-    "sweep_group_step_s": 25.121e-6,
-    "mpf2048_update_s": 3.180e-3,
-    "mpf8192_update_s": 33.855e-3,
+RECORDED = {        # measured r4 2026-08-20 on one v5e via the tunnel
+    "sweep_group_step_s": 24.355e-6,
+    "mpf2048_update_s": 2.638e-3,
+    "mpf8192_update_s": 16.006e-3,
+    # r4 post-halfeps (GROUPS=8; 38.1 at GROUPS=8 same-day A/B probe,
+    # 41.8 in this script's measure — tunnel-load variance)
+    "particle_group_step_s": 41.809e-6,
 }
 
 
@@ -206,6 +309,7 @@ def main():
             "set SKIP_MEASURE=1 for the analytic table"
         )
         measured["sweep_group_step_s"] = measure_sweep()
+        measured["particle_group_step_s"] = measure_particle_sweep()
         measured["mpf2048_update_s"] = measure_fused_mpf(2048)
         measured["mpf8192_update_s"] = measure_fused_mpf(8192, chain=4)
     else:
@@ -235,6 +339,25 @@ def main():
         "pct_hbm_peak": round(100 * ep_bytes / (t * 200) / HBM_BPS, 3),
         "binds": "MXU broadcast dispatches (colbcast) + serial "
                  "dependency chains; HBM idle (VMEM-resident)",
+    })
+    # particle sweep megakernel (VERDICT r3 #5)
+    fl = particle_sweep_group_step_flops()
+    t = measured["particle_group_step_s"]
+    ach = fl["total"] / t
+    useful = fl["total"] - fl["mpf_colbcast_mxu"]
+    rows.append({
+        "kernel": "particle_sweep_megakernel_group_step",
+        "flops": fl["total"],
+        "flop_breakdown": {k: v for k, v in fl.items() if k != "total"},
+        "seconds": round(t * 1e6, 3),
+        "unit": "us/group-step (8 solves)",
+        "achieved_total_tflops": round(ach / 1e12, 3),
+        "pct_mxu_f32_peak_total": round(100 * ach / MXU_F32, 2),
+        "useful_math_tflops": round(useful / t / 1e12, 3),
+        "pct_vpu_peak_useful": round(100 * useful / t / VPU_F32, 2),
+        "binds": "MXU broadcast dispatches (colbcast) + serial "
+                 "dependency chains (hz=40 rollout/acc loops, "
+                 "mpf_steps=20 loop); HBM idle (VMEM-resident)",
     })
     for m, key in ((2048, "mpf2048_update_s"), (8192, "mpf8192_update_s")):
         fm = fused_mpf_update_flops(m)

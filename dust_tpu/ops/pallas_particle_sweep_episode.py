@@ -1,6 +1,6 @@
 """Scenario-batched whole-episode Pallas megakernel (particle DuSt).
 
-Particle-navigation counterpart of `pallas_sweep_episode.py`: S <= 8
+Particle-navigation counterpart of `pallas_sweep_episode.py`: S <= 16
 independent obstacle-navigation DuSt episodes (per-scenario seeds, true
 simulator masses, crash/goal termination, weighted policy priors,
 log-mass MPF posteriors) advance in lockstep inside ONE Pallas program.
@@ -29,7 +29,9 @@ Scenario stacking mirrors the pendulum sweep kernel:
 * the simulator advances all S particles as [8, 1] column physics with
   per-scenario done/crash masks; MPF updates gate per scenario.
 
-Restrictions (adapter-checked like the pendulum sweep): S <= 8,
+Restrictions (adapter-checked like the pendulum sweep): S <= 16
+(S <= 8 compiles to the r1-r3 one-vreg scenario tiles bit-identically;
+S > 8 widens them to 16 sublanes and logs two rows per step — r4),
 controller a_seq == 0, fixed MPF bandwidth optional; the weighted
 prior IS supported (it is the particle demo's configuration).
 
@@ -173,7 +175,7 @@ def _particle_sweep_kernel(
         dt, max_acc, max_speed, weights, target, rects, grid, crash,
         success_dist, change_at, exp_util, weighted_prior,
         mpf_log_space, use_fixed_mpf_bw, mpf_bw_scale, host_noise,
-        unroll, pack2):
+        unroll, pack2, halfeps, probe_skip):
     """S-scenario particle-navigation DuSt episodes in one program.
 
     seed (SMEM int32 [1, 2]); scal (SMEM f32 [1, 16]):
@@ -186,8 +188,15 @@ def _particle_sweep_kernel(
     block p, 2p+1 at lane 64).
 
     host_noise appends eps_in [steps*hz*2*smp, 128] (per step: smp x
-    rows then smp y rows per tt), pdz_in/pdu_in [steps*8*n_sc, 128]
-    (rows t*8*n_sc + s*8 + p, lane 0).
+    rows then smp y rows per tt) — or, with halfeps (n_act <= 64, r4),
+    [steps*hz*smp, 128] with the x channel at lanes 0:64 and the y
+    channel at lanes 64:128 of row tt*smp + r: only lanes < n_act <= 64
+    of each channel are ever consumed (action tiles mirror or mask the
+    upper half; omega/w_lik are zero outside valid lanes), so packing
+    both channels into one row HALVES the hardware-PRNG Box-Muller
+    rows — the single largest bucket of the r4 section attribution
+    (rng 8.4 us of the 42.7 us group-step). pdz_in/pdu_in
+    [steps*8*n_sc, 128] (rows t*8*n_sc + s*8 + p, lane 0).
 
     Outputs: log [steps_p, 128] with per-scenario lanes (field f of
     scenario s at lane f*8+s; fields: px, py, vx, vy, a_x, a_y, cost,
@@ -198,18 +207,37 @@ def _particle_sweep_kernel(
         (eps_in_ref, pdz_in_ref, pdu_in_ref,
          log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
          lmix_out_ref, mpfx_out_ref,
-         eps_ref, px_ref, py_ref, vx_ref, vy_ref,
+         eps_ref, eps2_ref, px_ref, py_ref, vx_ref, vy_ref,
          theta_ref, locs_ref, amat_ref, lmix_ref, mpfx_ref,
          sim_ref) = rest
     else:
         (log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
          lmix_out_ref, mpfx_out_ref,
-         eps_ref, px_ref, py_ref, vx_ref, vy_ref,
+         eps_ref, eps2_ref, px_ref, py_ref, vx_ref, vy_ref,
          theta_ref, locs_ref, amat_ref, lmix_ref, mpfx_ref,
          sim_ref) = rest
 
+    # probe_skip (ATTRIBUTION ONLY, bench/probes/particle_section_probe
+    # SECTION=1): static set of section names whose work is replaced by
+    # cheap shape/dependency-preserving stand-ins so each section's
+    # marginal device time can be measured end-to-end. Empty in
+    # production — with probe_skip=() every branch below is the
+    # byte-identical original code path (Python-level static ifs).
+    # Stand-ins are anchored to VMEM-loaded tiles (x * 0.0 + c), never
+    # pure splat constants (the remote Mosaic's scalar-splat rejection
+    # class, see ops/pallas_solve.py).
+    skip = frozenset(probe_skip)
     sm = n_sc * m
     smp = _round8(sm)
+    # scenario-tile row count: 8 (one vreg) for n_sc <= 8 — the r1-r3
+    # layout, bit-identical — or 16 for the widened sweep (r4: the
+    # group-step is substantially latency-bound — 13 small sections of
+    # 0.2-8 us marginals, sum 34 of 42.7 us — so doubling S amortizes
+    # the serial chains over 2x solves; the pendulum kernel's S=16
+    # widening measured 1.49x time for 2x solves). S=16 is the
+    # ceiling: draw lanes s*8+p < 128; the 12-field log packing splits
+    # into TWO rows per step (12*16 = 192 > 128 lanes)
+    ns = 8 if n_sc <= 8 else 16
     # half-lane param packing: with n_act <= 64 the rollout tiles'
     # upper lane halves are pure padding, so two param draws share each
     # 128-lane row (param 2h at lanes < 64 of row block h, 2h+1 at
@@ -243,14 +271,15 @@ def _particle_sweep_kernel(
     amat_ref[:] = amat0_ref[:]
     lmix_ref[:] = lmix0_ref[:]
     mpfx_ref[:] = mpfx0_ref[:]
-    # sim_ref [8, 128]: row s lanes [px, py, vx, vy, done, crashed,
+    # sim_ref [ns, 128]: row s lanes [px, py, vx, vy, done, crashed,
     # cum, lik_px, lik_py, lik_vx, lik_vy, prior_bw]
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    sim0 = jnp.zeros((8, 128), jnp.float32)
+    lane_ns = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 1)
+    sim0 = jnp.zeros((ns, 128), jnp.float32)
     for i in range(4):
-        sim0 = jnp.where(lane8 == i, scal_ref[0, i], sim0)
-        sim0 = jnp.where(lane8 == 7 + i, scal_ref[0, i], sim0)
-    sim_ref[:] = jnp.where(lane8 == 11, scal_ref[0, 13], sim0)
+        sim0 = jnp.where(lane_ns == i, scal_ref[0, i], sim0)
+        sim0 = jnp.where(lane_ns == 7 + i, scal_ref[0, i], sim0)
+    sim_ref[:] = jnp.where(lane_ns == 11, scal_ref[0, 13], sim0)
 
     lane_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 1)
     row_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 0)
@@ -263,19 +292,18 @@ def _particle_sweep_kernel(
     colv = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) < sm
     blk = blk & colv
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    i81 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-
-    def col_at(col, s):
-        return jnp.sum(jnp.where(i81 == s, col, 0.0))
+    i81 = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
 
     def lane_col(tile, lane_idx):
-        """sim_ref-style [8, 128] tile -> [8, 1] column of one lane."""
-        return jnp.sum(jnp.where(lane8 == lane_idx, tile, 0.0),
+        """sim_ref-style [ns, 128] tile -> [ns, 1] column of one lane."""
+        return jnp.sum(jnp.where(lane_ns == lane_idx, tile, 0.0),
                        axis=1, keepdims=True)
 
     def occ_any(px, py):
         if rects is None:
             return None
+        if "occ" in skip:   # attribution: zero occupancy, same shape
+            return px * 0.0
         inv_cell, offx, offy, ximax, yimax = grid
         xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
         yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
@@ -311,19 +339,19 @@ def _particle_sweep_kernel(
     ).astype(jnp.float32)
 
     def pair_tile(col):
-        """[8, 1] scenario column -> [8, 128] pair-row tile (scenario
+        """[ns, 1] scenario column -> [8, 128] pair-row tile (scenario
         2p at lanes < 64 of row p, 2p+1 at lanes >= 64; a missing B
         mirrors its pair's A — masked off, must stay finite).
-        Vectorized: one [8, 1] -> [4, 2] reshape splits even/odd
+        Vectorized: one [ns, 1] -> [ns/2, 2] reshape splits even/odd
         scenarios onto the two lanes, replacing the old 2*n_pair
         col_at-reduce + masked-select chain (~24 serial tiny ops per
         call, 9 calls per step)."""
         last = jnp.sum(jnp.where(i81 == n_sc - 1, col, 0.0))
-        c2 = jnp.where(i81 < n_sc, col, last).reshape(4, 2)
-        ca = jnp.concatenate(
-            [c2[:, 0:1], jnp.zeros((4, 1), jnp.float32)], axis=0)
-        cb = jnp.concatenate(
-            [c2[:, 1:2], jnp.zeros((4, 1), jnp.float32)], axis=0)
+        c2 = jnp.where(i81 < n_sc, col, last).reshape(ns // 2, 2)
+        zp = ([jnp.zeros((8 - ns // 2, 1), jnp.float32)]
+              if ns // 2 < 8 else [])
+        ca = jnp.concatenate([c2[:, 0:1]] + zp, axis=0)
+        cb = jnp.concatenate([c2[:, 1:2]] + zp, axis=0)
         return jnp.where(lane8 < 64, jnp.broadcast_to(ca, (8, 128)),
                          jnp.broadcast_to(cb, (8, 128)))
 
@@ -364,17 +392,34 @@ def _particle_sweep_kernel(
     def fin(v):
         return jnp.where(v - v == 0.0, v, 0.0)
 
+    # halfeps (r4): one eps row serves BOTH action channels (x at
+    # lanes 0:64, y at 64:128) — hz*smp PRNG rows instead of hz*2*smp
+    epr = hz * smp if halfeps else hz * 2 * smp
+
     def step(t, _):
         if not host_noise:
             pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] * 100003 + t)
-            eps_ref[:] = _normals((hz * 2 * smp, 128))
-            pdz = _normals((8 * n_sc, 128))
-            pdu = _uniform01((8 * n_sc, 128))
+            if "rng" in skip:   # cheap t-dependent fills (no Box-Muller)
+                # anchored to VMEM-tile READS (x*0.0 + c); reading the
+                # scratch uninitialized on step 0 is fine — multiplied
+                # by zero. Needs epr >= 8*n_sc (demo: 1920 >= 64).
+                tv = jnp.float32(t) * 1e-6
+                eps_ref[:] = eps_ref[:] * 0.0 + (0.01 + tv)
+                pdz = eps_ref[0:8 * n_sc, :] * 0.0 + (0.02 + tv)
+                pdu = eps_ref[0:8 * n_sc, :] * 0.0 + (0.5 + tv)
+            else:
+                eps_ref[:] = _normals((epr, 128))
+                pdz = _normals((8 * n_sc, 128))
+                pdu = _uniform01((8 * n_sc, 128))
         else:
-            eps_ref[:] = eps_in_ref[
-                pl.ds(t * hz * 2 * smp, hz * 2 * smp), :]
+            eps_ref[:] = eps_in_ref[pl.ds(t * epr, epr), :]
             pdz = pdz_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
             pdu = pdu_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
+        if halfeps:
+            # y-channel view: ONE bulk 64-lane roll per step (pipelines
+            # freely here; doing the roll per rollout iteration instead
+            # measured ~4 us/group-step of serial-chain stalls)
+            eps2_ref[:] = pltpu.roll(eps_ref[:], shift=64, axis=1)
 
         theta = jnp.where(valid_sm, theta_ref[:], 0.0)
         locs = jnp.where(valid_sm, locs_ref[:], 0.0)
@@ -401,31 +446,47 @@ def _particle_sweep_kernel(
         # single-vreg op per (q, segment) for all scenarios at once —
         # the per-scenario packing loop cost ~n_sc x this) ----
         n_flat = m * ev
-        # theta rows at stride m -> scenario-per-sublane tiles per q
-        theta_q = []
-        for q in range(m):
-            rows_q = jnp.concatenate(
-                [theta[s * m + q:s * m + q + 1, :]
-                 for s in range(n_sc)]
-                + ([jnp.full((8 - n_sc, 128), _POS_BIG, jnp.float32)]
-                   if n_sc < 8 else []),
-                axis=0,
-            )
-            theta_q.append(rows_q)                        # [8, 128]
-        acc = [jnp.full((8, 128), _POS_BIG, jnp.float32)
-               for _ in range(g_bw)]
-        pos = 0
-        while pos < n_flat:
-            q, l0 = divmod(pos, ev)
-            rr, lane_off = divmod(pos, 128)
-            take = min(ev - l0, 128 - lane_off)
-            chunk = pltpu.roll(theta_q[q],
-                               shift=(lane_off - l0) % 128, axis=1)
-            in_seg = (lane8 >= lane_off) & (lane8 < lane_off + take)
-            acc[rr] = jnp.where(in_seg, chunk, acc[rr])
-            pos += take
-        sv_tile = jnp.concatenate(acc, axis=0)            # [g*8, 128]
-        bw8 = _silverman_groups(sv_tile, g_bw, n_flat)    # [8, 1]
+        if "silverman" in skip:
+            bw8 = jnp.full((ns, 1), 0.3) + pbw_col * 1e-9 \
+                + jnp.sum(theta[0:1, 0:1]) * 1e-12
+        else:
+            # theta rows at stride m -> scenario-per-sublane tiles per
+            # q; the grouped bitonic sorts 8 scenarios per vreg sublane
+            # set, so ns = 16 runs one independent sort per 8-scenario
+            # half (2x the sort work for 2x solves — amortization-
+            # neutral)
+            bw_halves = []
+            for s0 in range(0, ns, 8):
+                n_h = min(8, max(n_sc - s0, 0))
+                theta_q = []
+                for q in range(m):
+                    rows_q = jnp.concatenate(
+                        [theta[(s0 + s) * m + q:(s0 + s) * m + q + 1, :]
+                         for s in range(n_h)]
+                        + ([jnp.full((8 - n_h, 128), _POS_BIG,
+                                     jnp.float32)]
+                           if n_h < 8 else []),
+                        axis=0,
+                    )
+                    theta_q.append(rows_q)                # [8, 128]
+                acc = [jnp.full((8, 128), _POS_BIG, jnp.float32)
+                       for _ in range(g_bw)]
+                pos = 0
+                while pos < n_flat:
+                    q, l0 = divmod(pos, ev)
+                    rr, lane_off = divmod(pos, 128)
+                    take = min(ev - l0, 128 - lane_off)
+                    chunk = pltpu.roll(
+                        theta_q[q], shift=(lane_off - l0) % 128, axis=1)
+                    in_seg = (lane8 >= lane_off) \
+                        & (lane8 < lane_off + take)
+                    acc[rr] = jnp.where(in_seg, chunk, acc[rr])
+                    pos += take
+                sv_tile = jnp.concatenate(acc, axis=0)    # [g*8, 128]
+                bw_halves.append(
+                    _silverman_groups(sv_tile, g_bw, n_flat))
+            bw8 = (bw_halves[0] if ns == 8 else
+                   jnp.concatenate(bw_halves, axis=0))    # [ns, 1]
         # scenario column -> per-particle-row column by pure movement
         # (broadcast+concat per scenario block, no reduce/select chain)
         bw_col = jnp.concatenate(
@@ -449,43 +510,49 @@ def _particle_sweep_kernel(
 
         x_a = cols_to_rows(mpfx[:, 0:1])
         x_b = cols_to_rows(mpfx[:, 64:65])
-        x64 = jnp.concatenate(
-            [jnp.broadcast_to(
-                (x_a if s % 2 == 0 else x_b)[s // 2:s // 2 + 1, :],
-                (8, 128)) for s in range(n_sc)], axis=0)
-        u_col = pdu[:, 0:1]
-        idx = jnp.minimum(jnp.floor(u_col * float(m_mpf)),
-                          float(m_mpf - 1))
-        onehot_d = laned.astype(jnp.float32) == idx
-        mq_sel = jnp.sum(jnp.where(onehot_d, x64, 0.0), axis=1,
-                         keepdims=True)
-        pbw_row = _row_of_column(pbw_col, 8)
-        pbw_d = jnp.sum(
-            jnp.where(laned == rowd // 8, pbw_row, 0.0), axis=1,
-            keepdims=True,
-        )
-        mq = mq_sel + pbw_d * pdz[:, 0:1]
-        if mpf_log_space:
-            mq = jnp.exp(mq)
-        im_d = 1.0 / mq                                   # [nd, 1]
-
-        im_row = _row_of_column(im_d, nd)
-        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-        if pack2:
-            # per-half draw index: param 2h on lanes < 64, 2h+1 on
-            # >= 64 of row block h (draw j = s*8 + p)
-            j_even = s_of_rrow * 8 + 2 * (row_roll // sm)
-            im_e = jnp.sum(jnp.where(lane_r == j_even, im_row, 0.0),
-                           axis=1, keepdims=True)
-            im_o = jnp.sum(jnp.where(lane_r == j_even + 1, im_row, 0.0),
-                           axis=1, keepdims=True)
-            im24 = jnp.where(lane_r < 64, im_e, im_o)
+        if "draws" in skip:
+            dep = (jnp.sum(pdz[0:1, 0:1]) + jnp.sum(pdu[0:1, 0:1])
+                   + jnp.sum(x_a[0:1, 0:1]) + jnp.sum(pbw_col)) * 0.0
+            im24 = jnp.full((rows, 1), 1.0) + dep
         else:
-            j_of_rrow = s_of_rrow * 8 + row_roll // sm
-            im24 = jnp.sum(
-                jnp.where(lane_r == j_of_rrow, im_row, 0.0),
-                axis=1, keepdims=True,
+            x64 = jnp.concatenate(
+                [jnp.broadcast_to(
+                    (x_a if s % 2 == 0 else x_b)[s // 2:s // 2 + 1, :],
+                    (8, 128)) for s in range(n_sc)], axis=0)
+            u_col = pdu[:, 0:1]
+            idx = jnp.minimum(jnp.floor(u_col * float(m_mpf)),
+                              float(m_mpf - 1))
+            onehot_d = laned.astype(jnp.float32) == idx
+            mq_sel = jnp.sum(jnp.where(onehot_d, x64, 0.0), axis=1,
+                             keepdims=True)
+            pbw_row = _row_of_column(pbw_col, ns)
+            pbw_d = jnp.sum(
+                jnp.where(laned == rowd // 8, pbw_row, 0.0), axis=1,
+                keepdims=True,
             )
+            mq = mq_sel + pbw_d * pdz[:, 0:1]
+            if mpf_log_space:
+                mq = jnp.exp(mq)
+            im_d = 1.0 / mq                               # [nd, 1]
+
+            im_row = _row_of_column(im_d, nd)
+            lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+            if pack2:
+                # per-half draw index: param 2h on lanes < 64, 2h+1 on
+                # >= 64 of row block h (draw j = s*8 + p)
+                j_even = s_of_rrow * 8 + 2 * (row_roll // sm)
+                im_e = jnp.sum(jnp.where(lane_r == j_even, im_row, 0.0),
+                               axis=1, keepdims=True)
+                im_o = jnp.sum(
+                    jnp.where(lane_r == j_even + 1, im_row, 0.0),
+                    axis=1, keepdims=True)
+                im24 = jnp.where(lane_r < 64, im_e, im_o)
+            else:
+                j_of_rrow = s_of_rrow * 8 + row_roll // sm
+                im24 = jnp.sum(
+                    jnp.where(lane_r == j_of_rrow, im_row, 0.0),
+                    axis=1, keepdims=True,
+                )
 
         # ---- rollouts: S * n_params * n_act * m trajectories ----
         shape = (rows, 128)
@@ -499,16 +566,24 @@ def _particle_sweep_kernel(
                  for s in range(n_sc)], axis=0)
             return jnp.concatenate([bs] * npr, axis=0)
 
-        px_ref[:] = splat_rows(px_col)
-        py_ref[:] = splat_rows(py_col)
-        vx_ref[:] = splat_rows(vx_col)
-        vy_ref[:] = splat_rows(vy_col)
+        if "rollout" not in skip:
+            px_ref[:] = splat_rows(px_col)
+            py_ref[:] = splat_rows(py_col)
+            vx_ref[:] = splat_rows(vx_col)
+            vy_ref[:] = splat_rows(vy_col)
 
         def actions_at(tt):
-            """(a_x, a_y) [smp, 128] at timestep tt (eps rows:
-            x at tt*2*smp, y at tt*2*smp + smp)."""
-            ex = eps_ref[pl.ds(tt * 2 * smp, smp), :]
-            ey = eps_ref[pl.ds(tt * 2 * smp + smp, smp), :]
+            """(a_x, a_y) [smp, 128] at timestep tt. halfeps: one row
+            block tt*smp, x at lanes 0:64 and y at 64:128 (the roll
+            moves the y half onto lanes 0:63; lanes >= 64 of ex/ey are
+            junk-by-construction, mirrored or masked downstream).
+            Full layout: x rows at tt*2*smp, y at tt*2*smp + smp."""
+            if halfeps:
+                ex = eps_ref[pl.ds(tt * smp, smp), :]
+                ey = eps2_ref[pl.ds(tt * smp, smp), :]
+            else:
+                ex = eps_ref[pl.ds(tt * 2 * smp, smp), :]
+                ey = eps_ref[pl.ds(tt * 2 * smp + smp, smp), :]
             thx = jnp.sum(
                 jnp.where(lane_sm == 2 * tt, theta, 0.0), axis=1,
                 keepdims=True,
@@ -555,15 +630,21 @@ def _particle_sweep_kernel(
                                  max_speed)
             return cost
 
-        cost = jax.lax.fori_loop(
-            0, hz, roll_body, jnp.zeros(shape, jnp.float32),
-            unroll=hz if unroll else 1,
-        )
-        cost = cost + state_cost(
-            px_ref[:], py_ref[:], vx_ref[:], vy_ref[:],
-            occ_any(px_ref[:], py_ref[:]),
-            (wt_px, wt_py, wt_vx, wt_vy),
-        )
+        if "rollout" in skip:
+            cost = jnp.zeros(shape, jnp.float32) \
+                + splat_rows(px_col) * 1e-9 + im24 * 1e-9 \
+                + jnp.sum(eps_ref[0:1, 0:1]) * 0.0 \
+                + jnp.sum(theta[0:1, 0:1]) * 1e-12
+        else:
+            cost = jax.lax.fori_loop(
+                0, hz, roll_body, jnp.zeros(shape, jnp.float32),
+                unroll=hz if unroll else 1,
+            )
+            cost = cost + state_cost(
+                px_ref[:], py_ref[:], vx_ref[:], vy_ref[:],
+                occ_any(px_ref[:], py_ref[:]),
+                (wt_px, wt_py, wt_vx, wt_vy),
+            )
 
         # ---- param-averaged costs + per-scenario DISCO update ----
         mcost = cost[0:sm, :]
@@ -581,37 +662,43 @@ def _particle_sweep_kernel(
         valid = (lane_sm < n_act) & valid_sm
         mcost_v = jnp.where(valid, mcost, _POS_BIG)
 
-        # per-scenario beta = block min: one row-min + an [n_sc, m]
-        # reshape-min + broadcast/concat splat (r3, same as the
-        # pendulum kernel), replacing n_sc serial whole-tile masked
-        # min reductions (min is exact, so the regrouping is
-        # bitwise-identical)
-        rm = jnp.min(mcost_v, axis=1, keepdims=True)      # [smp, 1]
-        bmin = jnp.min(rm[0:sm, 0:1].reshape(n_sc, m), axis=1,
-                       keepdims=True)                     # [n_sc, 1]
-        beta_col = jnp.concatenate(
-            [jnp.broadcast_to(bmin[s:s + 1, :], (m, 1))
-             for s in range(n_sc)]
-            + ([jnp.zeros((smp - sm, 1), jnp.float32)]
-               if smp != sm else []), axis=0)
-        lc = jnp.where(valid, -(mcost - beta_col) * inv_temp, _NEG_BIG)
-        row_max = jnp.max(lc, axis=1, keepdims=True)
-        e = jnp.where(valid, jnp.exp(lc - row_max), 0.0)
-        sum_e = jnp.sum(e, axis=1, keepdims=True)
-        omega = e / jnp.maximum(sum_e, 1e-37)
-
-        wl = jnp.where(valid, -mcost * alpha, _NEG_BIG)
-        wl_max = jnp.max(wl, axis=1, keepdims=True)
-        we = jnp.where(valid, jnp.exp(wl - wl_max), 0.0)
-        we_sum = jnp.sum(we, axis=1, keepdims=True)
-        w_lik = we / jnp.maximum(we_sum, 1e-37)
-        if exp_util:
-            log_l = wl_max + jnp.log(jnp.maximum(we_sum, 1e-37)) \
-                - math.log(float(n_act))
+        if "disco" in skip:
+            omega = jnp.where(valid, 1.0 / n_act, 0.0) + mcost * 1e-12
+            w_lik = omega
+            log_l = mcost[:, 0:1] * 1e-6
         else:
-            log_l = -alpha * jnp.sum(
-                jnp.where(valid, mcost, 0.0), axis=1, keepdims=True
-            ) * (1.0 / n_act)
+            # per-scenario beta = block min: one row-min + an [n_sc, m]
+            # reshape-min + broadcast/concat splat (r3, same as the
+            # pendulum kernel), replacing n_sc serial whole-tile masked
+            # min reductions (min is exact, so the regrouping is
+            # bitwise-identical)
+            rm = jnp.min(mcost_v, axis=1, keepdims=True)  # [smp, 1]
+            bmin = jnp.min(rm[0:sm, 0:1].reshape(n_sc, m), axis=1,
+                           keepdims=True)                 # [n_sc, 1]
+            beta_col = jnp.concatenate(
+                [jnp.broadcast_to(bmin[s:s + 1, :], (m, 1))
+                 for s in range(n_sc)]
+                + ([jnp.zeros((smp - sm, 1), jnp.float32)]
+                   if smp != sm else []), axis=0)
+            lc = jnp.where(valid, -(mcost - beta_col) * inv_temp,
+                           _NEG_BIG)
+            row_max = jnp.max(lc, axis=1, keepdims=True)
+            e = jnp.where(valid, jnp.exp(lc - row_max), 0.0)
+            sum_e = jnp.sum(e, axis=1, keepdims=True)
+            omega = e / jnp.maximum(sum_e, 1e-37)
+
+            wl = jnp.where(valid, -mcost * alpha, _NEG_BIG)
+            wl_max = jnp.max(wl, axis=1, keepdims=True)
+            we = jnp.where(valid, jnp.exp(wl - wl_max), 0.0)
+            we_sum = jnp.sum(we, axis=1, keepdims=True)
+            w_lik = we / jnp.maximum(we_sum, 1e-37)
+            if exp_util:
+                log_l = wl_max + jnp.log(jnp.maximum(we_sum, 1e-37)) \
+                    - math.log(float(n_act))
+            else:
+                log_l = -alpha * jnp.sum(
+                    jnp.where(valid, mcost, 0.0), axis=1, keepdims=True
+                ) * (1.0 / n_act)
 
         # DISCO delta + likelihood gradient accumulation (a_seq == 0
         # required, like the pendulum sweep kernel). The weights are
@@ -620,10 +707,18 @@ def _particle_sweep_kernel(
         # the per-iteration theta lane extractions drop out of the loop
         # entirely and theta cancels exactly in the likelihood gradient
         # (the pendulum sweep kernel's identity).
+        # halfeps: omega/w_lik are zero outside valid lanes
+        # (< n_act <= 64), so the masked lane sums pick exactly the
+        # channel aligned at lanes < 64 of each view (ex = eps,
+        # ey = the bulk-rolled eps2 view)
         def acc_body(tt, carry):
             de, wacc = carry
-            ex = eps_ref[pl.ds(tt * 2 * smp, smp), :]
-            ey = eps_ref[pl.ds(tt * 2 * smp + smp, smp), :]
+            if halfeps:
+                ex = eps_ref[pl.ds(tt * smp, smp), :]
+                ey = eps2_ref[pl.ds(tt * smp, smp), :]
+            else:
+                ex = eps_ref[pl.ds(tt * 2 * smp, smp), :]
+                ey = eps_ref[pl.ds(tt * 2 * smp + smp, smp), :]
             dqx = jnp.sum(omega * ex, axis=1, keepdims=True)
             dqy = jnp.sum(omega * ey, axis=1, keepdims=True)
             wqx = jnp.sum(w_lik * ex, axis=1, keepdims=True)
@@ -634,130 +729,148 @@ def _particle_sweep_kernel(
                 + jnp.where(lane_sm == 2 * tt + 1, wqy, 0.0)
             return de, wacc
 
-        d_eps, w_eps = jax.lax.fori_loop(
-            0, hz, acc_body,
-            (jnp.zeros((smp, 128), jnp.float32),
-             jnp.zeros((smp, 128), jnp.float32)),
-            unroll=hz if unroll else 1,
-        )
+        if "acc" in skip:
+            d_eps = omega * 1e-9 + jnp.sum(eps_ref[0:1, 0:1]) * 0.0
+            w_eps = w_lik * 1e-9
+        else:
+            d_eps, w_eps = jax.lax.fori_loop(
+                0, hz, acc_body,
+                (jnp.zeros((smp, 128), jnp.float32),
+                 jnp.zeros((smp, 128), jnp.float32)),
+                unroll=hz if unroll else 1,
+            )
         delta = jnp.where(lane_sm < ev, theta + sigma_c * d_eps, 0.0)
         glik = sigma_c * w_eps * inv_s2
 
         # ---- Stein + weighted GMM prior (block-masked, centered) ----
         blkf = blk.astype(jnp.float32) * (1.0 / m)
-        mean_t = jnp.dot(blkf, fin(theta),
-                         preferred_element_type=jnp.float32)
-        tc = theta - mean_t
-        lc_c = locs - mean_t
-        tc_norm = jnp.sum(tc * tc, axis=1, keepdims=True)
-        lc_norm = jnp.sum(lc_c * lc_c, axis=1, keepdims=True)
         lm_row = _row_of_column(lmix_col, smp)            # [1, 128]
         lm_lane = jnp.broadcast_to(lm_row[:, 0:smp], (smp, smp))
+        if "stein" in skip:
+            theta_new = jnp.where(valid_sm & (lane_sm < ev),
+                                  theta + lr * glik * 1e-3, 0.0)
+        else:
+            mean_t = jnp.dot(blkf, fin(theta),
+                             preferred_element_type=jnp.float32)
+            tc = theta - mean_t
+            lc_c = locs - mean_t
+            tc_norm = jnp.sum(tc * tc, axis=1, keepdims=True)
+            lc_norm = jnp.sum(lc_c * lc_c, axis=1, keepdims=True)
 
-        g_tl = _block_dot_t(tc, lc_c)
-        d2_tl = jnp.maximum(
-            tc_norm - 2.0 * g_tl + lc_norm.reshape(1, smp), 0.0
-        )
-        lp_pri = jnp.where(blk, -0.5 * inv_ps2 * d2_tl + lm_lane,
-                           _NEG_BIG)
-        r_max = jnp.max(lp_pri, axis=1, keepdims=True)
-        r_e = jnp.exp(lp_pri - r_max)
-        r = r_e / jnp.maximum(jnp.sum(r_e, axis=1, keepdims=True),
-                              1e-37)
-        score = glik + (
-            jnp.dot(r, fin(lc_c), preferred_element_type=jnp.float32)
-            - tc
-        ) * inv_ps2
+            g_tl = _block_dot_t(tc, lc_c)
+            d2_tl = jnp.maximum(
+                tc_norm - 2.0 * g_tl + lc_norm.reshape(1, smp), 0.0
+            )
+            lp_pri = jnp.where(blk, -0.5 * inv_ps2 * d2_tl + lm_lane,
+                               _NEG_BIG)
+            r_max = jnp.max(lp_pri, axis=1, keepdims=True)
+            r_e = jnp.exp(lp_pri - r_max)
+            r = r_e / jnp.maximum(jnp.sum(r_e, axis=1, keepdims=True),
+                                  1e-37)
+            score = glik + (
+                jnp.dot(r, fin(lc_c),
+                        preferred_element_type=jnp.float32)
+                - tc
+            ) * inv_ps2
 
-        g_tt = _block_dot_t(tc, tc)
-        d2_tt = jnp.maximum(
-            tc_norm - 2.0 * g_tt + tc_norm.reshape(1, smp), 0.0
-        )
-        kmat = jnp.where(
-            blk, jnp.exp(-0.5 * d2_tt * inv_bw2_col), 0.0
-        )
-        k_score = jnp.dot(kmat, fin(score),
-                          preferred_element_type=jnp.float32)
-        k_theta = jnp.dot(kmat, fin(tc),
-                          preferred_element_type=jnp.float32)
-        rowsum_k = jnp.sum(kmat, axis=1, keepdims=True)
-        grad_k = -(k_theta - rowsum_k * tc) * inv_bw2_col
-        phi = (k_score + grad_k) * (1.0 / m)
-        theta_new = jnp.where(valid_sm & (lane_sm < ev),
-                              theta + lr * phi, 0.0)
+            g_tt = _block_dot_t(tc, tc)
+            d2_tt = jnp.maximum(
+                tc_norm - 2.0 * g_tt + tc_norm.reshape(1, smp), 0.0
+            )
+            kmat = jnp.where(
+                blk, jnp.exp(-0.5 * d2_tt * inv_bw2_col), 0.0
+            )
+            k_score = jnp.dot(kmat, fin(score),
+                              preferred_element_type=jnp.float32)
+            k_theta = jnp.dot(kmat, fin(tc),
+                              preferred_element_type=jnp.float32)
+            rowsum_k = jnp.sum(kmat, axis=1, keepdims=True)
+            grad_k = -(k_theta - rowsum_k * tc) * inv_bw2_col
+            phi = (k_score + grad_k) * (1.0 / m)
+            theta_new = jnp.where(valid_sm & (lane_sm < ev),
+                                  theta + lr * phi, 0.0)
 
         # ---- forward: per-scenario weights / select / roll ----
-        mean_n = jnp.dot(blkf, fin(theta_new),
-                         preferred_element_type=jnp.float32)
-        nc = theta_new - mean_n
-        lc_n = locs - mean_n
-        tn_norm = jnp.sum(nc * nc, axis=1, keepdims=True)
-        ln_norm = jnp.sum(lc_n * lc_n, axis=1, keepdims=True)
-        g_nl = _block_dot_t(nc, lc_n)
-        d2_nl = jnp.maximum(
-            tn_norm - 2.0 * g_nl + ln_norm.reshape(1, smp), 0.0
-        )
-        lp_new = jnp.where(blk, -0.5 * inv_ps2 * d2_nl + lm_lane,
-                           _NEG_BIG)
-        n_max = jnp.max(lp_new, axis=1, keepdims=True)
-        log_p = n_max + jnp.log(jnp.maximum(
-            jnp.sum(jnp.exp(lp_new - n_max), axis=1, keepdims=True),
-            1e-37,
-        ))
-        log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p, _NEG_BIG)
+        if "forward" in skip:
+            dep = jnp.sum(theta_new[0:1, 0:1]) * 1e-9 \
+                + jnp.sum(log_l[0:1, 0:1]) * 1e-12
+            ax_col = px_col * 1e-3 + dep
+            ay_col = py_col * 1e-3 + dep
+            lw_col = lmix_col + dep
+            theta_fwd = theta_new
+        else:
+            mean_n = jnp.dot(blkf, fin(theta_new),
+                             preferred_element_type=jnp.float32)
+            nc = theta_new - mean_n
+            lc_n = locs - mean_n
+            tn_norm = jnp.sum(nc * nc, axis=1, keepdims=True)
+            ln_norm = jnp.sum(lc_n * lc_n, axis=1, keepdims=True)
+            g_nl = _block_dot_t(nc, lc_n)
+            d2_nl = jnp.maximum(
+                tn_norm - 2.0 * g_nl + ln_norm.reshape(1, smp), 0.0
+            )
+            lp_new = jnp.where(blk, -0.5 * inv_ps2 * d2_nl + lm_lane,
+                               _NEG_BIG)
+            n_max = jnp.max(lp_new, axis=1, keepdims=True)
+            log_p = n_max + jnp.log(jnp.maximum(
+                jnp.sum(jnp.exp(lp_new - n_max), axis=1, keepdims=True),
+                1e-37,
+            ))
+            log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p, _NEG_BIG)
 
-        # per-scenario posterior weights (for the weighted prior
-        # refresh) + argmax selection — VECTORIZED over scenarios: the
-        # block-masked [smp, smp] weight matrix turns every per-block
-        # max / sum / argmin into one row reduction for all scenarios
-        # at once (the serial 8-scenario loop cost ~n_sc x this). The
-        # math chain is the single-episode kernel's exact one
-        # (softmax -> clamp at 1e-37 -> log -> renormalized
-        # log-softmax), so underflowed weights floor identically.
-        rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
-        col_idx = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1)
-        w_row = _row_of_column(log_w, smp)                # [1, 128]
-        wmat = jnp.where(blk, jnp.broadcast_to(
-            w_row[:, 0:smp], (smp, smp)), _NEG_BIG)
-        wmax = jnp.max(wmat, axis=1, keepdims=True)       # block max
-        esum = jnp.sum(jnp.where(blk, jnp.exp(wmat - wmax), 0.0),
-                       axis=1, keepdims=True)             # block sum
-        w_norm = jnp.exp(log_w - wmax) / jnp.maximum(esum, 1e-37)
-        lw_raw = jnp.log(jnp.maximum(w_norm, 1e-37))      # [smp, 1]
-        l_row = _row_of_column(lw_raw, smp)
-        lmat = jnp.where(blk, jnp.broadcast_to(
-            l_row[:, 0:smp], (smp, smp)), _NEG_BIG)
-        lmax2 = jnp.max(lmat, axis=1, keepdims=True)
-        lse2 = lmax2 + jnp.log(jnp.sum(
-            jnp.where(blk, jnp.exp(lmat - lmax2), 0.0), axis=1,
-            keepdims=True))
-        lw_col = lw_raw - lse2                            # [smp, 1]
-        # first-maximal row per block -> one-hot selection column
-        is_max = blk & (wmat >= wmax)
-        i_star = jnp.min(jnp.where(is_max, col_idx, smp), axis=1,
-                         keepdims=True)                   # [smp, 1]
-        onehot = (rowm1 == i_star).astype(jnp.float32)
-        ax_all = onehot * theta_new[:, 0:1]               # [smp, 1]
-        ay_all = onehot * theta_new[:, 1:2]
+            # per-scenario posterior weights (for the weighted prior
+            # refresh) + argmax selection — VECTORIZED over scenarios: the
+            # block-masked [smp, smp] weight matrix turns every per-block
+            # max / sum / argmin into one row reduction for all scenarios
+            # at once (the serial 8-scenario loop cost ~n_sc x this). The
+            # math chain is the single-episode kernel's exact one
+            # (softmax -> clamp at 1e-37 -> log -> renormalized
+            # log-softmax), so underflowed weights floor identically.
+            rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
+            col_idx = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1)
+            w_row = _row_of_column(log_w, smp)                # [1, 128]
+            wmat = jnp.where(blk, jnp.broadcast_to(
+                w_row[:, 0:smp], (smp, smp)), _NEG_BIG)
+            wmax = jnp.max(wmat, axis=1, keepdims=True)       # block max
+            esum = jnp.sum(jnp.where(blk, jnp.exp(wmat - wmax), 0.0),
+                           axis=1, keepdims=True)             # block sum
+            w_norm = jnp.exp(log_w - wmax) / jnp.maximum(esum, 1e-37)
+            lw_raw = jnp.log(jnp.maximum(w_norm, 1e-37))      # [smp, 1]
+            l_row = _row_of_column(lw_raw, smp)
+            lmat = jnp.where(blk, jnp.broadcast_to(
+                l_row[:, 0:smp], (smp, smp)), _NEG_BIG)
+            lmax2 = jnp.max(lmat, axis=1, keepdims=True)
+            lse2 = lmax2 + jnp.log(jnp.sum(
+                jnp.where(blk, jnp.exp(lmat - lmax2), 0.0), axis=1,
+                keepdims=True))
+            lw_col = lw_raw - lse2                            # [smp, 1]
+            # first-maximal row per block -> one-hot selection column
+            is_max = blk & (wmat >= wmax)
+            i_star = jnp.min(jnp.where(is_max, col_idx, smp), axis=1,
+                             keepdims=True)                   # [smp, 1]
+            onehot = (rowm1 == i_star).astype(jnp.float32)
+            ax_all = onehot * theta_new[:, 0:1]               # [smp, 1]
+            ay_all = onehot * theta_new[:, 1:2]
 
-        def block_sum_col(col_all):
-            """[smp, 1] -> [8, 1] per-scenario block row sums (one
-            reshape+sum for all scenarios, not an n_sc select loop)."""
-            s_ = jnp.sum(col_all[0:sm, 0:1].reshape(n_sc, m), axis=1,
-                         keepdims=True)
-            if n_sc < 8:
-                s_ = jnp.concatenate(
-                    [s_, jnp.zeros((8 - n_sc, 1), jnp.float32)], axis=0)
-            return s_
+            def block_sum_col(col_all):
+                """[smp, 1] -> [ns, 1] per-scenario block row sums (one
+                reshape+sum for all scenarios, not an n_sc select loop)."""
+                s_ = jnp.sum(col_all[0:sm, 0:1].reshape(n_sc, m), axis=1,
+                             keepdims=True)
+                if n_sc < ns:
+                    s_ = jnp.concatenate(
+                        [s_, jnp.zeros((ns - n_sc, 1), jnp.float32)],
+                        axis=0)
+                return s_
 
-        ax_col = block_sum_col(ax_all)
-        ay_col = block_sum_col(ay_all)
+            ax_col = block_sum_col(ax_all)
+            ay_col = block_sum_col(ay_all)
 
-        rolled = pltpu.roll(theta_new, shift=128 - 2, axis=1)
-        theta_fwd = jnp.where(
-            lane_sm < ev - 2, rolled,
-            jnp.where(lane_sm < ev, theta_new, 0.0),
-        )
+            rolled = pltpu.roll(theta_new, shift=128 - 2, axis=1)
+            theta_fwd = jnp.where(
+                lane_sm < ev - 2, rolled,
+                jnp.where(lane_sm < ev, theta_new, 0.0),
+            )
 
         if warm_up > 0:
             active = (t >= warm_up).astype(jnp.float32)
@@ -779,32 +892,38 @@ def _particle_sweep_kernel(
             )
 
         # ---- simulator: all S particles as column physics ----
-        mass_t = masses_ref[:, 0:1]                      # [8, 1]
-        sim_mass = jnp.where(jnp.asarray(t >= change_at),
-                             mass_t + load, mass_t)
-        occ_s = occ_any(px_col, py_col)
-        if crash and occ_s is not None:
-            s_scale = dt * (1.0 - occ_s)
+        if "sim" in skip:
+            npx = px_col + a_x_col * 1e-9
+            npy = py_col + a_y_col * 1e-9
+            nvx = vx_col + masses_ref[0:ns, 0:1] * 1e-12
+            nvy = vy_col
         else:
-            s_scale = dt
-        acc_x = jnp.clip(a_x_col / sim_mass, -max_acc, max_acc)
-        acc_y = jnp.clip(a_y_col / sim_mass, -max_acc, max_acc)
-        frozen = done_col > 0.5
-        npx = jnp.where(frozen, px_col, px_col + vx_col * s_scale)
-        npy = jnp.where(frozen, py_col, py_col + vy_col * s_scale)
-        nvx = jnp.where(frozen, vx_col,
-                        jnp.clip(vx_col + acc_x * s_scale, -max_speed,
-                                 max_speed))
-        nvy = jnp.where(frozen, vy_col,
-                        jnp.clip(vy_col + acc_y * s_scale, -max_speed,
-                                 max_speed))
+            mass_t = masses_ref[:, 0:1]                  # [8, 1]
+            sim_mass = jnp.where(jnp.asarray(t >= change_at),
+                                 mass_t + load, mass_t)
+            occ_s = occ_any(px_col, py_col)
+            if crash and occ_s is not None:
+                s_scale = dt * (1.0 - occ_s)
+            else:
+                s_scale = dt
+            acc_x = jnp.clip(a_x_col / sim_mass, -max_acc, max_acc)
+            acc_y = jnp.clip(a_y_col / sim_mass, -max_acc, max_acc)
+            frozen = done_col > 0.5
+            npx = jnp.where(frozen, px_col, px_col + vx_col * s_scale)
+            npy = jnp.where(frozen, py_col, py_col + vy_col * s_scale)
+            nvx = jnp.where(frozen, vx_col,
+                            jnp.clip(vx_col + acc_x * s_scale,
+                                     -max_speed, max_speed))
+            nvy = jnp.where(frozen, vy_col,
+                            jnp.clip(vy_col + acc_y * s_scale,
+                                     -max_speed, max_speed))
 
         # ---- MPF log-mass posterior (transposed pairwise body),
         # gated per scenario on (t >= warm_up) & not done ----
         gate_col = (active * not_done) > 0.5              # [8, 1] bool
         if use_fixed_mpf_bw:
             bw_mpf_col = jnp.broadcast_to(
-                scal_ref[0, 14].reshape(1, 1), (8, 1))
+                scal_ref[0, 14].reshape(1, 1), (ns, 1))
         else:
             mrows = []
             for s in range(n_sc):
@@ -812,88 +931,94 @@ def _particle_sweep_kernel(
                 xrow = (x_a if gg == 0 else x_b)[p:p + 1, :]
                 mrows.append(jnp.where(lane1 < m_mpf, xrow, _POS_BIG))
             mrows = mrows + [jnp.full((1, 128), _POS_BIG, jnp.float32)
-                             ] * (8 - n_sc)
+                             ] * (ns - n_sc)
             bw_mpf_col = _silverman_rows(
                 jnp.concatenate(mrows, axis=0), m_mpf
             ) * mpf_bw_scale
 
-        inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
-        if crash and rects is not None:
-            msc_col = dt * (1.0 - occ_any(lik_px, lik_py))
+        if "mpfglue" in skip:
+            # keep the posterior state + a cheap dependency
+            mpfx_ref[:] = mpfx_ref[:] + (
+                jnp.sum(bw_mpf_col) + jnp.sum(a_x_col)
+                + jnp.sum(nvx) + jnp.sum(pbw_col)) * 0.0
         else:
-            msc_col = jnp.full((8, 1), dt)
+            inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
+            if crash and rects is not None:
+                msc_col = dt * (1.0 - occ_any(lik_px, lik_py))
+            else:
+                msc_col = jnp.full((ns, 1), dt)
 
-        ax8 = pair_tile(a_x_col)
-        ay8 = pair_tile(a_y_col)
-        lvx8 = pair_tile(lik_vx)
-        lvy8 = pair_tile(lik_vy)
-        nvx8 = pair_tile(nvx)
-        nvy8 = pair_tile(nvy)
-        msc8 = pair_tile(msc_col)
-        ppbw2_8 = pair_tile(1.0 / (pbw_col * pbw_col))
-        imbw2_8 = pair_tile(1.0 / (bw_mpf_col * bw_mpf_col))
+            ax8 = pair_tile(a_x_col)
+            ay8 = pair_tile(a_y_col)
+            lvx8 = pair_tile(lik_vx)
+            lvy8 = pair_tile(lik_vy)
+            nvx8 = pair_tile(nvx)
+            nvy8 = pair_tile(nvy)
+            msc8 = pair_tile(msc_col)
+            ppbw2_8 = pair_tile(1.0 / (pbw_col * pbw_col))
+            imbw2_8 = pair_tile(1.0 / (bw_mpf_col * bw_mpf_col))
 
-        xsnap = mpfx_ref[:]
-        c0r8 = pair_rows_x(xsnap[:, 0:1], xsnap[:, 64:65])
-        c0c = colbcast(to_blocks(c0r8))
-        ppbw2N = to_blocks(ppbw2_8)
-        imbw2N = to_blocks(imbw2_8)
+            xsnap = mpfx_ref[:]
+            c0r8 = pair_rows_x(xsnap[:, 0:1], xsnap[:, 64:65])
+            c0c = colbcast(to_blocks(c0r8))
+            ppbw2N = to_blocks(ppbw2_8)
+            imbw2N = to_blocks(imbw2_8)
 
-        def vel_grad(a8, v08, loc8, invm):
-            acc_raw = a8 * invm
-            acc = jnp.clip(acc_raw, -max_acc, max_acc)
-            g_a = jnp.where(
-                (acc_raw > -max_acc) & (acc_raw < max_acc), 1.0, 0.0)
-            v_raw = v08 + acc * msc8
-            pred = jnp.clip(v_raw, -max_speed, max_speed)
-            g_v = jnp.where(
-                (v_raw > -max_speed) & (v_raw < max_speed), 1.0, 0.0)
-            dpred = g_v * g_a * (-a8 * invm * invm) * msc8
-            return -(pred - loc8) * inv_os2 * dpred
+            def vel_grad(a8, v08, loc8, invm):
+                acc_raw = a8 * invm
+                acc = jnp.clip(acc_raw, -max_acc, max_acc)
+                g_a = jnp.where(
+                    (acc_raw > -max_acc) & (acc_raw < max_acc), 1.0, 0.0)
+                v_raw = v08 + acc * msc8
+                pred = jnp.clip(v_raw, -max_speed, max_speed)
+                g_v = jnp.where(
+                    (v_raw > -max_speed) & (v_raw < max_speed), 1.0, 0.0)
+                dpred = g_v * g_a * (-a8 * invm * invm) * msc8
+                return -(pred - loc8) * inv_os2 * dpred
 
-        def mpf_body(i, x0r):
-            x0N = to_blocks(x0r)
-            x0c = colbcast(x0N)
+            def mpf_body(i, x0r):
+                x0N = to_blocks(x0r)
+                x0c = colbcast(x0N)
 
-            mass = jnp.where(gvr8, x0r, 1.0)
-            if mpf_log_space:
-                mass = jnp.exp(mass)
-            invm = 1.0 / mass
-            gl = (vel_grad(ax8, lvx8, nvx8, invm)
-                  + vel_grad(ay8, lvy8, nvy8, invm))
-            if mpf_log_space:
-                gl = gl * mass
+                mass = jnp.where(gvr8, x0r, 1.0)
+                if mpf_log_space:
+                    mass = jnp.exp(mass)
+                invm = 1.0 / mass
+                gl = (vel_grad(ax8, lvx8, nvx8, invm)
+                      + vel_grad(ay8, lvy8, nvy8, invm))
+                if mpf_log_space:
+                    gl = gl * mass
 
-            d2c = (x0N - c0c) ** 2
-            pz = jnp.where(valid_rowN, jnp.exp(-0.5 * d2c * ppbw2N),
-                           0.0)
-            psum_r = brs(pz)
-            pc0r = brs(pz * c0c) / psum_r
-            gp0 = (pc0r - x0r) * ppbw2_8
-            s0r = jnp.where(gvr8, gl + gp0, 0.0)
+                d2c = (x0N - c0c) ** 2
+                pz = jnp.where(valid_rowN, jnp.exp(-0.5 * d2c * ppbw2N),
+                               0.0)
+                psum_r = brs(pz)
+                pc0r = brs(pz * c0c) / psum_r
+                gp0 = (pc0r - x0r) * ppbw2_8
+                s0r = jnp.where(gvr8, gl + gp0, 0.0)
 
-            t0c = colbcast(to_blocks(s0r - x0r * imbw2_8))
-            d2 = (x0c - x0N) ** 2
-            k = jnp.where(valid_rowN,
-                          jnp.exp(-0.5 * d2 * imbw2N), 0.0)
-            rows_k = brs(k)
-            drive0 = brs(k * t0c)
-            phi0 = (drive0 + rows_k * x0r * imbw2_8) \
-                * (1.0 / m_mpf)
-            return x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0)
+                t0c = colbcast(to_blocks(s0r - x0r * imbw2_8))
+                d2 = (x0c - x0N) ** 2
+                k = jnp.where(valid_rowN,
+                              jnp.exp(-0.5 * d2 * imbw2N), 0.0)
+                rows_k = brs(k)
+                drive0 = brs(k * t0c)
+                phi0 = (drive0 + rows_k * x0r * imbw2_8) \
+                    * (1.0 / m_mpf)
+                return x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0)
 
-        x0f_r = jax.lax.fori_loop(
-            0, mpf_steps, mpf_body, c0r8,
-            unroll=max(1, mpf_steps) if unroll else 1)
-        x0f = colbcast(to_blocks(x0f_r))
-        # per-scenario gate expanded to (pair row, lane half): gateN
-        # follows the same lane-half layout as the particle values, so
-        # one masked commit covers both halves
-        gateN = to_blocks(
-            pair_tile(jnp.where(gate_col, 1.0, 0.0))) > 0.5
-        mpfx_ref[:] = jnp.where(
-            valid_rowN & ((laneN == 0) | (laneN == 64)) & gateN,
-            x0f, xsnap)
+            x0f_r = jax.lax.fori_loop(
+                0, mpf_steps, mpf_body, c0r8,
+                unroll=max(1, mpf_steps) if unroll else 1)
+            x0f = colbcast(to_blocks(x0f_r))
+            # per-scenario gate expanded to (pair row, lane half): gateN
+            # follows the same lane-half layout as the particle values, so
+            # one masked commit covers both halves
+            gateN = to_blocks(
+                pair_tile(jnp.where(gate_col, 1.0, 0.0))) > 0.5
+            mpfx_ref[:] = jnp.where(
+                valid_rowN & ((laneN == 0) | (laneN == 64)) & gateN,
+                x0f, xsnap)
 
         bw_mpf_eff = jnp.where(gate_col, bw_mpf_col, pbw_col)
         nlik_px = jnp.where(gate_col, npx, lik_px)
@@ -902,46 +1027,77 @@ def _particle_sweep_kernel(
         nlik_vy = jnp.where(gate_col, nvy, lik_vy)
 
         # ---- per-scenario cost / crash / goal termination ----
-        occ_n = occ_any(npx, npy)
-        occ_n = occ_n if occ_n is not None else jnp.zeros((8, 1))
-        cost_t = (w_px * (npx - tx) ** 2 + w_py * (npy - ty) ** 2
-                  + w_vx * (nvx - tvx) ** 2 + w_vy * (nvy - tvy) ** 2
-                  + w_obs * occ_n)
-        cum_new = cum_col + not_done * cost_t
-        crash_now = occ_n > 0.0
-        dist2 = ((tx - npx) ** 2 + (ty - npy) ** 2
-                 + (tvx - nvx) ** 2 + (tvy - nvy) ** 2)
-        success_now = dist2 <= success_dist * success_dist
-        crashed_new = jnp.maximum(
-            crashed_col,
-            jnp.where(crash_now & (done_col < 0.5), 1.0, 0.0))
-        done_new = jnp.maximum(
-            done_col, jnp.where(crash_now | success_now, 1.0, 0.0))
+        if "term" in skip:
+            cost_t = npx * 1e-9 + npy * 1e-9
+            cum_new = cum_col + not_done * cost_t
+            crashed_new = crashed_col + nvx * 1e-12
+            done_new = done_col + nvy * 1e-12
+        else:
+            occ_n = occ_any(npx, npy)
+            occ_n = occ_n if occ_n is not None else jnp.zeros((ns, 1))
+            cost_t = (w_px * (npx - tx) ** 2 + w_py * (npy - ty) ** 2
+                      + w_vx * (nvx - tvx) ** 2
+                      + w_vy * (nvy - tvy) ** 2
+                      + w_obs * occ_n)
+            cum_new = cum_col + not_done * cost_t
+            crash_now = occ_n > 0.0
+            dist2 = ((tx - npx) ** 2 + (ty - npy) ** 2
+                     + (tvx - nvx) ** 2 + (tvy - nvy) ** 2)
+            success_now = dist2 <= success_dist * success_dist
+            crashed_new = jnp.maximum(
+                crashed_col,
+                jnp.where(crash_now & (done_col < 0.5), 1.0, 0.0))
+            done_new = jnp.maximum(
+                done_col, jnp.where(crash_now | success_now, 1.0, 0.0))
 
-        # ---- log row: field f of scenario s at lane f*8+s ----
+        # ---- log row(s): field f of scenario s at lane (f%8)*ns+s;
+        # ns = 8 packs all 12 fields in one row (f*8+s, the r1-r3
+        # layout verbatim); ns = 16 needs two rows per step (12 fields
+        # x 16 lanes = 192): fields 0..7 in row 2t, 8..11 in 2t+1 ----
         def scatter8(col):
-            mat = jnp.broadcast_to(col, (8, 128))
-            r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-            return jnp.sum(jnp.where(r8 == lane8, mat, 0.0), axis=0,
+            mat = jnp.broadcast_to(col, (ns, 128))
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 0)
+            return jnp.sum(jnp.where(r8 == lane_ns, mat, 0.0), axis=0,
                            keepdims=True)
 
-        fields = [npx, npy, nvx, nvy, a_x_col, a_y_col, cost_t,
-                  done_new, crashed_new, cum_new,
-                  jnp.broadcast_to(bw8, (8, 1)), bw_mpf_eff]
-        log_row = jnp.zeros((1, 128), jnp.float32)
-        for f, colv_ in enumerate(fields):
-            log_row = log_row + jnp.where(
-                (lane1 >= f * 8) & (lane1 < (f + 1) * 8),
-                pltpu.roll(scatter8(colv_), shift=f * 8, axis=1), 0.0)
-        log_ref[pl.ds(t, 1), :] = log_row
+        if "logs" in skip:
+            log_row = scatter8(cum_new) \
+                + jnp.sum(bw8[0:1, 0:1]) * 0.0 \
+                + jnp.sum(bw_mpf_eff[0:1, 0:1]) * 0.0 \
+                + jnp.sum(a_x_col) * 0.0
+            if ns == 8:
+                log_ref[pl.ds(t, 1), :] = log_row
+            else:
+                log_ref[pl.ds(2 * t, 1), :] = log_row
+                log_ref[pl.ds(2 * t + 1, 1), :] = log_row
+        else:
+            fields = [npx, npy, nvx, nvy, a_x_col, a_y_col, cost_t,
+                      done_new, crashed_new, cum_new,
+                      jnp.broadcast_to(bw8, (ns, 1)), bw_mpf_eff]
+            per_row = 128 // ns              # fields per log row
+            rows_out = []
+            for r0 in range(0, len(fields), per_row):
+                log_row = jnp.zeros((1, 128), jnp.float32)
+                for fi, colv_ in enumerate(fields[r0:r0 + per_row]):
+                    log_row = log_row + jnp.where(
+                        (lane1 >= fi * ns) & (lane1 < (fi + 1) * ns),
+                        pltpu.roll(scatter8(colv_), shift=fi * ns,
+                                   axis=1),
+                        0.0)
+                rows_out.append(log_row)
+            if ns == 8:
+                log_ref[pl.ds(t, 1), :] = rows_out[0]
+            else:
+                log_ref[pl.ds(2 * t, 1), :] = rows_out[0]
+                log_ref[pl.ds(2 * t + 1, 1), :] = rows_out[1]
 
         # ---- sim-state commit ----
         new_cols = [npx, npy, nvx, nvy, done_new, crashed_new, cum_new,
                     nlik_px, nlik_py, nlik_vx, nlik_vy, bw_mpf_eff]
-        sim_new = jnp.zeros((8, 128), jnp.float32)
+        sim_new = jnp.zeros((ns, 128), jnp.float32)
         for i, colv_ in enumerate(new_cols):
-            sim_new = jnp.where(lane8 == i, jnp.broadcast_to(
-                colv_, (8, 128)), sim_new)
+            sim_new = jnp.where(lane_ns == i, jnp.broadcast_to(
+                colv_, (ns, 128)), sim_new)
         sim_ref[:] = sim_new
         return 0
 
@@ -962,7 +1118,7 @@ def _particle_sweep_kernel(
                      "crash", "success_dist", "change_at", "exp_util",
                      "weighted_prior", "mpf_log_space",
                      "use_fixed_mpf_bw", "mpf_bw_scale", "unroll",
-                     "interpret"))
+                     "interpret", "probe_skip"))
 def fused_particle_sweep_episode(
         seed, state0, theta0, locs0, log_mix0, a_mat0, mpfx0,
         prior_bw0, true_masses, load, ctrl_sigma, lr, alpha, temp,
@@ -972,7 +1128,7 @@ def fused_particle_sweep_episode(
         grid, crash, success_dist=1.0, change_at, exp_util=True,
         weighted_prior=True, mpf_log_space=True, use_fixed_mpf_bw=True,
         mpf_bw_scale=1.0, unroll=True, host_eps=None, host_pdz=None,
-        host_pdu=None, interpret=False):
+        host_pdu=None, interpret=False, probe_skip=()):
     """Run n_sc particle-navigation DuSt episodes in ONE Pallas
     program. state0 [4] shared; theta0/locs0/a_mat0 [m, hz, 2] and
     log_mix0 [m] shared across scenarios (the sweep harness layout);
@@ -990,8 +1146,8 @@ def fused_particle_sweep_episode(
     theta/locs/a_mat [n_sc, m, hz, 2], log_mix [n_sc, m] and MPF
     particles [n_sc, m_mpf, 1].
     """
-    if n_sc > 8:
-        raise ValueError("particle sweep kernel: n_sc <= 8 per "
+    if n_sc > 16:
+        raise ValueError("particle sweep kernel: n_sc <= 16 per "
                          "program (vmap/scan groups for larger sweeps)")
     if hz * 2 > 128 or n_act > 128:
         raise ValueError("particle sweep kernel: hz*2<=128, n_act<=128")
@@ -1006,12 +1162,19 @@ def fused_particle_sweep_episode(
     # single source of truth for the half-lane packing decision — the
     # kernel receives this as a static arg (ADVICE r3)
     pack2 = _pack2(n_act, n_params)
+    # halfeps (r4): with n_act <= 64 only lanes < 64 of each action
+    # channel are consumed, so the x/y channels share one eps row's
+    # lane halves — halving the per-step hardware-PRNG rows (the
+    # largest bucket of the r4 section attribution)
+    halfeps = n_act <= 64
     mp = _round8(max(m_mpf, 8))
     if mp > 64:
         raise ValueError("particle sweep kernel: m_mpf <= 64 (two "
                          "scenarios share each MPF row block's lanes)")
     n_pair = (n_sc + 1) // 2
-    steps_p = _round8(steps)
+    ns = 8 if n_sc <= 8 else 16
+    # ns = 16 logs two rows per step (12 fields x 16 scenario lanes)
+    steps_l = _round8(steps if ns == 8 else 2 * steps)
     host_noise = host_eps is not None
 
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 2)
@@ -1034,7 +1197,7 @@ def fused_particle_sweep_episode(
         jnp.float32(0.0),
     ]).reshape(1, 16)
 
-    masses = jnp.zeros((8, 128), jnp.float32).at[:n_sc, :].set(
+    masses = jnp.zeros((ns, 128), jnp.float32).at[:n_sc, :].set(
         jnp.broadcast_to(
             jnp.asarray(true_masses, jnp.float32)[:, None],
             (n_sc, 128),
@@ -1068,9 +1231,20 @@ def fused_particle_sweep_episode(
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + \
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
     if host_noise:
+        he = jnp.asarray(host_eps, jnp.float32).reshape(
+            steps, hz, 2, smp, 128)
+        if halfeps:
+            # pack the two channels into one row's lane halves: only
+            # lanes < n_act <= 64 of each channel are ever consumed,
+            # so the values the kernel reads are bit-identical to the
+            # full layout's
+            he = jnp.concatenate(
+                [he[:, :, 0, :, 0:64], he[:, :, 1, :, 0:64]], axis=-1
+            ).reshape(steps * hz * smp, 128)
+        else:
+            he = he.reshape(steps * hz * 2 * smp, 128)
         inputs += [
-            jnp.asarray(host_eps, jnp.float32).reshape(
-                steps * hz * 2 * smp, 128),
+            he,
             jnp.asarray(host_pdz, jnp.float32).reshape(
                 steps * n_sc * 8, 128),
             jnp.asarray(host_pdu, jnp.float32).reshape(
@@ -1090,7 +1264,8 @@ def fused_particle_sweep_episode(
         mpf_log_space=bool(mpf_log_space),
         use_fixed_mpf_bw=bool(use_fixed_mpf_bw),
         mpf_bw_scale=float(mpf_bw_scale), host_noise=host_noise,
-        unroll=bool(unroll), pack2=pack2,
+        unroll=bool(unroll), pack2=pack2, halfeps=halfeps,
+        probe_skip=tuple(probe_skip),
     )
     rows = (n_params // 2 if pack2 else n_params) * sm
     outs = pl.pallas_call(
@@ -1098,7 +1273,7 @@ def fused_particle_sweep_episode(
         in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_shape=[
-            jax.ShapeDtypeStruct((steps_p, 128), jnp.float32),
+            jax.ShapeDtypeStruct((steps_l, 128), jnp.float32),
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
@@ -1106,7 +1281,10 @@ def fused_particle_sweep_episode(
             jax.ShapeDtypeStruct((n_pair * mp, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((hz * 2 * smp, 128), jnp.float32),   # eps
+            pltpu.VMEM((hz * smp if halfeps else hz * 2 * smp, 128),
+                       jnp.float32),                        # eps
+            pltpu.VMEM((hz * smp if halfeps else 8, 128),
+                       jnp.float32),                        # eps2 (y view)
             pltpu.VMEM((rows, 128), jnp.float32),           # px
             pltpu.VMEM((rows, 128), jnp.float32),           # py
             pltpu.VMEM((rows, 128), jnp.float32),           # vx
@@ -1116,29 +1294,39 @@ def fused_particle_sweep_episode(
             pltpu.VMEM((smp, 128), jnp.float32),            # amat
             pltpu.VMEM((smp, 128), jnp.float32),            # log-mix
             pltpu.VMEM((n_pair * mp, 128), jnp.float32),    # mpf x
-            pltpu.VMEM((8, 128), jnp.float32),              # sim state
+            pltpu.VMEM((ns, 128), jnp.float32),             # sim state
         ],
         interpret=interpret,
     )(*inputs)
     log, theta_out, locs_out, amat_out, lmix_out, mpfx_out = outs
+
+    def fld(f):
+        """Per-scenario log field f: ns = 8 packs all 12 fields in one
+        row (lane f*8+s); ns = 16 packs fields 0..7 in row 2t and
+        8..11 in row 2t+1 (lane (f%8)*16+s)."""
+        if ns == 8:
+            return log[:steps, f * 8:f * 8 + n_sc]
+        r0, fi = divmod(f, 128 // ns)
+        return log[r0:2 * steps:2, fi * ns:fi * ns + n_sc]
+
     mpf_final = jnp.stack([
         mpfx_out[(s // 2) * mp:(s // 2) * mp + m_mpf,
                  64 * (s % 2):64 * (s % 2) + 1]
         for s in range(n_sc)
     ])
     return {
-        "px": log[:steps, 0:n_sc],
-        "py": log[:steps, 8:8 + n_sc],
-        "vx": log[:steps, 16:16 + n_sc],
-        "vy": log[:steps, 24:24 + n_sc],
-        "a_x": log[:steps, 32:32 + n_sc],
-        "a_y": log[:steps, 40:40 + n_sc],
-        "cost": log[:steps, 48:48 + n_sc],
-        "done": log[:steps, 56:56 + n_sc],
-        "crashed": log[:steps, 64:64 + n_sc],
-        "cum": log[:steps, 72:72 + n_sc],
-        "bw_sv": log[:steps, 80:80 + n_sc],
-        "bw_mpf": log[:steps, 88:88 + n_sc],
+        "px": fld(0),
+        "py": fld(1),
+        "vx": fld(2),
+        "vy": fld(3),
+        "a_x": fld(4),
+        "a_y": fld(5),
+        "cost": fld(6),
+        "done": fld(7),
+        "crashed": fld(8),
+        "cum": fld(9),
+        "bw_sv": fld(10),
+        "bw_mpf": fld(11),
         "theta": theta_out[:sm, :ev].reshape(n_sc, m, hz, 2),
         "locs": locs_out[:sm, :ev].reshape(n_sc, m, hz, 2),
         "a_mat": amat_out[:sm, :ev].reshape(n_sc, m, hz, 2),

@@ -388,13 +388,16 @@ def megakernel_particle_episode_fn(stack, exp_params, steps, warm_up=0,
 
 def megakernel_particle_sweep_fn(stack, exp_params, steps, n_sc,
                                  warm_up=0, unroll=True,
-                                 interpret=False, success_dist=1.0):
+                                 interpret=False, success_dist=1.0,
+                                 probe_skip=()):
     """Scenario-batched particle sweep megakernel adapter
-    (`ops/pallas_particle_sweep_episode.py`): n_sc <= 8 independent
+    (`ops/pallas_particle_sweep_episode.py`): n_sc <= 16 independent
     obstacle-navigation DuSt episodes — per-scenario seeds, true
     simulator masses, crash/goal termination, weighted priors and MPF
-    mass posteriors — advance in lockstep inside ONE Pallas program;
-    vmap/scan over groups of 8 for larger sweeps. Returns
+    mass posteriors — advance in lockstep inside ONE Pallas program
+    (n_sc <= 8 compiles to the r1-r3 one-vreg scenario tiles
+    bit-identically; n_sc > 8 uses the r4 widened 16-sublane tiles);
+    vmap/scan over groups for larger sweeps. Returns
     sweep(seed [2] int32, true_masses [n_sc]) -> per-scenario logs.
 
     Same restrictions discipline as the pendulum sweep adapter: the
@@ -447,7 +450,7 @@ def megakernel_particle_sweep_fn(stack, exp_params, steps, n_sc,
             mpf_log_space=exp["mpf_log_space"], use_fixed_mpf_bw=True,
             mpf_bw_scale=exp["mpf_bandwidth_scaling"], unroll=unroll,
             interpret=interpret, host_eps=host_eps, host_pdz=host_pdz,
-            host_pdu=host_pdu, **statics,
+            host_pdu=host_pdu, probe_skip=probe_skip, **statics,
         )
 
     return sweep

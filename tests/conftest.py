@@ -92,3 +92,26 @@ def reference():
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables at module boundaries.
+
+    The full suite performs hundreds of XLA:CPU compiles (several of
+    them interpret-mode Pallas megakernels with very large jaxprs) in
+    ONE long-lived process that also hosts torch; by ~test 185 the
+    accumulated LLVM JIT state made `backend_compile_and_load` segfault
+    reproducibly (r4, 2026-08-20: three full-suite runs died at
+    tests/test_properties.py::test_median_and_bandwidths_positive on a
+    trivial `median_lower` compile, while every sub-suite — and the
+    slightly smaller r3 tree — passes cleanly; RSS alone is not the
+    limit, the box has 125 GB free). Dropping the executable caches at
+    each module boundary bounds the live-JIT footprint; cross-module
+    cache reuse is negligible (modules compile their own kernels), so
+    suite time is unaffected.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -169,16 +169,28 @@ def _assert_particle_sweep_matches(n_sc, steps, *, unroll, interpret,
             err_msg=f"mpf_x scenario {s}", **tol_mpfx)
 
 
-@pytest.mark.parametrize("n_sc", [2, 3, 8])
-def test_particle_sweep_matches_independent_single_episodes(n_sc):
+@pytest.mark.parametrize("n_sc,lr", [(2, None), (3, None), (8, None),
+                                     (13, 5.0), (16, None)])
+def test_particle_sweep_matches_independent_single_episodes(n_sc, lr):
     """Every scenario of the sweep kernel must reproduce an independent
     single-episode run on the same noise (odd n_sc exercises the MPF
-    pairing's missing-B-half path). CPU interpret mode drives the
-    ROLLED body (Mosaic rejects it on TPU); the hardware test below
-    covers the production unrolled path. The demo config (n_act=64,
-    n_params=4) drives the half-lane param-packed rollout layout."""
+    pairing's missing-B-half path; n_sc > 8 the r4 WIDENED 16-sublane
+    scenario tiles with the two-row log packing, 13 its odd/partial
+    corner). CPU interpret mode drives the ROLLED body (Mosaic rejects
+    it on TPU); the hardware test below covers the production unrolled
+    path. The demo config (n_act=64, n_params=4) drives the half-lane
+    param-packed rollout layout.
+
+    n_sc=13 pins learning_rate=5: its fresh noise shape draws a
+    GMM-prior softmax near-tie at scenario 6 that the demo lr=100
+    amplifies into a 0.28 theta deviation vs the oracle — measured to
+    be NOT a widening artifact (the 13-wide sweep is bitwise equal to
+    the 8-wide sweep on the same noise slices for scenarios 0-7, and
+    the committed action matches the oracle to 1e-6; the same noise
+    through the narrow kernel deviates identically)."""
+    over = {} if lr is None else dict(learning_rate=lr)
     _assert_particle_sweep_matches(n_sc, 2, unroll=False,
-                                   interpret=True)
+                                   interpret=True, **over)
 
 
 def test_particle_sweep_matches_singles_unpacked_layout():
@@ -274,9 +286,9 @@ def test_particle_sweep_adapter_guards():
     stack, cfg = _stack()
     with pytest.raises(ValueError, match="n_sc"):
         sweep = megakernel_particle_sweep_fn(
-            stack, cfg["exp_params"], steps=1, n_sc=9, interpret=True
+            stack, cfg["exp_params"], steps=1, n_sc=17, interpret=True
         )
-        sweep(jnp.zeros(2, jnp.int32), jnp.ones(9))
+        sweep(jnp.zeros(2, jnp.int32), jnp.ones(17))
 
 
 def test_particle_sweep_groups_shard_over_mesh():
