@@ -94,9 +94,14 @@ def main():
                         help="per-step pendulum frames + MP4 for each "
                         "case's episode 0 (headless stand-in for the "
                         "reference's live gym window)")
+    parser.add_argument("--tuned", action="store_true",
+                        help="use the robustness-tuned config "
+                        "(pendulum_config_tuned.yaml, r4 --tail ASHA)")
     args = parser.parse_args()
 
-    config_path = args.config or Path(__file__).parent / "pendulum_config.yaml"
+    config_path = args.config or Path(__file__).parent / (
+        "pendulum_config_tuned.yaml" if args.tuned
+        else "pendulum_config.yaml")
     config_data = load_config(config_path)
     sim = config_data["sim_params"]
     steps = args.steps or sim["steps"]

@@ -27,6 +27,7 @@ from dust_tpu.simulation import PendulumSimulation
 from dust_tpu.tuning import (
     parallel_lr_sweep,
     pendulum_asha_objective,
+    pendulum_sweep_tail_objective,
     random_search,
     successive_halving,
 )
@@ -51,6 +52,17 @@ ASHA_SPACE = {
     "horizon": [20, 30, 40],
 }
 
+# --tail space: every key is a traced SMEM scalar of the sweep
+# megakernel (zero recompiles across trials); brackets the demo
+# config (lr=2, alpha=1, ctrl_sigma=2, prior_sigma=2), whose defect
+# is intermittent upright-hold loss on the torque-limited corners
+TAIL_SPACE = {
+    "learning_rate": (0.5, 15.0, "log"),
+    "alpha": (0.5, 2.0, "log"),
+    "ctrl_sigma": (1.0, 4.0),
+    "prior_sigma": (1.0, 4.0),
+}
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -63,11 +75,37 @@ def main():
                         help="batched successive halving over N configs")
     parser.add_argument("--max-budget", type=int, default=0,
                         help="ASHA full-episode budget (default --steps)")
+    parser.add_argument("--tail", type=int, default=0,
+                        help="ASHA over N configs minimizing the "
+                             "WORST-corner tail cost of the 8-scenario "
+                             "robustness sweep (VERDICT r3 #7)")
+    parser.add_argument("--seeds", type=int, default=2,
+                        help="--tail: sweep seeds averaged per trial")
     args = parser.parse_args()
 
     config_path = Path(__file__).parent / "pendulum_config.yaml"
     base_config = load_config(config_path)
     true_params = {"length": 1.0, "mass": 1.0}
+
+    if args.tail:
+        # the sweep_example robustness grid; every sampled key is a
+        # traced SMEM scalar -> one Mosaic compile per budget
+        max_budget = args.max_budget or max(args.steps, 200)
+        lens = jnp.linspace(0.7, 1.25, 8)
+        mass = jnp.linspace(1.25, 0.7, 8)
+        objective = pendulum_sweep_tail_objective(
+            base_config, lens, mass, seed=args.seed, verbose=True,
+            n_seeds=args.seeds,
+        )
+        best, value, history, episode_eq = successive_halving(
+            objective, TAIL_SPACE, args.tail, eta=3,
+            min_budget=max(25, max_budget // 9),
+            max_budget=max_budget, seed=args.seed, verbose=True,
+        )
+        print(f"\nbest: {best} -> worst-corner tail {value:.4f} "
+              f"({episode_eq:.1f} sweep-equivalents for {args.tail} "
+              "configs)")
+        return
 
     if args.asha:
         max_budget = args.max_budget or args.steps

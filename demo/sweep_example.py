@@ -60,8 +60,9 @@ def main():
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tuned", action="store_true",
-                        help="particle task: use the megakernel-ASHA "
-                        "tuned config (particle_config_tuned.yaml)")
+                        help="use the megakernel-ASHA tuned config "
+                        "(particle_config_tuned.yaml / "
+                        "pendulum_config_tuned.yaml)")
     args = parser.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -71,7 +72,9 @@ def main():
     n = groups * S
 
     if args.task == "pendulum":
-        config = load_config(HERE / "pendulum_config.yaml")
+        config = load_config(
+            HERE / ("pendulum_config_tuned.yaml" if args.tuned
+                    else "pendulum_config.yaml"))
         stack = build_pendulum_stack(config, jax.random.key(args.seed),
                                      case="dust")
         exp = config["exp_params"]

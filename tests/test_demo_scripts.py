@@ -101,3 +101,12 @@ def test_particle_example_tuned_config_runs():
     r = _run(["demo/particle_example.py", "--tuned", "--steps", "4"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "episode 0" in r.stdout
+
+
+def test_pendulum_example_tuned_config_runs():
+    """--tuned loads pendulum_config_tuned.yaml (the r4 worst-corner
+    tail ASHA config; see demo/pendulum_tuning.py --tail)."""
+    r = _run(["demo/pendulum_example.py", "--tuned", "--steps", "4",
+              "--cases", "dust"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "episode 0" in r.stdout

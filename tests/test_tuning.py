@@ -295,3 +295,38 @@ def test_tuned_particle_config_values():
     # terminal weights layout: [qpos_T, qpos_T, qvel_T, qvel_T]
     assert float(stack.model.w_term[2]) == 800.0
     assert stack.use_svmpc and stack.mpf is not None
+
+
+def test_tuned_pendulum_config_values():
+    """The shipped r4 tail-tuned config reaches the stack builder with
+    the --tail ASHA winner's values (2026-08-20; 20-seed
+    characterization in BASELINE.md "r4 pendulum tail verdict")."""
+    from dust_tpu.experiments import build_pendulum_stack, load_config
+
+    cfg = load_config("/root/repo/demo/pendulum_config_tuned.yaml")
+    exp = cfg["exp_params"]
+    assert abs(exp["learning_rate"] - 1.1857) < 1e-6
+    assert abs(exp["alpha"] - 1.3677) < 1e-6
+    assert abs(exp["ctrl_sigma"] - 1.2633) < 1e-6
+    assert abs(exp["prior_sigma"] - 2.1853) < 1e-6
+    stack = build_pendulum_stack(cfg, jax.random.key(0), case="dust")
+    assert stack.svmpc is not None and stack.mpf is not None
+
+
+def test_pendulum_tail_objective_scores_and_ranks():
+    """pendulum_sweep_tail_objective runs a tiny interpret-mode budget
+    and returns finite scores; an unsolvable budget scores the
+    10+min-cost failure branch (any swing-up beats any failure)."""
+    import jax.numpy as jnp
+
+    from dust_tpu.experiments import load_config
+    from dust_tpu.tuning import pendulum_sweep_tail_objective
+
+    cfg = load_config("/root/repo/demo/pendulum_config.yaml")
+    obj = pendulum_sweep_tail_objective(
+        cfg, jnp.linspace(0.7, 1.25, 8), jnp.linspace(1.25, 0.7, 8),
+        seed=0, n_seeds=1)
+    scores = obj([{}, dict(learning_rate=1.2, alpha=1.4)], 4)
+    assert np.all(np.isfinite(scores))
+    # 4 steps cannot swing up: both trials take the failure branch
+    assert np.all(scores > 10.0)
