@@ -129,6 +129,87 @@ if pid == 0:
 """
 
 
+MPF_WORKER = r"""
+import sys, time, json
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+m = int(sys.argv[4]); steps = int(sys.argv[5])
+repeats = int(sys.argv[6])
+import jax
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+sys.path.insert(0, "__ROOT__")
+if nproc > 1:
+    from dust_tpu.parallel.mesh import initialize_distributed
+    assert initialize_distributed(f"localhost:{port}",
+                                  num_processes=nproc, process_id=pid)
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dust_tpu.inference import GaussianLikelihood
+from dust_tpu.models import PendulumModel
+from dust_tpu.parallel.stein import ShardedMPF
+
+devs = jax.devices()
+assert len(devs) == nproc, (len(devs), nproc)
+mesh = Mesh(devs, ("particle",))
+shard = NamedSharding(mesh, P("particle"))
+rep = NamedSharding(mesh, P())
+
+model = PendulumModel(uncertain_params=("length", "mass"))
+mpf = ShardedMPF(likelihood=GaussianLikelihood(obs_std=0.1,
+                                               model=model),
+                 mesh=mesh, optimizer=optax.sgd(1e-3))
+rng = np.random.default_rng(11)
+init = rng.uniform(0.6, 1.3, size=(m, 2)).astype(np.float32)
+ms0 = mpf.init_state(jnp.asarray(init),
+                     jnp.asarray([2.8, -0.2], jnp.float32),
+                     dim_a=1, bw=0.2)
+
+
+def place(tree_leaf, sh):
+    return jax.make_array_from_callback(
+        jnp.shape(tree_leaf), sh,
+        lambda idx, x=tree_leaf: jnp.asarray(x)[idx])
+
+
+ms0 = jax.tree_util.tree_map(
+    lambda leaf: place(
+        leaf,
+        shard if hasattr(leaf, "shape") and leaf.shape[:1] == (m,)
+        else rep),
+    ms0)
+action = place(jnp.asarray([0.8], jnp.float32), rep)
+new_obs = place(jnp.asarray([2.7, -0.5], jnp.float32), rep)
+
+
+def run(ms, a, o):
+    ms1, _, _ = mpf.optimize(ms, a, o, bw=0.3, n_steps=steps)
+    return jnp.sum(ms1.x)
+
+
+fn = jax.jit(run, out_shardings=rep)
+jax.block_until_ready(fn(ms0, action, new_obs))
+best = float("inf")
+for i in range(repeats):
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(ms0, action, new_obs))
+    best = min(best, time.perf_counter() - t0)
+if pid == 0:
+    # bulk DCN-path payload: each of the `steps` SVGD iterations
+    # all_gathers the [m, 2] particles AND the [m, 2] scores (f32)
+    bulk_mb = steps * 2 * m * 2 * 4 / 1e6
+    print(json.dumps({"procs": nproc, "m": m, "steps": steps,
+                      "solves_per_s": round(steps / best, 2),
+                      "unit": "svgd_steps_per_s",
+                      "bulk_mb_per_optimize": round(bulk_mb, 3)}),
+          flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -180,16 +261,33 @@ def main():
     parser.add_argument("--per-proc", type=int, default=4)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--mode", default="episodes",
+                        choices=("episodes", "mpf"),
+                        help="episodes: scenario-DP weak scaling "
+                        "(scalar cross-process traffic). mpf: "
+                        "particle-axis ShardedMPF STRONG scaling at "
+                        "fixed m — every SVGD step all_gathers the "
+                        "[m, 2] particle/score payload across the "
+                        "process boundary (the bulk DCN-path traffic "
+                        "VERDICT r3 #4 asked to measure)")
+    parser.add_argument("--m", type=int, default=4096,
+                        help="mpf mode: total particle count")
     args = parser.parse_args()
 
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
         worker_path = Path(tmp) / "scaling_worker.py"
-        worker_path.write_text(WORKER.replace("__ROOT__", str(ROOT)))
+        if args.mode == "mpf":
+            worker_path.write_text(
+                MPF_WORKER.replace("__ROOT__", str(ROOT)))
+            size_arg = args.m
+        else:
+            worker_path.write_text(WORKER.replace("__ROOT__", str(ROOT)))
+            size_arg = args.per_proc
         results = {}
         for nproc in [int(p) for p in args.procs.split(",")]:
-            r = run_cluster(nproc, args.per_proc, args.steps,
+            r = run_cluster(nproc, size_arg, args.steps,
                             args.repeats, worker_path)
             results[nproc] = r
             print(json.dumps(r), flush=True)
@@ -203,14 +301,17 @@ def main():
     # not fabricated per-core scaling.
     ncores = os.cpu_count() or 1
     summary = {
-        "weak_scaling_efficiency": {
+        ("strong_scaling_efficiency" if args.mode == "mpf"
+         else "weak_scaling_efficiency"): {
             str(p): round(
                 r["solves_per_s"] / (min(p, ncores) * base_rate), 4)
             for p, r in results.items()
         },
+        "mode": args.mode,
         "physical_cores": ncores,
         "oversubscribed_points": [p for p in results if p > ncores],
-        "per_proc_episodes": args.per_proc,
+        ("m_total" if args.mode == "mpf" else "per_proc_episodes"):
+            size_arg,
         "steps": args.steps,
         "collectives": "gloo" if len(results) > 1 else "none",
     }

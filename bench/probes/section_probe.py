@@ -40,7 +40,10 @@ import numpy as np
 from dust_tpu.ops.pallas_sweep_episode import fused_pendulum_sweep_episode
 
 HZ, M, NA, MM = 30, 3, 128, 50
-N_SC, STEPS, GROUPS = 8, 200, 32
+# N_SC=16 measures the production (r4 widened) layout; N_SC=8 the
+# r1-r3 one. GROUPS scales down so the episode batch stays 256.
+N_SC = int(os.environ.get("N_SC", "8"))
+STEPS, GROUPS = 200, int(os.environ.get("GROUPS", str(256 // N_SC)))
 
 
 def run(tag, n_params=8, m_mpf=MM, mpf_steps=20, mpf_fixed_bw=None,

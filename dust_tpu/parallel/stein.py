@@ -67,6 +67,54 @@ def make_sharded_svgd_phi(mesh, axis="particle"):
     return phi
 
 
+def make_sharded_gmm_score(mesh, axis="particle"):
+    """Row-blocked GMM prior score: grad_x log p(x) for the
+    particle-centered mixture, with x AND the component centers
+    sharded on `axis`.
+
+    The responsibilities matrix [m, m] is the framework's second
+    quadratic object (module docstring); left to GSPMD it was the
+    bottleneck of cross-process ShardedMPF (r4 gloo proxy: 60%/31%
+    strong-scaling efficiency at P=2/4 with only the kernel Gram
+    hand-sharded; the prior's [m, m] component log-probs were being
+    assembled through unpartitioned intermediates). Here each device
+    gathers the (small, [m, d]) centers once and computes only its
+    row block — the same one-gather blockwise-Gram contract as
+    `make_sharded_svgd_phi`. Math is `distributions.GMM.score`
+    verbatim (shared [d, d] scale_tril, 1-D event), row-blocked.
+    """
+    from ..distributions import (
+        _LOG_2PI,
+        _tril_log_det,
+        _tril_solve,
+        _tril_solve_t,
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )
+    def gmm_score(x_local, locs_local, logits_local, scale_tril):
+        locs_all = jax.lax.all_gather(locs_local, axis, tiled=True)
+        logits_all = jax.lax.all_gather(logits_local, axis, tiled=True)
+        d = locs_all.shape[-1]
+        log_w = jax.nn.log_softmax(logits_all)
+        diff = x_local[:, None, :] - locs_all[None, :, :]  # [ml, m, d]
+        z = _tril_solve(scale_tril, diff)
+        maha = jnp.sum(z * z, axis=-1)                     # [ml, m]
+        lp = -0.5 * (maha + d * _LOG_2PI) - _tril_log_det(scale_tril)
+        r = jax.nn.softmax(lp + log_w, axis=-1)
+        mean_c = jnp.dot(r, locs_all,
+                         preferred_element_type=jnp.float32)
+        diff2 = mean_c - x_local
+        return _tril_solve_t(scale_tril,
+                             _tril_solve(scale_tril, diff2))
+
+    return gmm_score
+
+
 class ShardedMPF(MPF):
     """MPF whose SVGD update shards the particle axis over a mesh.
 
@@ -84,6 +132,7 @@ class ShardedMPF(MPF):
         self.axis = axis
         self._sharding = NamedSharding(mesh, P(axis))
         self._phi_rows = make_sharded_svgd_phi(mesh, axis)
+        self._gmm_score = make_sharded_gmm_score(mesh, axis)
 
     def shard_state(self, mstate: MPFState) -> MPFState:
         """Place the particle-axis leaves on the mesh."""
@@ -100,7 +149,15 @@ class ShardedMPF(MPF):
 
     def phi(self, mstate: MPFState, bw):
         x = mstate.x
-        grad_prior = mstate.prior.score(x)  # closed form == jax.grad
+        prior = mstate.prior
+        if prior.scale_tril.ndim == 2 and x.ndim == 2 \
+                and prior.locs.shape == x.shape:
+            # the particle-centered mixture: row-blocked [m, m] score
+            # with a single centers gather (see make_sharded_gmm_score)
+            grad_prior = self._gmm_score(x, prior.locs, prior.logits,
+                                         prior.scale_tril)
+        else:   # batched scale_tril / exotic priors: exact GSPMD path
+            grad_prior = prior.score(x)
 
         def log_lik(t):
             pred = self.likelihood.sample(mstate.lik, t)
