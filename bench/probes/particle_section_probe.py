@@ -46,7 +46,10 @@ import jax.numpy as jnp
 from dust_tpu.experiments import build_particle_stack, load_config
 from dust_tpu.simulation import megakernel_particle_sweep_fn
 
-STEPS, GROUPS, REPEATS = 200, 8, 3
+STEPS, REPEATS = 200, 3
+# N_SC=16 measures the r4 widened layout; 8 (default) the r1-r3 one
+N_SC = int(os.environ.get("N_SC", "8"))
+GROUPS = int(os.environ.get("GROUPS", "8"))
 
 
 def run(tag, probe_skip=(), **overrides):
@@ -54,10 +57,10 @@ def run(tag, probe_skip=(), **overrides):
     config["exp_params"].update(overrides)
     stack = build_particle_stack(config, jax.random.key(0))
     sweep = megakernel_particle_sweep_fn(
-        stack, config["exp_params"], steps=STEPS, n_sc=8, unroll=True,
-        probe_skip=probe_skip,
+        stack, config["exp_params"], steps=STEPS, n_sc=N_SC,
+        unroll=True, probe_skip=probe_skip,
     )
-    masses = jnp.linspace(1.6, 2.4, 8)
+    masses = jnp.linspace(1.6, 2.4, N_SC)
 
     @jax.jit
     def run_groups(seeds):
@@ -79,7 +82,8 @@ def run(tag, probe_skip=(), **overrides):
         best = min(best, time.perf_counter() - t0)
     us = best / (GROUPS * STEPS) * 1e6
     print(json.dumps({"variant": tag, "us_per_group_step": round(us, 2),
-                      "solves_per_s": round(GROUPS * 8 * STEPS / best, 1)
+                      "solves_per_s": round(GROUPS * N_SC * STEPS / best,
+                                            1)
                       }), flush=True)
     return us
 
