@@ -149,10 +149,16 @@ def bench_episode_sweep(stack, config):
 
     n_sweep = int(os.environ.get("BENCH_SWEEP_N", "256"))
     S = int(os.environ.get("BENCH_SWEEP_S", "16"))
-    groups = max(1, n_sweep // S)
+    # r4 multi-chain: CH independent episode-chains per Pallas program
+    # (back-to-back step bodies give the scheduler independent serial
+    # chains to overlap; measured +5% at every n, BASELINE
+    # "r4 multi-chain"). BENCH_SWEEP_CHAINS=1 restores one chain.
+    CH = int(os.environ.get("BENCH_SWEEP_CHAINS", "4"))
+    groups = max(1, n_sweep // (S * CH))
     sweep = megakernel_pendulum_sweep_fn(
         stack, config["exp_params"], steps=STEPS, n_sc=S, warm_up=0,
         unroll=os.environ.get("BENCH_SWEEP_UNROLL", "1") == "1",
+        n_chains=CH,
     )
     lens = jnp.linspace(0.8, 1.2, S)
     mass = jnp.linspace(0.9, 1.1, S)
@@ -189,8 +195,10 @@ def bench_episode_sweep(stack, config):
     # -> [episodes, STEPS] for the swing-up sanity check
     import numpy as np
 
-    costs = np.moveaxis(np.asarray(costs), 2, 1).reshape(-1, STEPS)
-    return groups * S * STEPS / best, costs
+    # [groups(, CH), STEPS, S] -> [episodes, STEPS]
+    costs = np.asarray(costs)
+    costs = np.moveaxis(costs, -1, -2).reshape(-1, STEPS)
+    return groups * S * CH * STEPS / best, costs
 
 
 def bench_episode_mega(stack, config):

@@ -218,7 +218,8 @@ def _pendulum_sweep_kernel(
         locs0_ref, amat0_ref, mpfx0_ref, *rest,
         n_sc, steps, warm_up, hz, m, n_params, n_act, m_mpf, mpf_steps,
         dt, g_model, g_sim, exp_util, mpf_log_space, mpf_fixed_bw,
-        mpf_bw_scale, host_noise, unroll, mpf_drive_layout, probe_skip):
+        mpf_bw_scale, host_noise, unroll, mpf_drive_layout, probe_skip,
+        n_chains=1):
     """S-scenario pendulum DuSt episodes in one program.
 
     seed (SMEM int32 [1, 2]); scal (SMEM f32 [1, 16]):
@@ -237,980 +238,1003 @@ def _pendulum_sweep_kernel(
     bw_mpf_s at 40+s), theta/locs/amat [S*m(pad8), 128],
     mpfx [ceil(S/2)*mp, 128] (paired-lane layout as mpfx0).
     """
+    # r4 multi-chain: `rest` holds n_chains independent episode-chains'
+    # refs — [3*nch host-noise inputs,] 5*nch outputs, 6*nch scratch.
+    # Each chain is a full independent group of n_sc episodes (own
+    # seed row, own state); their step bodies run back-to-back inside
+    # one rolled fori iteration so the scheduler can overlap the
+    # serial dependency chains (bench/probes/dualchain_probe.py:
+    # independent chains overlap at ~1.0x through block-64 interleave
+    # granularity). n_chains=1 is the r1-r4 single-chain program.
+    nch = n_chains
     if host_noise:
-        (eps_in_ref, pdz_in_ref, pdu_in_ref,
-         log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
-         mpfx_out_ref,
-         eps_ref, theta_ref, locs_ref, amat_ref,
-         mpfx_ref, sim_ref) = rest
-    else:
-        (log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
-         mpfx_out_ref,
-         eps_ref, theta_ref, locs_ref, amat_ref,
-         mpfx_ref, sim_ref) = rest
+        noise_all, rest = rest[:3 * nch], rest[3 * nch:]
+    outs_all, scr_all = rest[:5 * nch], rest[5 * nch:]
 
-    # probe_skip (ATTRIBUTION ONLY, bench/probes/section_probe.py):
-    # static set of section names whose work is replaced by cheap
-    # shape/dependency-preserving stand-ins so the marginal device time
-    # of each section can be measured end-to-end. Empty in production —
-    # with probe_skip=() every branch below is the byte-identical
-    # original code path (Python-level static ifs).
-    skip = frozenset(probe_skip)
-    sm = n_sc * m                       # scenario-stacked particle rows
-    smp = _round8(sm)
-    # scenario-tile row count: 8 (one vreg) for n_sc <= 8 — the r1-r3
-    # layout, bit-identical — or 16 for the widened sweep (r4: the
-    # group-step is substantially latency-bound — measured 13.3/17.3/
-    # 22.8 us at S=2/4/8 — so doubling S costs ~1.35x time for 2x
-    # solves; S=16 is the ceiling: draw lanes s*8+p < 128 and the
-    # 6-channel log packing 6*16 = 96 <= 128)
-    ns = 8 if n_sc <= 8 else 16
-    rows = n_params * sm                # rollout rows
-    # MPF rows hold TWO scenarios per block: scenario 2p at lanes 0:2,
-    # 2p+1 at lanes 64:66 of block p (see the MPF section)
-    mp = mpfx0_ref.shape[0] // ((n_sc + 1) // 2)
-    ev = hz
+    def _chain(cidx, eps_in_ref, pdz_in_ref, pdu_in_ref,
+               log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
+               mpfx_out_ref, eps_ref, theta_ref, locs_ref, amat_ref,
+               mpfx_ref, sim_ref):
+        # probe_skip (ATTRIBUTION ONLY, bench/probes/section_probe.py):
+        # static set of section names whose work is replaced by cheap
+        # shape/dependency-preserving stand-ins so the marginal device time
+        # of each section can be measured end-to-end. Empty in production —
+        # with probe_skip=() every branch below is the byte-identical
+        # original code path (Python-level static ifs).
+        skip = frozenset(probe_skip)
+        sm = n_sc * m                       # scenario-stacked particle rows
+        smp = _round8(sm)
+        # scenario-tile row count: 8 (one vreg) for n_sc <= 8 — the r1-r3
+        # layout, bit-identical — or 16 for the widened sweep (r4: the
+        # group-step is substantially latency-bound — measured 13.3/17.3/
+        # 22.8 us at S=2/4/8 — so doubling S costs ~1.35x time for 2x
+        # solves; S=16 is the ceiling: draw lanes s*8+p < 128 and the
+        # 6-channel log packing 6*16 = 96 <= 128)
+        ns = 8 if n_sc <= 8 else 16
+        rows = n_params * sm                # rollout rows
+        # MPF rows hold TWO scenarios per block: scenario 2p at lanes 0:2,
+        # 2p+1 at lanes 64:66 of block p (see the MPF section)
+        mp = mpfx0_ref.shape[0] // ((n_sc + 1) // 2)
+        ev = hz
 
-    sigma_c = scal_ref[0, 2]
-    lr = scal_ref[0, 3]
-    alpha = scal_ref[0, 4]
-    inv_temp = scal_ref[0, 5]
-    inv_s2 = scal_ref[0, 6]
-    inv_ps2 = scal_ref[0, 7]
-    mpf_lr = scal_ref[0, 8]
-    mpf_sigma = scal_ref[0, 9]
-    log_mix = scal_ref[0, 11]
+        sigma_c = scal_ref[0, 2]
+        lr = scal_ref[0, 3]
+        alpha = scal_ref[0, 4]
+        inv_temp = scal_ref[0, 5]
+        inv_s2 = scal_ref[0, 6]
+        inv_ps2 = scal_ref[0, 7]
+        mpf_lr = scal_ref[0, 8]
+        mpf_sigma = scal_ref[0, 9]
+        log_mix = scal_ref[0, 11]
 
-    theta_ref[:] = theta0_ref[:]
-    locs_ref[:] = locs0_ref[:]
-    amat_ref[:] = amat0_ref[:]
-    mpfx_ref[:] = mpfx0_ref[:]
-    # sim_ref [ns, 128]: row s carries lanes [th, om, prior_bw]
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 1)
-    sim_ref[:] = (
-        jnp.where(lane_s == 0, scal_ref[0, 0], 0.0)
-        + jnp.where(lane_s == 1, scal_ref[0, 1], 0.0)
-        + jnp.where(lane_s == 2, scal_ref[0, 10], 0.0)
-    )
-
-    lane_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 1)
-    row_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 0)
-    s_of_prow = row_sm // m                              # particle rows
-    valid_sm = row_sm < sm
-    row_roll = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
-    # rollout row p * sm + s * m + q
-    s_of_rrow = (row_roll - (row_roll // sm) * sm) // m
-    blk = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 0) // m == \
-        jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) // m
-    colv = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) < sm
-    blk = blk & colv
-
-    def step(t, _):
-        if not host_noise:
-            pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] * 100003 + t)
-            if "rng" in skip:   # cheap t-dependent fills (no Box-Muller)
-                # anchored to VMEM-tile READS (x*0.0 + c): the remote
-                # Mosaic aborts both on pure splat-constant tiles and
-                # on sublane-broadcasting a [1, 128] slice (the
-                # scalar-splat fori-carry rejection class, see
-                # ops/pallas_solve.py). Reading the scratch
-                # uninitialized on step 0 is fine — it is multiplied
-                # by zero. Needs hz * smp >= 8 * n_sc (true whenever
-                # hz * m >= 8; the demo shapes are 30 * 3).
-                tv = jnp.float32(t) * 1e-6
-                eps_ref[:] = eps_ref[:] * 0.0 + (0.01 + tv)
-                pdz = eps_ref[0:8 * n_sc, :] * 0.0 + (0.02 + tv)
-                pdu = eps_ref[0:8 * n_sc, :] * 0.0 + (0.5 + tv)
-            else:
-                eps_ref[:] = _normals((hz * smp, 128))
-                pdz = _normals((8 * n_sc, 128))
-                pdu = _uniform01((8 * n_sc, 128))
-        else:
-            eps_ref[:] = eps_in_ref[pl.ds(t * hz * smp, hz * smp), :]
-            pdz = pdz_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
-            pdu = pdu_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
-
-        theta = jnp.where(valid_sm, theta_ref[:], 0.0)   # [smp, 128]
-        locs = jnp.where(valid_sm, locs_ref[:], 0.0)
-
-        # ---- per-scenario sim-state columns, extracted ONCE ----
-        # (th/om/prior_bw live at lanes 0/1/2 of sim_ref). Per-scenario
-        # scalars below come from `col_at` — a one-vreg [8, 1] masked
-        # sum producing a 0-d SPLAT, bitwise the value the old
-        # per-scenario FULL-tile masked sums extracted at ~16x the
-        # cost. (0-d splats, not [1, 1] slices: slice-derived vectors
-        # carry concrete layouts that Mosaic cannot broadcast in both
-        # sublanes and lanes — measured compile failures r2.)
-        th_col = jnp.sum(jnp.where(lane_s == 0, sim_ref[:], 0.0),
-                         axis=1, keepdims=True)           # [ns, 1]
-        om_col = jnp.sum(jnp.where(lane_s == 1, sim_ref[:], 0.0),
-                         axis=1, keepdims=True)
-        pbw_col = jnp.sum(jnp.where(lane_s == 2, sim_ref[:], 0.0),
-                          axis=1, keepdims=True)
-        sin_col = jnp.sin(th_col + math.pi)               # [ns, 1]
-        i81 = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
-
-        def col_at(col, s):
-            """col [8, 1] -> 0-d value of row s (one-vreg masked sum)."""
-            return jnp.sum(jnp.where(i81 == s, col, 0.0))
-
-        # ---- per-scenario Silverman bandwidths (m*hz flattened values
-        # per scenario, one 128-lane row each; ONE row-batched bitonic
-        # sort computes all scenarios' order statistics at once).
-        # Packing is scenario-per-sublane (the particle kernel's
-        # rr-major trick, r3): stacking rows s*m+q across scenarios
-        # makes each (q-)shift ONE [8, 128]-vreg roll+select for all
-        # scenarios at once — m ops instead of m*n_sc ----
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        if "silverman" in skip:
-            bw8 = jnp.full((ns, 1), 0.3) + th_col * 1e-9
-        else:
-            sv_tile = jnp.full((ns, 128), _POS_BIG, jnp.float32)
-            for q in range(m):
-                rows_q = jnp.concatenate(
-                    [theta[s * m + q:s * m + q + 1, :]
-                     for s in range(n_sc)]
-                    + ([jnp.full((ns - n_sc, 128), _POS_BIG,
-                                 jnp.float32)]
-                       if n_sc < ns else []),
-                    axis=0,
-                )
-                chunk = pltpu.roll(rows_q, shift=q * hz, axis=1)
-                in_chunk = (lane_s >= q * hz) & (lane_s < (q + 1) * hz)
-                sv_tile = jnp.where(in_chunk, chunk, sv_tile)
-            bw8 = _silverman_rows(sv_tile, m * hz)
-        # scenario column -> per-particle-row column by pure movement
-        bw_col = jnp.concatenate(
-            [jnp.broadcast_to(bw8[s:s + 1, :], (m, 1))
-             for s in range(n_sc)]
-            + ([jnp.zeros((smp - sm, 1), jnp.float32)]
-               if smp != sm else []), axis=0)
-        inv_bw2_col = 1.0 / (bw_col * bw_col)
-
-        # ---- dynamics draws from each scenario's MPF prior ----
-        # batched over all (scenario, param-draw) pairs: rows s*8+p of
-        # the [8*n_sc, 128] draw tiles (the pdu/pdz layout), exact
-        # masked selections only (no MXU — the values must match the
-        # single-episode kernel's per-draw scalar path bitwise)
-        mpfx = mpfx_ref[:]                        # [n_pair*mp, 128]
-        nd = 8 * n_sc                             # draw rows
-        rowd = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 0)
-        laned = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 1)
-
-        # per-scenario particle rows: one whole-column reshape per
-        # (dim, lane-half) puts pair p's mp values into row p (same
-        # pure-movement trick as pair_rows); scenario s = 2p lives in
-        # row p of the A tiles, s = 2p+1 in row p of the B tiles
-        n_pair_d = (n_sc + 1) // 2
-        zpad = jnp.zeros((n_pair_d, 128 - mp), jnp.float32)
-
-        def cols_to_rows(col):
-            return jnp.concatenate(
-                [col.reshape(n_pair_d, mp), zpad], axis=1)
-
-        l_a = cols_to_rows(mpfx[:, 0:1])          # [n_pair, 128]
-        m_a = cols_to_rows(mpfx[:, 1:2])
-        l_b = cols_to_rows(mpfx[:, 64:65])
-        m_b = cols_to_rows(mpfx[:, 65:66])
-        if "draws" in skip:
-            dep = (jnp.sum(pdz[0:1, 0:1]) + jnp.sum(pdu[0:1, 0:1])
-                   + jnp.sum(l_a[0:1, 0:1])) * 0.0
-            il24 = jnp.full((rows, 1), 1.0) + dep
-            im24 = jnp.full((rows, 1), 1.0) + dep
-        else:
-            # broadcast to draw rows: row s*8+p -> scenario s (per-
-            # scenario broadcast+concat, no select chain; pure movement
-            # keeps a NaN'd scenario out of the others' draw rows)
-            l64 = jnp.concatenate(
-                [jnp.broadcast_to(
-                    (l_a if s % 2 == 0 else l_b)[s // 2:s // 2 + 1, :],
-                    (8, 128)) for s in range(n_sc)], axis=0)
-            m64 = jnp.concatenate(
-                [jnp.broadcast_to(
-                    (m_a if s % 2 == 0 else m_b)[s // 2:s // 2 + 1, :],
-                    (8, 128)) for s in range(n_sc)], axis=0)
-
-            u_col = pdu[:, 0:1]                       # [nd, 1]
-            idx = jnp.minimum(jnp.floor(u_col * float(m_mpf)),
-                              float(m_mpf - 1))
-            onehot = laned.astype(jnp.float32) == idx
-            lp_sel = jnp.sum(jnp.where(onehot, l64, 0.0), axis=1,
-                             keepdims=True)
-            mq_sel = jnp.sum(jnp.where(onehot, m64, 0.0), axis=1,
-                             keepdims=True)
-
-            # prior bandwidth per draw row (scenario s -> sim lane 2)
-            pbw_row = _row_of_column(pbw_col, ns)     # [1, 128] lane s
-            pbw_d = jnp.sum(
-                jnp.where(laned == rowd // 8, pbw_row, 0.0), axis=1,
-                keepdims=True,
-            )                                         # [nd, 1]
-            lp = lp_sel + pbw_d * pdz[:, 0:1]
-            mq = mq_sel + pbw_d * pdz[:, 1:2]
-            if mpf_log_space:
-                lp = jnp.exp(lp)
-                mq = jnp.exp(mq)
-            il_d = 1.0 / lp                           # [nd, 1]
-            im_d = 1.0 / mq
-
-            # scatter to rollout rows: row p*sm + s*m + q -> draw s*8+p
-            # (r4 negative result, bench/probes/README.md: computing
-            # both columns with one MXU matmul against a constant
-            # one-hot scatter matrix measured SLOWER end-to-end — 23.1
-            # vs 22.8 us/group-step, 24.5 with the operand hoisted out
-            # of the loop — the one-hot build + [128, 2] operand
-            # relayout cost the VPU more than the two masked lane sums
-            # it replaced; same resource picture as the colbcast wall)
-            il_row = _row_of_column(il_d, nd)     # [1, 128] lane s*8+p
-            im_row = _row_of_column(im_d, nd)
-            j_of_rrow = s_of_rrow * 8 + row_roll // sm
-            il24 = jnp.sum(
-                jnp.where(jax.lax.broadcasted_iota(
-                    jnp.int32, (rows, 128), 1) == j_of_rrow,
-                    il_row, 0.0), axis=1, keepdims=True,
-            )                                         # [rows, 1]
-            im24 = jnp.sum(
-                jnp.where(jax.lax.broadcasted_iota(
-                    jnp.int32, (rows, 128), 1) == j_of_rrow,
-                    im_row, 0.0), axis=1, keepdims=True,
-            )
-
-        # ---- rollouts: all S * n_params * n_act * m trajectories ----
-        def splat_rcol(col):
-            """[8, 1] scenario column -> [rows, 1] rollout-row column
-            by pure movement (per-scenario broadcast + param-block
-            tile; r3, the particle kernel's splat_rows), replacing
-            2 x n_sc serial full-column masked selects."""
-            bs = jnp.concatenate(
-                [jnp.broadcast_to(col[s:s + 1, :], (m, 1))
-                 for s in range(n_sc)], axis=0)
-            return jnp.concatenate([bs] * n_params, axis=0)
-
-        th0_col = splat_rcol(th_col)
-        om0_col = splat_rcol(om_col)
-
-        c_grav = -3.0 * g_model * 0.5 * dt * il24
-        c_act = 3.0 * dt * im24 * il24 * il24
-        shape = (rows, 128)
-        zsr = jnp.zeros(shape, jnp.float32)
-
-        def actions_at(tt):
-            """[smp, 128] per-(s, q) action samples theta + sigma*eps
-            (eps rows tt*smp + s*m + q — one contiguous slice). The
-            mean is theta's lane tt via a masked lane reduction —
-            a value dynamic_slice would be cheaper but Pallas TPU has
-            no lowering for dynamic_slice on values (tried r2; the
-            unrolled fori body still carries a traced index)."""
-            e_sm = eps_ref[pl.ds(tt * smp, smp), :]
-            th_t = jnp.sum(
-                jnp.where(lane_sm == tt, theta, 0.0), axis=1,
-                keepdims=True,
-            )                                            # [smp, 1]
-            return th_t + sigma_c * e_sm
-
-        # Rollout state is (cos th, sin th, om) advanced by
-        # bounded-angle plane rotation (_rot_sincos): the cost needs
-        # cos th, the torque balance needs sin(th + pi) = -sin th, and
-        # th only moves by om * dt per step — two full-tile
-        # transcendentals at init (vector trig on the splatted angle;
-        # Mosaic has no scalar-core transcendentals) replace 2 * hz of
-        # them (measured: 45% of the whole group-step).
-        def roll_body(tt, carry):
-            cost, cth, sth, om = carry
-            cost = cost + _SWINGUP_W * (cth - 1.0) ** 2 + om * om
-            a_sm = jnp.clip(actions_at(tt)[0:sm, :],
-                            -_MAX_TORQUE, _MAX_TORQUE)
-            a24 = jnp.concatenate([a_sm] * n_params, axis=0)
-            om = om + c_grav * (-sth) + c_act * a24
-            om = jnp.clip(om, -_MAX_SPEED, _MAX_SPEED)
-            sd, cd = _rot_sincos(om * dt, _MAX_SPEED * dt)
-            return cost, cth * cd - sth * sd, sth * cd + cth * sd, om
-
-        if "rollout" in skip:
-            cost = zsr + th0_col * th0_col + om0_col \
-                + (c_grav + c_act) * 1e-9 \
-                + jnp.sum(eps_ref[0:1, 0:1]) * 0.0
-        else:
-            cost, cth, _, om = jax.lax.fori_loop(
-                0, hz, roll_body,
-                (zsr, jnp.cos(zsr + th0_col), jnp.sin(zsr + th0_col),
-                 zsr + om0_col),
-                unroll=hz if unroll else 1,
-            )
-            cost = cost + _SWINGUP_W * (cth - 1.0) ** 2 + om * om
-
-        # ---- param-averaged costs [smp, 128] ----
-        mcost = cost[0:sm, :]
-        for p in range(1, n_params):
-            mcost = mcost + cost[p * sm:(p + 1) * sm, :]
-        mcost = mcost * (1.0 / n_params)
-        if smp != sm:
-            mcost = jnp.concatenate(
-                [mcost, jnp.zeros((smp - sm, 128), jnp.float32)], axis=0
-            )
-        valid = (lane_sm < n_act) & valid_sm
-        mcost_v = jnp.where(valid, mcost, _POS_BIG)
-
-        # ---- DISCO update with per-scenario normalizers ----
-        if "disco" in skip:
-            omega = jnp.where(valid, 1.0 / n_act, 0.0) + mcost * 1e-12
-            w_lik = omega
-            log_l = mcost[:, 0:1] * 1e-6
-        else:
-            omega, w_lik, log_l = _disco_weights_sweep(
-                mcost, mcost_v, valid, sm, smp, m, n_sc, n_act,
-                inv_temp, alpha, exp_util)
-
-        # DISCO delta + analytic likelihood gradient. The delta drops
-        # the a_seq term: this kernel requires the controller a_seq to
-        # be zero (the SVMPC demo path never calls controller.step;
-        # megakernel_pendulum_sweep_fn checks the concrete init state).
-        # The weights are normalized (sum_l omega = sum_l w_lik = 1 over
-        # valid lanes), so sum_l w*(theta_t + sigma*eps) = theta_t +
-        # sigma*sum_l w*eps — the per-iteration theta broadcast drops
-        # out of the loop and theta cancels exactly in the likelihood
-        # gradient (wa - theta = sigma*sum w*eps).
-        if "acc" in skip:
-            d_eps = omega * 1e-9 + jnp.sum(eps_ref[0:1, 0:1]) * 0.0
-            w_eps = w_lik * 1e-9
-        else:
-            def acc_body(tt, carry):
-                de, we_acc = carry
-                e_sm = eps_ref[pl.ds(tt * smp, smp), :]
-                dq = jnp.sum(omega * e_sm, axis=1, keepdims=True)
-                wq = jnp.sum(w_lik * e_sm, axis=1, keepdims=True)
-                de = de + jnp.where(lane_sm == tt, dq, 0.0)
-                we_acc = we_acc + jnp.where(lane_sm == tt, wq, 0.0)
-                return de, we_acc
-
-            d_eps, w_eps = jax.lax.fori_loop(
-                0, hz, acc_body,
-                (jnp.zeros((smp, 128), jnp.float32),
-                 jnp.zeros((smp, 128), jnp.float32)),
-                unroll=hz if unroll else 1,
-            )
-        delta = jnp.where(lane_sm < hz, theta + sigma_c * d_eps, 0.0)
-        glik = sigma_c * w_eps * inv_s2
-
-        # ---- Stein direction via block-masked pairwise matrices ----
-        # Pairwise distances within a scenario block are translation
-        # invariant, and the MXU Gram identity |x|^2 - 2 x.y + |y|^2
-        # runs its dot_general in bf16 passes: the cancellation error
-        # grows with |theta|^2 while the Silverman bandwidth only
-        # tracks the SPREAD, so uncentered Gram blows up exp(-d2/2bw^2)
-        # once |theta| drifts (measured: theta -> 1e8 -> NaN on long
-        # hw-PRNG episodes). Center per scenario block first (one
-        # block-mask matmul) so every norm is spread-scale, and clamp
-        # d2 at 0.
-        # NaN isolation: the block masks zero off-scenario MATRIX
-        # entries, but a dot's column operand still poisons every row
-        # through 0 * NaN = NaN. Sanitize the column operands of the
-        # five cross-row matmuls so a diverged scenario stays NaN in
-        # its own rows (its elementwise path keeps the NaN) without
-        # leaking into healthy scenarios (parallel/sweep.py's
-        # per-scenario failure-isolation contract).
-        def fin(v):
-            # finite test as sub/compare/select only (v - v is 0 for
-            # finite v, NaN for inf/NaN) — guaranteed to lower in
-            # Mosaic, unlike a jnp.isfinite intrinsic
-            return jnp.where(v - v == 0.0, v, 0.0)
-
-        blkf = blk.astype(jnp.float32) * (1.0 / m)
-        if "stein" in skip:
-            theta_new = jnp.where(valid_sm & (lane_sm < ev),
-                                  theta + lr * glik * 1e-3, 0.0)
-        else:
-            theta_new = _stein_update_sweep(
-                theta, locs, glik, blk, blkf, valid_sm, lane_sm,
-                inv_ps2, log_mix, inv_bw2_col, lr, m, ev, smp, fin)
-
-        # ---- forward: per-scenario weights / select / roll ----
-        if "forward" in skip:
-            act_col = th_col * 1e-3 \
-                + jnp.sum(theta_new[0:1, 0:1]) * 1e-9 \
-                + jnp.sum(log_l[0:1, 0:1]) * 1e-12
-            theta_fwd = theta_new
-        else:
-            # same per-scenario centering discipline as the Stein block
-            mean_n = jnp.dot(blkf, fin(theta_new),
-                             preferred_element_type=jnp.float32)
-            nc = theta_new - mean_n
-            lc_n = locs - mean_n
-            tn_norm = jnp.sum(nc * nc, axis=1, keepdims=True)
-            ln_norm = jnp.sum(lc_n * lc_n, axis=1, keepdims=True)
-            g_nl = _block_dot_t(nc, lc_n)
-            d2_nl = jnp.maximum(
-                tn_norm - 2.0 * g_nl + ln_norm.reshape(1, smp), 0.0
-            )
-            lp_new = jnp.where(blk, -0.5 * inv_ps2 * d2_nl + log_mix,
-                               _NEG_BIG)
-            n_max = jnp.max(lp_new, axis=1, keepdims=True)
-            log_p = n_max + jnp.log(jnp.maximum(
-                jnp.sum(jnp.exp(lp_new - n_max), axis=1,
-                        keepdims=True),
-                1e-37,
-            ))
-            log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p,
-                              _NEG_BIG)
-
-            # per-scenario argmax selection, VECTORIZED over scenarios:
-            # the block-masked [smp, smp] weight matrix turns every
-            # per-block max / argmin into one row reduction for all
-            # scenarios at once (the old serial loop also built a dead
-            # full-width a_seq row per scenario; only lane 0 — the
-            # applied action — was ever consumed)
-            rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
-            col_idx = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1)
-            w_row = _row_of_column(log_w, smp)            # [1, 128]
-            wmat = jnp.where(blk, jnp.broadcast_to(
-                w_row[:, 0:smp], (smp, smp)), _NEG_BIG)
-            wmax = jnp.max(wmat, axis=1, keepdims=True)   # block max
-            is_max = blk & (wmat >= wmax)
-            i_star = jnp.min(jnp.where(is_max, col_idx, smp), axis=1,
-                             keepdims=True)               # [smp, 1]
-            onehot = (rowm1 == i_star).astype(jnp.float32)
-            a_all = onehot * theta_new[:, 0:1]            # [smp, 1]
-            # per-scenario selected action: one [n_sc, m] reshape-sum
-            # (r3, the particle kernel's block_sum_col), replacing the
-            # n_sc serial masked-sum + select chain
-            a_sum = jnp.sum(a_all[0:sm, 0:1].reshape(n_sc, m), axis=1,
-                            keepdims=True)                # [n_sc, 1]
-            act_col = (a_sum if n_sc == ns else jnp.concatenate(
-                [a_sum, jnp.zeros((ns - n_sc, 1), jnp.float32)],
-                axis=0))
-
-            rolled = pltpu.roll(theta_new, shift=128 - 1, axis=1)
-            theta_fwd = jnp.where(
-                lane_sm < (hz - 1), rolled,
-                jnp.where(lane_sm < ev, theta_new, 0.0),
-            )
-
-        if warm_up > 0:
-            active = t >= warm_up
-            act_col = jnp.where(active, act_col, 0.0)
-            theta_next = jnp.where(active, theta_fwd, theta_new)
-            locs_next = jnp.where(active, theta_fwd, locs)
-        else:
-            theta_next = theta_fwd
-            locs_next = theta_fwd
-        theta_ref[:] = jnp.where(valid_sm, theta_next, 0.0)
-        locs_ref[:] = jnp.where(valid_sm, locs_next, 0.0)
-        amat_ref[:] = jnp.where(valid_sm, amat_ref[:] + delta,
-                                amat_ref[:])
-
-        # ---- simulator: all S pendulums as column physics ----
-        a_cl = jnp.clip(act_col, -_MAX_TORQUE, _MAX_TORQUE)
-        if "sim" in skip:
-            om2 = om_col + a_cl * 1e-9
-            th2 = th_col + om2 * dt
-            cost_col = om2 * om2
-        else:
-            il_t = il_true_ref[:, 0:1]
-            im_t = im_true_ref[:, 0:1]
-            om2 = om_col + (
-                -3.0 * g_sim * 0.5 * il_t * sin_col
-                + 3.0 * im_t * il_t * il_t * a_cl
-            ) * dt
-            om2 = jnp.clip(om2, -_MAX_SPEED, _MAX_SPEED)
-            th2 = th_col + om2 * dt
-            cost_col = _SWINGUP_W * (jnp.cos(th2) - 1.0) ** 2 \
-                + om2 * om2
-
-        # ---- MPF updates: TWO scenarios per tile (lane groups 0-63 /
-        # 64-127) and ALL pairs stacked on the sublane axis into ONE
-        # fori body. Pairing scenarios in the lane halves halved the
-        # serial loop (the MPF section was 65% of the step at one
-        # scenario per iteration); stacking the n_pair tiles halves it
-        # again at 52.9%: every [1, 128] row-layout op becomes one
-        # [8, 128] op (still a single vreg) and every [mp, 128]
-        # pairwise op one [n_pair*mp, 128] op — same vector work,
-        # ~n_pair x fewer serialized instructions ----
-        # per-scenario MPF Silverman: the draws section's l_a/m_a/l_b/
-        # m_b row tiles already hold every scenario's particle values
-        # along lanes (mpfx_ref is unwritten since they were built), so
-        # the bandwidth rows need no _row_of_column transposes — and
-        # ONE row-batched bitonic sort covers all scenarios
-        if mpf_fixed_bw is None:
-            mrows = []
-            for s in range(n_sc):
-                p, g = divmod(s, 2)
-                lrow = (l_a if g == 0 else l_b)[p:p + 1, :]
-                mrow_v = (m_a if g == 0 else m_b)[p:p + 1, :]
-                mrows.append(jnp.where(
-                    lane1 < m_mpf, lrow,
-                    jnp.where(lane1 < 2 * m_mpf,
-                              pltpu.roll(mrow_v, shift=m_mpf, axis=1),
-                              _POS_BIG),
-                ))
-            bwm8 = _silverman_rows(
-                jnp.concatenate(mrows, axis=0), 2 * m_mpf
-            ) * mpf_bw_scale
-        # bw_mpf column directly (r3): the fixed bandwidth splats, the
-        # Silverman one IS bwm8 — zero rows >= n_sc to preserve the
-        # old loop's unset-row behavior
-        i81c = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
-        if mpf_fixed_bw is not None:
-            bw_mpf_col = jnp.where(i81c < n_sc,
-                                   jnp.float32(mpf_fixed_bw), 0.0)
-        else:
-            bwm8_p = (bwm8 if n_sc == ns else jnp.concatenate(
-                [bwm8, jnp.zeros((ns - n_sc, 1), jnp.float32)],
-                axis=0))
-            bw_mpf_col = jnp.where(i81c < n_sc, bwm8_p, 0.0)
-        if "mpfglue" in skip:
-            # keep the posterior state + a cheap dependency
-            mpfx_ref[:] = mpfx_ref[:] + jnp.sum(bw_mpf_col) * 0.0
-        else:
-            scal_s = []                   # per-scenario MPF scalars
-            for s in range(n_sc):
-                if mpf_fixed_bw is not None:
-                    bw_mpf = jnp.float32(mpf_fixed_bw)
-                else:
-                    bw_mpf = bwm8[s:s + 1, :]
-                # 0-d col_at extractions of the step-top columns — the
-                # same values the old per-scenario full-tile masked sums
-                # produced, without the ~40 serial whole-tile reductions
-                pbw_s = col_at(pbw_col, s)
-                scal_s.append(dict(
-                    sin_t=col_at(sin_col, s),
-                    a=col_at(a_cl, s),
-                    om=col_at(om_col, s),
-                    th=col_at(th_col, s),
-                    th2=col_at(th2, s),
-                    om2=col_at(om2, s),
-                    prior_pbw2=1.0 / (pbw_s * pbw_s),
-                    inv_mbw2=1.0 / (bw_mpf * bw_mpf),
-                ))
-
-            inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
-            n_pair = (n_sc + 1) // 2
-            nmr = n_pair * mp
-            rowN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 0)
-            laneN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 1)
-            pair_of_row = rowN // mp
-            r_in_pair = rowN - pair_of_row * mp
-            in_aN = laneN < 64
-            valid_rowN = r_in_pair < m_mpf
-            row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-            gvr8 = (
-                (jnp.where(lane8 < 64, lane8, lane8 - 64) < m_mpf)
-                & ((row8 < n_sc // 2) | (lane8 < 64))
-                & (row8 < n_pair)
-            )
-            # transposed-body constants: mdiagN picks each row particle's
-            # own lane within each half; h_matN sums within lane halves
-            mdiagN = jnp.where(in_aN, laneN, laneN - 64) == r_in_pair
-            # symm-layout masks: lane validity (half-local lane < m_mpf)
-            # and the column-space update mask (valid particle row AND the
-            # lane half's scenario exists — mirrors gvr8 in column space)
-            valid_laneN = jnp.where(in_aN, laneN, laneN - 64) < m_mpf
-            gvcN = valid_rowN & (in_aN | (pair_of_row < n_sc // 2))
-            h_matN = (
-                (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) < 64)
-                == (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) < 64)
-            ).astype(jnp.float32)
-            in_a8 = lane8 < 64
-            if mpf_drive_layout == "lanepack":
-                # lane-packed drive constants: L's K axis matches k's row
-                # packing (p*mp + q), so pair p's row of L carries its
-                # operand values at lanes [p*mp, p*mp + mp)
-                laneK = jax.lax.broadcasted_iota(jnp.int32, (8, nmr), 1)
-                rowK = jax.lax.broadcasted_iota(jnp.int32, (8, nmr), 0)
-                lpk_mask = (laneK // mp) == rowK
-                ones_lpk = jnp.where(lpk_mask, 1.0, 0.0)
-
-                def tile_mp(w):
-                    """[8, 128] tile with values at lanes < mp (one lane
-                    half's particle values) -> [8, nmr] period-mp tiling
-                    (value q at every lane p'*mp + q)."""
-                    if nmr <= 128:
-                        wide = w[:, :nmr]
-                    else:
-                        wide = jnp.concatenate(
-                            [w, jnp.zeros((8, nmr - 128), jnp.float32)],
-                            axis=1)
-                    out = wide
-                    for p in range(1, n_pair):
-                        out = out + pltpu.roll(wide, shift=p * mp, axis=1)
-                    return out
-
-                def halves_of(r8):
-                    """row tile [8, 128] -> (A-half, B-half) value tiles,
-                    each with its particle values at lanes < m_mpf and
-                    EXACT zeros on [m_mpf, 128) (tile_mp's period-mp rolls
-                    would otherwise alias junk into neighbouring pair
-                    segments)."""
-                    keep = lane8 < m_mpf
-                    wa = jnp.where(keep, r8, 0.0)
-                    wb = jnp.where(keep, pltpu.roll(r8, shift=64, axis=1),
-                                   0.0)
-                    return wa, wb
-
-            def stack_rows(key):
-                """per-scenario scalar -> [8, 128] tile: pair p's row holds
-                scenario 2p's value at lanes < 64, 2p+1's at lanes >= 64 (a
-                missing B mirrors its pair's A scenario, like the old
-                single-group fallback; the values are masked off anyway but
-                must stay finite)."""
-                acc = jnp.zeros((8, 128), jnp.float32)
-                for s in range(2 * n_pair):
-                    val = scal_s[min(s, n_sc - 1)][key]
-                    mask = (row8 == s // 2) & ((lane8 < 64) == (s % 2 == 0))
-                    acc = jnp.where(mask, val, acc)
-                return acc
-
-            sin8 = stack_rows("sin_t")
-            a8 = stack_rows("a")
-            om8 = stack_rows("om")
-            th8 = stack_rows("th")
-            th28 = stack_rows("th2")
-            om28 = stack_rows("om2")
-            ppbw28 = stack_rows("prior_pbw2")
-            imbw28 = stack_rows("inv_mbw2")
-
-            def to_blocks(rows8_t):
-                """[8, 128] pair rows -> [nmr, 128]: every row of pair
-                block p holds pair p's row. Per-pair broadcast + concat
-                (pure data movement, no select chain over the full tile) —
-                a NaN'd pair's values never touch other pairs' blocks."""
-                return jnp.concatenate(
-                    [jnp.broadcast_to(rows8_t[p:p + 1, :], (mp, 128))
-                     for p in range(n_pair)], axis=0)
-
-            def pair_rows(col_a, col_b):
-                """per-particle [nmr, 1] A/B columns -> [8, 128] pair rows
-                (pair p: A values at lanes 0..mp-1, B at 64..64+mp-1).
-                One whole-column reshape per operand replaces the old
-                per-pair slice/reshape chain; the reshape moves each pair's
-                mp values into its own row with no cross-pair arithmetic,
-                so a diverged pair's NaN stays out of other pairs' rows.
-                Within a pair the A/B lane sets are disjoint, so the add
-                only ever combines a value with an exact 0.0."""
-                zs = jnp.zeros((n_pair, 128 - mp), jnp.float32)
-                ra = jnp.concatenate(
-                    [col_a[:, 0:1].reshape(n_pair, mp), zs], axis=1)
-                rb = jnp.concatenate(
-                    [col_b[:, 0:1].reshape(n_pair, mp), zs], axis=1)
-                rows = ra + pltpu.roll(rb, shift=64, axis=1)
-                if n_pair < 8:
-                    rows = jnp.concatenate(
-                        [rows, jnp.zeros((8 - n_pair, 128), jnp.float32)],
-                        axis=0)
-                return rows
-
-            def brs(v):
-                """per-pair-block row sum of [nmr, 128] -> [8, 128] row
-                tile (pair p's sums on row p, per-lane). Sums touch only
-                the pair's own rows (pure reshape + axis sum), so pairs
-                stay isolated; within a pair, lanes never mix, so the two
-                scenarios sharing the lane halves stay isolated too."""
-                s = jnp.sum(v.reshape(n_pair, mp, 128), axis=1)
-                if n_pair < 8:
-                    s = jnp.concatenate(
-                        [s, jnp.zeros((8 - n_pair, 128), jnp.float32)],
-                        axis=0)
-                return s
-
-            def colbcast(blocks):
-                """to_blocks(r8) -> column-broadcast tile: value of the ROW
-                particle (q = r_in_pair) in the scenario selected by the
-                LANE half, via one diagonal select + one MXU matmul against
-                h_matN. NaN isolation: ANY NaN in a matmul row operand
-                poisons every output lane of that row (each contraction
-                touches every input lane through 0 * NaN terms), so the
-                operand is sanitized with the sub/compare/select finite
-                test first and the diverged half's NaN re-injected after
-                with `blocks * 0.0` — NaN exactly at the diverged half's
-                lanes, an exact +0.0 everywhere else."""
-                d = jnp.where(mdiagN,
-                              jnp.where(blocks - blocks == 0.0, blocks, 0.0),
-                              0.0)
-                return jax.lax.dot_general(
-                    d, h_matN, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + blocks * 0.0
-
-            # prior centers are the step-start particles (fixed across the
-            # mpf_steps SVGD iterations)
-            xsnap = mpfx_ref[:]
-            c0r8 = pair_rows(xsnap[:, 0:1], xsnap[:, 64:65])
-            c1r8 = pair_rows(xsnap[:, 1:2], xsnap[:, 65:66])
-            c0c = colbcast(to_blocks(c0r8))   # q-indexed (column-broadcast)
-            c1c = colbcast(to_blocks(c1r8))
-            ppbw2N = to_blocks(ppbw28)
-            imbw2N = to_blocks(imbw28)
-
-            def scores_of(x0r, x1r, x0N, x1N):
-                """Stein drive operands t = score - x/bw^2 in ROW space
-                [8, 128] (pair rows, A particles at lanes < 64, B at
-                >= 64) from the row/lane-space particle copies. Shared by
-                every drive layout below.
-
-                GMM prior responsibilities and weighted prior means are
-                transposed: rows = centers q, lanes = current particles.
-                No max-subtraction: logits = -0.5*d2c*ppbw2 <= 0 with the
-                self-distance diagonal exactly 0 on every valid row, so
-                the max is exactly 0.0 and exp(logits - mx) ==
-                exp(logits) bitwise (reference softmax at mpf.py:31-38
-                via torch logsumexp is tolerance-matched by tests).
-                Invalid LANES (pad particles / missing B) produce finite
-                junk columns masked by gvr8 at the score; invalid center
-                ROWS are excluded from the sums here."""
-                d2c = (x0N - c0c) ** 2 + (x1N - c1c) ** 2
-                pz = jnp.where(valid_rowN,
-                               jnp.exp(-0.5 * d2c * ppbw2N), 0.0)
-                psum_r = brs(pz)
-                pc0r = brs(pz * c0c) / psum_r
-                pc1r = brs(pz * c1c) / psum_r
-
-                # likelihood gradient in stacked row layout [8, 128]
-                length = jnp.where(gvr8, x0r, 1.0)
-                mass = jnp.where(gvr8, x1r, 1.0)
-                if mpf_log_space:
-                    length = jnp.exp(length)
-                    mass = jnp.exp(mass)
-                ilx = 1.0 / length
-                imx = 1.0 / mass
-                tdd = -3.0 * g_model * 0.5 * ilx * sin8 \
-                    + 3.0 * imx * ilx * ilx * a8
-                td_raw = om8 + dt * tdd
-                td = jnp.clip(td_raw, -_MAX_SPEED, _MAX_SPEED)
-                thp = th8 + td * dt
-                gate = jnp.where(
-                    (td_raw > -_MAX_SPEED) & (td_raw < _MAX_SPEED),
-                    1.0, 0.0,
-                )
-                dtd_dl = gate * dt * (
-                    3.0 * g_model * 0.5 * ilx * ilx * sin8
-                    - 6.0 * imx * ilx * ilx * ilx * a8
-                )
-                dtd_dm = gate * dt * (-3.0 * imx * imx * ilx * ilx * a8)
-                common = -((thp - th28) * dt + (td - om28)) * inv_os2
-                gl_l = common * dtd_dl
-                gl_m = common * dtd_dm
-                if mpf_log_space:
-                    gl_l = gl_l * length
-                    gl_m = gl_m * mass
-                gp0 = (pc0r - x0r) * ppbw28
-                gp1 = (pc1r - x1r) * ppbw28
-                s0r = jnp.where(gvr8, gl_l + gp0, 0.0)
-                s1r = jnp.where(gvr8, gl_m + gp1, 0.0)
-
-                # The repulsion sum folds into the drive sum:
-                #   phi(l) = sum_q k_ql*(s_q + (x_l - x_q)/bw^2)
-                #          = sum_q k_ql*(s_q - x_q/bw^2)
-                #            + (sum_q k_ql)*x_l/bw^2
-                # with the fold applied in ROW space before any broadcast
-                # (imbw2 is constant per (pair, lane-half), so it is valid
-                # in both orientations); x_l rides x0r/x1r directly, so the
-                # whole update closes in row space with no relayout.
-                return s0r - x0r * imbw28, s1r - x1r * imbw28
-
-            def mpf_body(i, carry):
-                # TRANSPOSED body: the particle state rides the carry in
-                # ROW layout only ([8, 128]: pair rows, A particles at
-                # lanes < 64, B at >= 64). Every pairwise matrix is built
-                # with the SUMMED particle index on the sublane axis, so
-                # all six per-iteration reductions are per-pair-block row
-                # sums (brs) instead of lane-half reductions — measured
-                # 3.8x cheaper per iteration (bench/probes/
-                # mpf_transpose_probe.py: 449 vs 1688 ns on the
-                # shape-faithful body; the MPF loop was 65% of the
-                # group-step). Column-broadcast operands are rebuilt from
-                # row space with colbcast (MXU matmuls, VPU-free).
-                x0r, x1r = carry
-                x0N = to_blocks(x0r)          # lane-indexed particles
-                x1N = to_blocks(x1r)
-                x0c = colbcast(x0N)           # row(q)-indexed particles
-                x1c = colbcast(x1N)
-                t0r_f, t1r_f = scores_of(x0r, x1r, x0N, x1N)
-                # RBF Stein update, transposed (rows = summed particles q,
-                # lanes = updated particles l)
-                d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
-                k = jnp.where(valid_rowN,
-                              jnp.exp(-0.5 * d2 * imbw2N), 0.0)
-                if mpf_drive_layout == "lanepack":
-                    # r3 layout: ONE [40, nmr] @ [nmr, 128] MXU matmul
-                    # computes both drives (per lane half) AND rows_k,
-                    # replacing the two t0c/t1c colbcast matmuls (4 MXU
-                    # passes) and the three brs reductions with 2 passes.
-                    # L row group g, pair-row p, lane (p', q):
-                    #   g=0/1: t0 of half A/B at q if p'==p else 0
-                    #   g=2/3: t1 of half A/B; g=4: 1.0 (rows_k).
-                    # out rows: drive for pair p with the SUMMED half fixed
-                    # to the group's half — recombined per lane half below.
-                    # NaN isolation: a diverged half's NaNs enter L only in
-                    # its own group's rows (poisoning only that pair's
-                    # already-NaN lanes after the half selects); k's NaN
-                    # LANES would poison every output row at those lanes
-                    # through 0 * NaN contraction terms, so k is sanitized
-                    # for the matmul — the junk drives it produces at the
-                    # diverged lanes are absorbed by the carry's own NaNs
-                    # (x0r/x1r are already NaN there, and NaN + finite stays
-                    # NaN) — see test_sweep_mpf_nan_partner_isolation.
-                    t0a, t0b = halves_of(t0r_f)
-                    t1a, t1b = halves_of(t1r_f)
-                    lmat = jnp.concatenate([
-                        jnp.where(lpk_mask, tile_mp(t0a), 0.0),
-                        jnp.where(lpk_mask, tile_mp(t0b), 0.0),
-                        jnp.where(lpk_mask, tile_mp(t1a), 0.0),
-                        jnp.where(lpk_mask, tile_mp(t1b), 0.0),
-                        ones_lpk,
-                    ], axis=0)
-                    k_mm = jnp.where(k - k == 0.0, k, 0.0)
-                    out5 = jax.lax.dot_general(
-                        lmat, k_mm, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    drive0 = jnp.where(in_a8, out5[0:8], out5[8:16])
-                    drive1 = jnp.where(in_a8, out5[16:24], out5[24:32])
-                    rows_k = out5[32:40]
-                else:
-                    t0c = colbcast(to_blocks(t0r_f))
-                    t1c = colbcast(to_blocks(t1r_f))
-                    rows_k = brs(k)
-                    drive0 = brs(k * t0c)
-                    drive1 = brs(k * t1c)
-                phi0 = (drive0 + rows_k * x0r * imbw28) * (1.0 / m_mpf)
-                phi1 = (drive1 + rows_k * x1r * imbw28) * (1.0 / m_mpf)
-                return (
-                    x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0),
-                    x1r + jnp.where(gvr8, mpf_lr * phi1, 0.0),
-                )
-
-            def mpf_body_symm(i, carry):
-                # r3 "symm" layout (VERDICT r2 #1): the carry lives in
-                # COLUMN space ([nmr, 128]: row q = particle q's value,
-                # constant across each lane half; lane halves = the pair's
-                # two scenarios) and the row/lane-space copies are derived
-                # by pure data movement (pair_rows column extraction +
-                # to_blocks), eliminating ALL FOUR colbcast rebuild matmuls.
-                # The Stein kernel matrix is symmetric in (q, l) — k_ql
-                # depends only on the unordered particle pair — so the
-                # drive sum_q k_ql * t_q equals sum_l k_ql * t_l: a LANE
-                # contraction of k * to_blocks(t) against the half-block
-                # identity h_matN. Three [nmr, 128] @ [128, 128] matmuls
-                # (two drives + rows_k) replace the old four colbcast
-                # matmuls AND the three Stein-side brs reductions, and the
-                # products they contract are real math (k * t), not
-                # broadcast data movement.
-                # NaN isolation: contraction is over LANES, where 0 * NaN
-                # in the h_matN zeros would leak a diverged half's NaN into
-                # its partner's output lanes — so the matmul operands are
-                # sanitized (finite test) first. The carry add re-poisons
-                # the diverged half's own region (its x NaNs persist), and
-                # the gvcN mask keeps junk drives out of invalid rows.
-                x0c, x1c = carry
-                x0r = pair_rows(x0c[:, 0:1], x0c[:, 64:65])
-                x1r = pair_rows(x1c[:, 0:1], x1c[:, 64:65])
-                x0N = to_blocks(x0r)
-                x1N = to_blocks(x1r)
-                t0r_f, t1r_f = scores_of(x0r, x1r, x0N, x1N)
-                d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
-                k = jnp.exp(-0.5 * d2 * imbw2N)
-
-                def san(v):
-                    return jnp.where(v - v == 0.0, v, 0.0)
-
-                # invalid LANES (pad particles / missing B) must not feed
-                # the lane contraction; t is already 0 there except for the
-                # -x/bw^2 fold, so mask k by lane validity instead
-                k_l = jnp.where(valid_laneN, san(k), 0.0)
-                prod0 = k_l * san(to_blocks(t0r_f))
-                prod1 = k_l * san(to_blocks(t1r_f))
-
-                def lane_sum(v):
-                    return jax.lax.dot_general(
-                        v, h_matN, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-
-                drive0 = lane_sum(prod0)
-                drive1 = lane_sum(prod1)
-                rows_k = lane_sum(k_l)
-                phi0 = (drive0 + rows_k * x0c * imbw2N) * (1.0 / m_mpf)
-                phi1 = (drive1 + rows_k * x1c * imbw2N) * (1.0 / m_mpf)
-                return (
-                    x0c + jnp.where(gvcN, mpf_lr * phi0, 0.0),
-                    x1c + jnp.where(gvcN, mpf_lr * phi1, 0.0),
-                )
-
-            if mpf_drive_layout == "symm":
-                x0f, x1f = jax.lax.fori_loop(
-                    0, mpf_steps, mpf_body_symm, (c0c, c1c),
-                    unroll=max(1, mpf_steps) if unroll else 1)
-                # the symm carry IS the paired-lane column layout the
-                # commit below expects — no final relayout
-            else:
-                x0f_r, x1f_r = jax.lax.fori_loop(
-                    0, mpf_steps, mpf_body, (c0r8, c1r8),
-                    unroll=max(1, mpf_steps) if unroll else 1)
-                # commit once: particle lanes (0/1 and 64/65) on valid rows
-                # take the final carry (converted back to the paired-lane
-                # column layout via colbcast); every other lane/row keeps
-                # its step-start value exactly as the old masked write did
-                x0f = colbcast(to_blocks(x0f_r))
-                x1f = colbcast(to_blocks(x1f_r))
-            mpfx_ref[:] = jnp.where(
-                valid_rowN & ((laneN == 0) | (laneN == 64)), x0f,
-                jnp.where(
-                    valid_rowN & ((laneN == 1) | (laneN == 65)), x1f,
-                    xsnap))
-
-        # ---- logs + sim-state commit ----
-        def scatter8(col):
-            """[ns, 1] -> [1, 128] (lane s = col[s])."""
-            mat = jnp.broadcast_to(col, (ns, 128))
-            rs = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 0)
-            return jnp.sum(jnp.where(rs == lane_s, mat, 0.0), axis=0,
-                           keepdims=True)
-
-        cost_row = scatter8(cost_col)
-        if "logs" in skip:
-            log_row = cost_row \
-                + jnp.sum(bw8[0:1, 0:1]) * 0.0 \
-                + jnp.sum(bw_mpf_col[0:1, 0:1]) * 0.0
-        else:
-            th_row = scatter8(th2)
-            om_row = scatter8(om2)
-            act_row = scatter8(act_col)
-            bwm_row = scatter8(bw_mpf_col)
-            bws_row = jnp.where(lane1 < n_sc, scatter8(bw8), 0.0)
-            # channel c occupies lanes [c*ns, (c+1)*ns) — for
-            # n_sc <= 8 this is the r1-r3 stride-8 layout verbatim
-            log_row = (
-                jnp.where(lane1 < ns, cost_row, 0.0)
-                + jnp.where((lane1 >= ns) & (lane1 < 2 * ns),
-                            pltpu.roll(th_row, shift=ns, axis=1), 0.0)
-                + jnp.where((lane1 >= 2 * ns) & (lane1 < 3 * ns),
-                            pltpu.roll(om_row, shift=2 * ns, axis=1),
-                            0.0)
-                + jnp.where((lane1 >= 3 * ns) & (lane1 < 4 * ns),
-                            pltpu.roll(act_row, shift=3 * ns, axis=1),
-                            0.0)
-                + jnp.where((lane1 >= 4 * ns) & (lane1 < 5 * ns),
-                            pltpu.roll(bws_row, shift=4 * ns, axis=1),
-                            0.0)
-                + jnp.where((lane1 >= 5 * ns) & (lane1 < 6 * ns),
-                            pltpu.roll(bwm_row, shift=5 * ns, axis=1),
-                            0.0)
-            )
-        log_ref[pl.ds(t, 1), :] = log_row
-
+        theta_ref[:] = theta0_ref[:]
+        locs_ref[:] = locs0_ref[:]
+        amat_ref[:] = amat0_ref[:]
+        mpfx_ref[:] = mpfx0_ref[:]
+        # sim_ref [ns, 128]: row s carries lanes [th, om, prior_bw]
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 1)
         sim_ref[:] = (
-            jnp.where(lane_s == 0, th2, 0.0)
-            + jnp.where(lane_s == 1, om2, 0.0)
-            + jnp.where(lane_s == 2, bw_mpf_col, 0.0)
+            jnp.where(lane_s == 0, scal_ref[0, 0], 0.0)
+            + jnp.where(lane_s == 1, scal_ref[0, 1], 0.0)
+            + jnp.where(lane_s == 2, scal_ref[0, 10], 0.0)
         )
+
+        lane_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 1)
+        row_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 0)
+        s_of_prow = row_sm // m                              # particle rows
+        valid_sm = row_sm < sm
+        row_roll = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        # rollout row p * sm + s * m + q
+        s_of_rrow = (row_roll - (row_roll // sm) * sm) // m
+        blk = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 0) // m == \
+            jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) // m
+        colv = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) < sm
+        blk = blk & colv
+
+        def step(t, _):
+            if not host_noise:
+                pltpu.prng_seed(seed_ref[cidx, 0],
+                            seed_ref[cidx, 1] * 100003 + t)
+                if "rng" in skip:   # cheap t-dependent fills (no Box-Muller)
+                    # anchored to VMEM-tile READS (x*0.0 + c): the remote
+                    # Mosaic aborts both on pure splat-constant tiles and
+                    # on sublane-broadcasting a [1, 128] slice (the
+                    # scalar-splat fori-carry rejection class, see
+                    # ops/pallas_solve.py). Reading the scratch
+                    # uninitialized on step 0 is fine — it is multiplied
+                    # by zero. Needs hz * smp >= 8 * n_sc (true whenever
+                    # hz * m >= 8; the demo shapes are 30 * 3).
+                    tv = jnp.float32(t) * 1e-6
+                    eps_ref[:] = eps_ref[:] * 0.0 + (0.01 + tv)
+                    pdz = eps_ref[0:8 * n_sc, :] * 0.0 + (0.02 + tv)
+                    pdu = eps_ref[0:8 * n_sc, :] * 0.0 + (0.5 + tv)
+                else:
+                    eps_ref[:] = _normals((hz * smp, 128))
+                    pdz = _normals((8 * n_sc, 128))
+                    pdu = _uniform01((8 * n_sc, 128))
+            else:
+                eps_ref[:] = eps_in_ref[pl.ds(t * hz * smp, hz * smp), :]
+                pdz = pdz_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
+                pdu = pdu_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
+
+            theta = jnp.where(valid_sm, theta_ref[:], 0.0)   # [smp, 128]
+            locs = jnp.where(valid_sm, locs_ref[:], 0.0)
+
+            # ---- per-scenario sim-state columns, extracted ONCE ----
+            # (th/om/prior_bw live at lanes 0/1/2 of sim_ref). Per-scenario
+            # scalars below come from `col_at` — a one-vreg [8, 1] masked
+            # sum producing a 0-d SPLAT, bitwise the value the old
+            # per-scenario FULL-tile masked sums extracted at ~16x the
+            # cost. (0-d splats, not [1, 1] slices: slice-derived vectors
+            # carry concrete layouts that Mosaic cannot broadcast in both
+            # sublanes and lanes — measured compile failures r2.)
+            th_col = jnp.sum(jnp.where(lane_s == 0, sim_ref[:], 0.0),
+                             axis=1, keepdims=True)           # [ns, 1]
+            om_col = jnp.sum(jnp.where(lane_s == 1, sim_ref[:], 0.0),
+                             axis=1, keepdims=True)
+            pbw_col = jnp.sum(jnp.where(lane_s == 2, sim_ref[:], 0.0),
+                              axis=1, keepdims=True)
+            sin_col = jnp.sin(th_col + math.pi)               # [ns, 1]
+            i81 = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+
+            def col_at(col, s):
+                """col [8, 1] -> 0-d value of row s (one-vreg masked sum)."""
+                return jnp.sum(jnp.where(i81 == s, col, 0.0))
+
+            # ---- per-scenario Silverman bandwidths (m*hz flattened values
+            # per scenario, one 128-lane row each; ONE row-batched bitonic
+            # sort computes all scenarios' order statistics at once).
+            # Packing is scenario-per-sublane (the particle kernel's
+            # rr-major trick, r3): stacking rows s*m+q across scenarios
+            # makes each (q-)shift ONE [8, 128]-vreg roll+select for all
+            # scenarios at once — m ops instead of m*n_sc ----
+            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            if "silverman" in skip:
+                bw8 = jnp.full((ns, 1), 0.3) + th_col * 1e-9
+            else:
+                sv_tile = jnp.full((ns, 128), _POS_BIG, jnp.float32)
+                for q in range(m):
+                    rows_q = jnp.concatenate(
+                        [theta[s * m + q:s * m + q + 1, :]
+                         for s in range(n_sc)]
+                        + ([jnp.full((ns - n_sc, 128), _POS_BIG,
+                                     jnp.float32)]
+                           if n_sc < ns else []),
+                        axis=0,
+                    )
+                    chunk = pltpu.roll(rows_q, shift=q * hz, axis=1)
+                    in_chunk = (lane_s >= q * hz) & (lane_s < (q + 1) * hz)
+                    sv_tile = jnp.where(in_chunk, chunk, sv_tile)
+                bw8 = _silverman_rows(sv_tile, m * hz)
+            # scenario column -> per-particle-row column by pure movement
+            bw_col = jnp.concatenate(
+                [jnp.broadcast_to(bw8[s:s + 1, :], (m, 1))
+                 for s in range(n_sc)]
+                + ([jnp.zeros((smp - sm, 1), jnp.float32)]
+                   if smp != sm else []), axis=0)
+            inv_bw2_col = 1.0 / (bw_col * bw_col)
+
+            # ---- dynamics draws from each scenario's MPF prior ----
+            # batched over all (scenario, param-draw) pairs: rows s*8+p of
+            # the [8*n_sc, 128] draw tiles (the pdu/pdz layout), exact
+            # masked selections only (no MXU — the values must match the
+            # single-episode kernel's per-draw scalar path bitwise)
+            mpfx = mpfx_ref[:]                        # [n_pair*mp, 128]
+            nd = 8 * n_sc                             # draw rows
+            rowd = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 0)
+            laned = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 1)
+
+            # per-scenario particle rows: one whole-column reshape per
+            # (dim, lane-half) puts pair p's mp values into row p (same
+            # pure-movement trick as pair_rows); scenario s = 2p lives in
+            # row p of the A tiles, s = 2p+1 in row p of the B tiles
+            n_pair_d = (n_sc + 1) // 2
+            zpad = jnp.zeros((n_pair_d, 128 - mp), jnp.float32)
+
+            def cols_to_rows(col):
+                return jnp.concatenate(
+                    [col.reshape(n_pair_d, mp), zpad], axis=1)
+
+            l_a = cols_to_rows(mpfx[:, 0:1])          # [n_pair, 128]
+            m_a = cols_to_rows(mpfx[:, 1:2])
+            l_b = cols_to_rows(mpfx[:, 64:65])
+            m_b = cols_to_rows(mpfx[:, 65:66])
+            if "draws" in skip:
+                dep = (jnp.sum(pdz[0:1, 0:1]) + jnp.sum(pdu[0:1, 0:1])
+                       + jnp.sum(l_a[0:1, 0:1])) * 0.0
+                il24 = jnp.full((rows, 1), 1.0) + dep
+                im24 = jnp.full((rows, 1), 1.0) + dep
+            else:
+                # broadcast to draw rows: row s*8+p -> scenario s (per-
+                # scenario broadcast+concat, no select chain; pure movement
+                # keeps a NaN'd scenario out of the others' draw rows)
+                l64 = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        (l_a if s % 2 == 0 else l_b)[s // 2:s // 2 + 1, :],
+                        (8, 128)) for s in range(n_sc)], axis=0)
+                m64 = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        (m_a if s % 2 == 0 else m_b)[s // 2:s // 2 + 1, :],
+                        (8, 128)) for s in range(n_sc)], axis=0)
+
+                u_col = pdu[:, 0:1]                       # [nd, 1]
+                idx = jnp.minimum(jnp.floor(u_col * float(m_mpf)),
+                                  float(m_mpf - 1))
+                onehot = laned.astype(jnp.float32) == idx
+                lp_sel = jnp.sum(jnp.where(onehot, l64, 0.0), axis=1,
+                                 keepdims=True)
+                mq_sel = jnp.sum(jnp.where(onehot, m64, 0.0), axis=1,
+                                 keepdims=True)
+
+                # prior bandwidth per draw row (scenario s -> sim lane 2)
+                pbw_row = _row_of_column(pbw_col, ns)     # [1, 128] lane s
+                pbw_d = jnp.sum(
+                    jnp.where(laned == rowd // 8, pbw_row, 0.0), axis=1,
+                    keepdims=True,
+                )                                         # [nd, 1]
+                lp = lp_sel + pbw_d * pdz[:, 0:1]
+                mq = mq_sel + pbw_d * pdz[:, 1:2]
+                if mpf_log_space:
+                    lp = jnp.exp(lp)
+                    mq = jnp.exp(mq)
+                il_d = 1.0 / lp                           # [nd, 1]
+                im_d = 1.0 / mq
+
+                # scatter to rollout rows: row p*sm + s*m + q -> draw s*8+p
+                # (r4 negative result, bench/probes/README.md: computing
+                # both columns with one MXU matmul against a constant
+                # one-hot scatter matrix measured SLOWER end-to-end — 23.1
+                # vs 22.8 us/group-step, 24.5 with the operand hoisted out
+                # of the loop — the one-hot build + [128, 2] operand
+                # relayout cost the VPU more than the two masked lane sums
+                # it replaced; same resource picture as the colbcast wall)
+                il_row = _row_of_column(il_d, nd)     # [1, 128] lane s*8+p
+                im_row = _row_of_column(im_d, nd)
+                j_of_rrow = s_of_rrow * 8 + row_roll // sm
+                il24 = jnp.sum(
+                    jnp.where(jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, 128), 1) == j_of_rrow,
+                        il_row, 0.0), axis=1, keepdims=True,
+                )                                         # [rows, 1]
+                im24 = jnp.sum(
+                    jnp.where(jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, 128), 1) == j_of_rrow,
+                        im_row, 0.0), axis=1, keepdims=True,
+                )
+
+            # ---- rollouts: all S * n_params * n_act * m trajectories ----
+            def splat_rcol(col):
+                """[8, 1] scenario column -> [rows, 1] rollout-row column
+                by pure movement (per-scenario broadcast + param-block
+                tile; r3, the particle kernel's splat_rows), replacing
+                2 x n_sc serial full-column masked selects."""
+                bs = jnp.concatenate(
+                    [jnp.broadcast_to(col[s:s + 1, :], (m, 1))
+                     for s in range(n_sc)], axis=0)
+                return jnp.concatenate([bs] * n_params, axis=0)
+
+            th0_col = splat_rcol(th_col)
+            om0_col = splat_rcol(om_col)
+
+            c_grav = -3.0 * g_model * 0.5 * dt * il24
+            c_act = 3.0 * dt * im24 * il24 * il24
+            shape = (rows, 128)
+            zsr = jnp.zeros(shape, jnp.float32)
+
+            def actions_at(tt):
+                """[smp, 128] per-(s, q) action samples theta + sigma*eps
+                (eps rows tt*smp + s*m + q — one contiguous slice). The
+                mean is theta's lane tt via a masked lane reduction —
+                a value dynamic_slice would be cheaper but Pallas TPU has
+                no lowering for dynamic_slice on values (tried r2; the
+                unrolled fori body still carries a traced index)."""
+                e_sm = eps_ref[pl.ds(tt * smp, smp), :]
+                th_t = jnp.sum(
+                    jnp.where(lane_sm == tt, theta, 0.0), axis=1,
+                    keepdims=True,
+                )                                            # [smp, 1]
+                return th_t + sigma_c * e_sm
+
+            # Rollout state is (cos th, sin th, om) advanced by
+            # bounded-angle plane rotation (_rot_sincos): the cost needs
+            # cos th, the torque balance needs sin(th + pi) = -sin th, and
+            # th only moves by om * dt per step — two full-tile
+            # transcendentals at init (vector trig on the splatted angle;
+            # Mosaic has no scalar-core transcendentals) replace 2 * hz of
+            # them (measured: 45% of the whole group-step).
+            def roll_body(tt, carry):
+                cost, cth, sth, om = carry
+                cost = cost + _SWINGUP_W * (cth - 1.0) ** 2 + om * om
+                a_sm = jnp.clip(actions_at(tt)[0:sm, :],
+                                -_MAX_TORQUE, _MAX_TORQUE)
+                a24 = jnp.concatenate([a_sm] * n_params, axis=0)
+                om = om + c_grav * (-sth) + c_act * a24
+                om = jnp.clip(om, -_MAX_SPEED, _MAX_SPEED)
+                sd, cd = _rot_sincos(om * dt, _MAX_SPEED * dt)
+                return cost, cth * cd - sth * sd, sth * cd + cth * sd, om
+
+            if "rollout" in skip:
+                cost = zsr + th0_col * th0_col + om0_col \
+                    + (c_grav + c_act) * 1e-9 \
+                    + jnp.sum(eps_ref[0:1, 0:1]) * 0.0
+            else:
+                cost, cth, _, om = jax.lax.fori_loop(
+                    0, hz, roll_body,
+                    (zsr, jnp.cos(zsr + th0_col), jnp.sin(zsr + th0_col),
+                     zsr + om0_col),
+                    unroll=hz if unroll else 1,
+                )
+                cost = cost + _SWINGUP_W * (cth - 1.0) ** 2 + om * om
+
+            # ---- param-averaged costs [smp, 128] ----
+            mcost = cost[0:sm, :]
+            for p in range(1, n_params):
+                mcost = mcost + cost[p * sm:(p + 1) * sm, :]
+            mcost = mcost * (1.0 / n_params)
+            if smp != sm:
+                mcost = jnp.concatenate(
+                    [mcost, jnp.zeros((smp - sm, 128), jnp.float32)], axis=0
+                )
+            valid = (lane_sm < n_act) & valid_sm
+            mcost_v = jnp.where(valid, mcost, _POS_BIG)
+
+            # ---- DISCO update with per-scenario normalizers ----
+            if "disco" in skip:
+                omega = jnp.where(valid, 1.0 / n_act, 0.0) + mcost * 1e-12
+                w_lik = omega
+                log_l = mcost[:, 0:1] * 1e-6
+            else:
+                omega, w_lik, log_l = _disco_weights_sweep(
+                    mcost, mcost_v, valid, sm, smp, m, n_sc, n_act,
+                    inv_temp, alpha, exp_util)
+
+            # DISCO delta + analytic likelihood gradient. The delta drops
+            # the a_seq term: this kernel requires the controller a_seq to
+            # be zero (the SVMPC demo path never calls controller.step;
+            # megakernel_pendulum_sweep_fn checks the concrete init state).
+            # The weights are normalized (sum_l omega = sum_l w_lik = 1 over
+            # valid lanes), so sum_l w*(theta_t + sigma*eps) = theta_t +
+            # sigma*sum_l w*eps — the per-iteration theta broadcast drops
+            # out of the loop and theta cancels exactly in the likelihood
+            # gradient (wa - theta = sigma*sum w*eps).
+            if "acc" in skip:
+                d_eps = omega * 1e-9 + jnp.sum(eps_ref[0:1, 0:1]) * 0.0
+                w_eps = w_lik * 1e-9
+            else:
+                def acc_body(tt, carry):
+                    de, we_acc = carry
+                    e_sm = eps_ref[pl.ds(tt * smp, smp), :]
+                    dq = jnp.sum(omega * e_sm, axis=1, keepdims=True)
+                    wq = jnp.sum(w_lik * e_sm, axis=1, keepdims=True)
+                    de = de + jnp.where(lane_sm == tt, dq, 0.0)
+                    we_acc = we_acc + jnp.where(lane_sm == tt, wq, 0.0)
+                    return de, we_acc
+
+                d_eps, w_eps = jax.lax.fori_loop(
+                    0, hz, acc_body,
+                    (jnp.zeros((smp, 128), jnp.float32),
+                     jnp.zeros((smp, 128), jnp.float32)),
+                    unroll=hz if unroll else 1,
+                )
+            delta = jnp.where(lane_sm < hz, theta + sigma_c * d_eps, 0.0)
+            glik = sigma_c * w_eps * inv_s2
+
+            # ---- Stein direction via block-masked pairwise matrices ----
+            # Pairwise distances within a scenario block are translation
+            # invariant, and the MXU Gram identity |x|^2 - 2 x.y + |y|^2
+            # runs its dot_general in bf16 passes: the cancellation error
+            # grows with |theta|^2 while the Silverman bandwidth only
+            # tracks the SPREAD, so uncentered Gram blows up exp(-d2/2bw^2)
+            # once |theta| drifts (measured: theta -> 1e8 -> NaN on long
+            # hw-PRNG episodes). Center per scenario block first (one
+            # block-mask matmul) so every norm is spread-scale, and clamp
+            # d2 at 0.
+            # NaN isolation: the block masks zero off-scenario MATRIX
+            # entries, but a dot's column operand still poisons every row
+            # through 0 * NaN = NaN. Sanitize the column operands of the
+            # five cross-row matmuls so a diverged scenario stays NaN in
+            # its own rows (its elementwise path keeps the NaN) without
+            # leaking into healthy scenarios (parallel/sweep.py's
+            # per-scenario failure-isolation contract).
+            def fin(v):
+                # finite test as sub/compare/select only (v - v is 0 for
+                # finite v, NaN for inf/NaN) — guaranteed to lower in
+                # Mosaic, unlike a jnp.isfinite intrinsic
+                return jnp.where(v - v == 0.0, v, 0.0)
+
+            blkf = blk.astype(jnp.float32) * (1.0 / m)
+            if "stein" in skip:
+                theta_new = jnp.where(valid_sm & (lane_sm < ev),
+                                      theta + lr * glik * 1e-3, 0.0)
+            else:
+                theta_new = _stein_update_sweep(
+                    theta, locs, glik, blk, blkf, valid_sm, lane_sm,
+                    inv_ps2, log_mix, inv_bw2_col, lr, m, ev, smp, fin)
+
+            # ---- forward: per-scenario weights / select / roll ----
+            if "forward" in skip:
+                act_col = th_col * 1e-3 \
+                    + jnp.sum(theta_new[0:1, 0:1]) * 1e-9 \
+                    + jnp.sum(log_l[0:1, 0:1]) * 1e-12
+                theta_fwd = theta_new
+            else:
+                # same per-scenario centering discipline as the Stein block
+                mean_n = jnp.dot(blkf, fin(theta_new),
+                                 preferred_element_type=jnp.float32)
+                nc = theta_new - mean_n
+                lc_n = locs - mean_n
+                tn_norm = jnp.sum(nc * nc, axis=1, keepdims=True)
+                ln_norm = jnp.sum(lc_n * lc_n, axis=1, keepdims=True)
+                g_nl = _block_dot_t(nc, lc_n)
+                d2_nl = jnp.maximum(
+                    tn_norm - 2.0 * g_nl + ln_norm.reshape(1, smp), 0.0
+                )
+                lp_new = jnp.where(blk, -0.5 * inv_ps2 * d2_nl + log_mix,
+                                   _NEG_BIG)
+                n_max = jnp.max(lp_new, axis=1, keepdims=True)
+                log_p = n_max + jnp.log(jnp.maximum(
+                    jnp.sum(jnp.exp(lp_new - n_max), axis=1,
+                            keepdims=True),
+                    1e-37,
+                ))
+                log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p,
+                                  _NEG_BIG)
+
+                # per-scenario argmax selection, VECTORIZED over scenarios:
+                # the block-masked [smp, smp] weight matrix turns every
+                # per-block max / argmin into one row reduction for all
+                # scenarios at once (the old serial loop also built a dead
+                # full-width a_seq row per scenario; only lane 0 — the
+                # applied action — was ever consumed)
+                rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
+                col_idx = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1)
+                w_row = _row_of_column(log_w, smp)            # [1, 128]
+                wmat = jnp.where(blk, jnp.broadcast_to(
+                    w_row[:, 0:smp], (smp, smp)), _NEG_BIG)
+                wmax = jnp.max(wmat, axis=1, keepdims=True)   # block max
+                is_max = blk & (wmat >= wmax)
+                i_star = jnp.min(jnp.where(is_max, col_idx, smp), axis=1,
+                                 keepdims=True)               # [smp, 1]
+                onehot = (rowm1 == i_star).astype(jnp.float32)
+                a_all = onehot * theta_new[:, 0:1]            # [smp, 1]
+                # per-scenario selected action: one [n_sc, m] reshape-sum
+                # (r3, the particle kernel's block_sum_col), replacing the
+                # n_sc serial masked-sum + select chain
+                a_sum = jnp.sum(a_all[0:sm, 0:1].reshape(n_sc, m), axis=1,
+                                keepdims=True)                # [n_sc, 1]
+                act_col = (a_sum if n_sc == ns else jnp.concatenate(
+                    [a_sum, jnp.zeros((ns - n_sc, 1), jnp.float32)],
+                    axis=0))
+
+                rolled = pltpu.roll(theta_new, shift=128 - 1, axis=1)
+                theta_fwd = jnp.where(
+                    lane_sm < (hz - 1), rolled,
+                    jnp.where(lane_sm < ev, theta_new, 0.0),
+                )
+
+            if warm_up > 0:
+                active = t >= warm_up
+                act_col = jnp.where(active, act_col, 0.0)
+                theta_next = jnp.where(active, theta_fwd, theta_new)
+                locs_next = jnp.where(active, theta_fwd, locs)
+            else:
+                theta_next = theta_fwd
+                locs_next = theta_fwd
+            theta_ref[:] = jnp.where(valid_sm, theta_next, 0.0)
+            locs_ref[:] = jnp.where(valid_sm, locs_next, 0.0)
+            amat_ref[:] = jnp.where(valid_sm, amat_ref[:] + delta,
+                                    amat_ref[:])
+
+            # ---- simulator: all S pendulums as column physics ----
+            a_cl = jnp.clip(act_col, -_MAX_TORQUE, _MAX_TORQUE)
+            if "sim" in skip:
+                om2 = om_col + a_cl * 1e-9
+                th2 = th_col + om2 * dt
+                cost_col = om2 * om2
+            else:
+                il_t = il_true_ref[:, 0:1]
+                im_t = im_true_ref[:, 0:1]
+                om2 = om_col + (
+                    -3.0 * g_sim * 0.5 * il_t * sin_col
+                    + 3.0 * im_t * il_t * il_t * a_cl
+                ) * dt
+                om2 = jnp.clip(om2, -_MAX_SPEED, _MAX_SPEED)
+                th2 = th_col + om2 * dt
+                cost_col = _SWINGUP_W * (jnp.cos(th2) - 1.0) ** 2 \
+                    + om2 * om2
+
+            # ---- MPF updates: TWO scenarios per tile (lane groups 0-63 /
+            # 64-127) and ALL pairs stacked on the sublane axis into ONE
+            # fori body. Pairing scenarios in the lane halves halved the
+            # serial loop (the MPF section was 65% of the step at one
+            # scenario per iteration); stacking the n_pair tiles halves it
+            # again at 52.9%: every [1, 128] row-layout op becomes one
+            # [8, 128] op (still a single vreg) and every [mp, 128]
+            # pairwise op one [n_pair*mp, 128] op — same vector work,
+            # ~n_pair x fewer serialized instructions ----
+            # per-scenario MPF Silverman: the draws section's l_a/m_a/l_b/
+            # m_b row tiles already hold every scenario's particle values
+            # along lanes (mpfx_ref is unwritten since they were built), so
+            # the bandwidth rows need no _row_of_column transposes — and
+            # ONE row-batched bitonic sort covers all scenarios
+            if mpf_fixed_bw is None:
+                mrows = []
+                for s in range(n_sc):
+                    p, g = divmod(s, 2)
+                    lrow = (l_a if g == 0 else l_b)[p:p + 1, :]
+                    mrow_v = (m_a if g == 0 else m_b)[p:p + 1, :]
+                    mrows.append(jnp.where(
+                        lane1 < m_mpf, lrow,
+                        jnp.where(lane1 < 2 * m_mpf,
+                                  pltpu.roll(mrow_v, shift=m_mpf, axis=1),
+                                  _POS_BIG),
+                    ))
+                bwm8 = _silverman_rows(
+                    jnp.concatenate(mrows, axis=0), 2 * m_mpf
+                ) * mpf_bw_scale
+            # bw_mpf column directly (r3): the fixed bandwidth splats, the
+            # Silverman one IS bwm8 — zero rows >= n_sc to preserve the
+            # old loop's unset-row behavior
+            i81c = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+            if mpf_fixed_bw is not None:
+                bw_mpf_col = jnp.where(i81c < n_sc,
+                                       jnp.float32(mpf_fixed_bw), 0.0)
+            else:
+                bwm8_p = (bwm8 if n_sc == ns else jnp.concatenate(
+                    [bwm8, jnp.zeros((ns - n_sc, 1), jnp.float32)],
+                    axis=0))
+                bw_mpf_col = jnp.where(i81c < n_sc, bwm8_p, 0.0)
+            if "mpfglue" in skip:
+                # keep the posterior state + a cheap dependency
+                mpfx_ref[:] = mpfx_ref[:] + jnp.sum(bw_mpf_col) * 0.0
+            else:
+                scal_s = []                   # per-scenario MPF scalars
+                for s in range(n_sc):
+                    if mpf_fixed_bw is not None:
+                        bw_mpf = jnp.float32(mpf_fixed_bw)
+                    else:
+                        bw_mpf = bwm8[s:s + 1, :]
+                    # 0-d col_at extractions of the step-top columns — the
+                    # same values the old per-scenario full-tile masked sums
+                    # produced, without the ~40 serial whole-tile reductions
+                    pbw_s = col_at(pbw_col, s)
+                    scal_s.append(dict(
+                        sin_t=col_at(sin_col, s),
+                        a=col_at(a_cl, s),
+                        om=col_at(om_col, s),
+                        th=col_at(th_col, s),
+                        th2=col_at(th2, s),
+                        om2=col_at(om2, s),
+                        prior_pbw2=1.0 / (pbw_s * pbw_s),
+                        inv_mbw2=1.0 / (bw_mpf * bw_mpf),
+                    ))
+
+                inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
+                n_pair = (n_sc + 1) // 2
+                nmr = n_pair * mp
+                rowN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 0)
+                laneN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 1)
+                pair_of_row = rowN // mp
+                r_in_pair = rowN - pair_of_row * mp
+                in_aN = laneN < 64
+                valid_rowN = r_in_pair < m_mpf
+                row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                gvr8 = (
+                    (jnp.where(lane8 < 64, lane8, lane8 - 64) < m_mpf)
+                    & ((row8 < n_sc // 2) | (lane8 < 64))
+                    & (row8 < n_pair)
+                )
+                # transposed-body constants: mdiagN picks each row particle's
+                # own lane within each half; h_matN sums within lane halves
+                mdiagN = jnp.where(in_aN, laneN, laneN - 64) == r_in_pair
+                # symm-layout masks: lane validity (half-local lane < m_mpf)
+                # and the column-space update mask (valid particle row AND the
+                # lane half's scenario exists — mirrors gvr8 in column space)
+                valid_laneN = jnp.where(in_aN, laneN, laneN - 64) < m_mpf
+                gvcN = valid_rowN & (in_aN | (pair_of_row < n_sc // 2))
+                h_matN = (
+                    (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) < 64)
+                    == (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) < 64)
+                ).astype(jnp.float32)
+                in_a8 = lane8 < 64
+                if mpf_drive_layout == "lanepack":
+                    # lane-packed drive constants: L's K axis matches k's row
+                    # packing (p*mp + q), so pair p's row of L carries its
+                    # operand values at lanes [p*mp, p*mp + mp)
+                    laneK = jax.lax.broadcasted_iota(jnp.int32, (8, nmr), 1)
+                    rowK = jax.lax.broadcasted_iota(jnp.int32, (8, nmr), 0)
+                    lpk_mask = (laneK // mp) == rowK
+                    ones_lpk = jnp.where(lpk_mask, 1.0, 0.0)
+
+                    def tile_mp(w):
+                        """[8, 128] tile with values at lanes < mp (one lane
+                        half's particle values) -> [8, nmr] period-mp tiling
+                        (value q at every lane p'*mp + q)."""
+                        if nmr <= 128:
+                            wide = w[:, :nmr]
+                        else:
+                            wide = jnp.concatenate(
+                                [w, jnp.zeros((8, nmr - 128), jnp.float32)],
+                                axis=1)
+                        out = wide
+                        for p in range(1, n_pair):
+                            out = out + pltpu.roll(wide, shift=p * mp, axis=1)
+                        return out
+
+                    def halves_of(r8):
+                        """row tile [8, 128] -> (A-half, B-half) value tiles,
+                        each with its particle values at lanes < m_mpf and
+                        EXACT zeros on [m_mpf, 128) (tile_mp's period-mp rolls
+                        would otherwise alias junk into neighbouring pair
+                        segments)."""
+                        keep = lane8 < m_mpf
+                        wa = jnp.where(keep, r8, 0.0)
+                        wb = jnp.where(keep, pltpu.roll(r8, shift=64, axis=1),
+                                       0.0)
+                        return wa, wb
+
+                def stack_rows(key):
+                    """per-scenario scalar -> [8, 128] tile: pair p's row holds
+                    scenario 2p's value at lanes < 64, 2p+1's at lanes >= 64 (a
+                    missing B mirrors its pair's A scenario, like the old
+                    single-group fallback; the values are masked off anyway but
+                    must stay finite)."""
+                    acc = jnp.zeros((8, 128), jnp.float32)
+                    for s in range(2 * n_pair):
+                        val = scal_s[min(s, n_sc - 1)][key]
+                        mask = (row8 == s // 2) & ((lane8 < 64) == (s % 2 == 0))
+                        acc = jnp.where(mask, val, acc)
+                    return acc
+
+                sin8 = stack_rows("sin_t")
+                a8 = stack_rows("a")
+                om8 = stack_rows("om")
+                th8 = stack_rows("th")
+                th28 = stack_rows("th2")
+                om28 = stack_rows("om2")
+                ppbw28 = stack_rows("prior_pbw2")
+                imbw28 = stack_rows("inv_mbw2")
+
+                def to_blocks(rows8_t):
+                    """[8, 128] pair rows -> [nmr, 128]: every row of pair
+                    block p holds pair p's row. Per-pair broadcast + concat
+                    (pure data movement, no select chain over the full tile) —
+                    a NaN'd pair's values never touch other pairs' blocks."""
+                    return jnp.concatenate(
+                        [jnp.broadcast_to(rows8_t[p:p + 1, :], (mp, 128))
+                         for p in range(n_pair)], axis=0)
+
+                def pair_rows(col_a, col_b):
+                    """per-particle [nmr, 1] A/B columns -> [8, 128] pair rows
+                    (pair p: A values at lanes 0..mp-1, B at 64..64+mp-1).
+                    One whole-column reshape per operand replaces the old
+                    per-pair slice/reshape chain; the reshape moves each pair's
+                    mp values into its own row with no cross-pair arithmetic,
+                    so a diverged pair's NaN stays out of other pairs' rows.
+                    Within a pair the A/B lane sets are disjoint, so the add
+                    only ever combines a value with an exact 0.0."""
+                    zs = jnp.zeros((n_pair, 128 - mp), jnp.float32)
+                    ra = jnp.concatenate(
+                        [col_a[:, 0:1].reshape(n_pair, mp), zs], axis=1)
+                    rb = jnp.concatenate(
+                        [col_b[:, 0:1].reshape(n_pair, mp), zs], axis=1)
+                    rows = ra + pltpu.roll(rb, shift=64, axis=1)
+                    if n_pair < 8:
+                        rows = jnp.concatenate(
+                            [rows, jnp.zeros((8 - n_pair, 128), jnp.float32)],
+                            axis=0)
+                    return rows
+
+                def brs(v):
+                    """per-pair-block row sum of [nmr, 128] -> [8, 128] row
+                    tile (pair p's sums on row p, per-lane). Sums touch only
+                    the pair's own rows (pure reshape + axis sum), so pairs
+                    stay isolated; within a pair, lanes never mix, so the two
+                    scenarios sharing the lane halves stay isolated too."""
+                    s = jnp.sum(v.reshape(n_pair, mp, 128), axis=1)
+                    if n_pair < 8:
+                        s = jnp.concatenate(
+                            [s, jnp.zeros((8 - n_pair, 128), jnp.float32)],
+                            axis=0)
+                    return s
+
+                def colbcast(blocks):
+                    """to_blocks(r8) -> column-broadcast tile: value of the ROW
+                    particle (q = r_in_pair) in the scenario selected by the
+                    LANE half, via one diagonal select + one MXU matmul against
+                    h_matN. NaN isolation: ANY NaN in a matmul row operand
+                    poisons every output lane of that row (each contraction
+                    touches every input lane through 0 * NaN terms), so the
+                    operand is sanitized with the sub/compare/select finite
+                    test first and the diverged half's NaN re-injected after
+                    with `blocks * 0.0` — NaN exactly at the diverged half's
+                    lanes, an exact +0.0 everywhere else."""
+                    d = jnp.where(mdiagN,
+                                  jnp.where(blocks - blocks == 0.0, blocks, 0.0),
+                                  0.0)
+                    return jax.lax.dot_general(
+                        d, h_matN, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + blocks * 0.0
+
+                # prior centers are the step-start particles (fixed across the
+                # mpf_steps SVGD iterations)
+                xsnap = mpfx_ref[:]
+                c0r8 = pair_rows(xsnap[:, 0:1], xsnap[:, 64:65])
+                c1r8 = pair_rows(xsnap[:, 1:2], xsnap[:, 65:66])
+                c0c = colbcast(to_blocks(c0r8))   # q-indexed (column-broadcast)
+                c1c = colbcast(to_blocks(c1r8))
+                ppbw2N = to_blocks(ppbw28)
+                imbw2N = to_blocks(imbw28)
+
+                def scores_of(x0r, x1r, x0N, x1N):
+                    """Stein drive operands t = score - x/bw^2 in ROW space
+                    [8, 128] (pair rows, A particles at lanes < 64, B at
+                    >= 64) from the row/lane-space particle copies. Shared by
+                    every drive layout below.
+
+                    GMM prior responsibilities and weighted prior means are
+                    transposed: rows = centers q, lanes = current particles.
+                    No max-subtraction: logits = -0.5*d2c*ppbw2 <= 0 with the
+                    self-distance diagonal exactly 0 on every valid row, so
+                    the max is exactly 0.0 and exp(logits - mx) ==
+                    exp(logits) bitwise (reference softmax at mpf.py:31-38
+                    via torch logsumexp is tolerance-matched by tests).
+                    Invalid LANES (pad particles / missing B) produce finite
+                    junk columns masked by gvr8 at the score; invalid center
+                    ROWS are excluded from the sums here."""
+                    d2c = (x0N - c0c) ** 2 + (x1N - c1c) ** 2
+                    pz = jnp.where(valid_rowN,
+                                   jnp.exp(-0.5 * d2c * ppbw2N), 0.0)
+                    psum_r = brs(pz)
+                    pc0r = brs(pz * c0c) / psum_r
+                    pc1r = brs(pz * c1c) / psum_r
+
+                    # likelihood gradient in stacked row layout [8, 128]
+                    length = jnp.where(gvr8, x0r, 1.0)
+                    mass = jnp.where(gvr8, x1r, 1.0)
+                    if mpf_log_space:
+                        length = jnp.exp(length)
+                        mass = jnp.exp(mass)
+                    ilx = 1.0 / length
+                    imx = 1.0 / mass
+                    tdd = -3.0 * g_model * 0.5 * ilx * sin8 \
+                        + 3.0 * imx * ilx * ilx * a8
+                    td_raw = om8 + dt * tdd
+                    td = jnp.clip(td_raw, -_MAX_SPEED, _MAX_SPEED)
+                    thp = th8 + td * dt
+                    gate = jnp.where(
+                        (td_raw > -_MAX_SPEED) & (td_raw < _MAX_SPEED),
+                        1.0, 0.0,
+                    )
+                    dtd_dl = gate * dt * (
+                        3.0 * g_model * 0.5 * ilx * ilx * sin8
+                        - 6.0 * imx * ilx * ilx * ilx * a8
+                    )
+                    dtd_dm = gate * dt * (-3.0 * imx * imx * ilx * ilx * a8)
+                    common = -((thp - th28) * dt + (td - om28)) * inv_os2
+                    gl_l = common * dtd_dl
+                    gl_m = common * dtd_dm
+                    if mpf_log_space:
+                        gl_l = gl_l * length
+                        gl_m = gl_m * mass
+                    gp0 = (pc0r - x0r) * ppbw28
+                    gp1 = (pc1r - x1r) * ppbw28
+                    s0r = jnp.where(gvr8, gl_l + gp0, 0.0)
+                    s1r = jnp.where(gvr8, gl_m + gp1, 0.0)
+
+                    # The repulsion sum folds into the drive sum:
+                    #   phi(l) = sum_q k_ql*(s_q + (x_l - x_q)/bw^2)
+                    #          = sum_q k_ql*(s_q - x_q/bw^2)
+                    #            + (sum_q k_ql)*x_l/bw^2
+                    # with the fold applied in ROW space before any broadcast
+                    # (imbw2 is constant per (pair, lane-half), so it is valid
+                    # in both orientations); x_l rides x0r/x1r directly, so the
+                    # whole update closes in row space with no relayout.
+                    return s0r - x0r * imbw28, s1r - x1r * imbw28
+
+                def mpf_body(i, carry):
+                    # TRANSPOSED body: the particle state rides the carry in
+                    # ROW layout only ([8, 128]: pair rows, A particles at
+                    # lanes < 64, B at >= 64). Every pairwise matrix is built
+                    # with the SUMMED particle index on the sublane axis, so
+                    # all six per-iteration reductions are per-pair-block row
+                    # sums (brs) instead of lane-half reductions — measured
+                    # 3.8x cheaper per iteration (bench/probes/
+                    # mpf_transpose_probe.py: 449 vs 1688 ns on the
+                    # shape-faithful body; the MPF loop was 65% of the
+                    # group-step). Column-broadcast operands are rebuilt from
+                    # row space with colbcast (MXU matmuls, VPU-free).
+                    x0r, x1r = carry
+                    x0N = to_blocks(x0r)          # lane-indexed particles
+                    x1N = to_blocks(x1r)
+                    x0c = colbcast(x0N)           # row(q)-indexed particles
+                    x1c = colbcast(x1N)
+                    t0r_f, t1r_f = scores_of(x0r, x1r, x0N, x1N)
+                    # RBF Stein update, transposed (rows = summed particles q,
+                    # lanes = updated particles l)
+                    d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
+                    k = jnp.where(valid_rowN,
+                                  jnp.exp(-0.5 * d2 * imbw2N), 0.0)
+                    if mpf_drive_layout == "lanepack":
+                        # r3 layout: ONE [40, nmr] @ [nmr, 128] MXU matmul
+                        # computes both drives (per lane half) AND rows_k,
+                        # replacing the two t0c/t1c colbcast matmuls (4 MXU
+                        # passes) and the three brs reductions with 2 passes.
+                        # L row group g, pair-row p, lane (p', q):
+                        #   g=0/1: t0 of half A/B at q if p'==p else 0
+                        #   g=2/3: t1 of half A/B; g=4: 1.0 (rows_k).
+                        # out rows: drive for pair p with the SUMMED half fixed
+                        # to the group's half — recombined per lane half below.
+                        # NaN isolation: a diverged half's NaNs enter L only in
+                        # its own group's rows (poisoning only that pair's
+                        # already-NaN lanes after the half selects); k's NaN
+                        # LANES would poison every output row at those lanes
+                        # through 0 * NaN contraction terms, so k is sanitized
+                        # for the matmul — the junk drives it produces at the
+                        # diverged lanes are absorbed by the carry's own NaNs
+                        # (x0r/x1r are already NaN there, and NaN + finite stays
+                        # NaN) — see test_sweep_mpf_nan_partner_isolation.
+                        t0a, t0b = halves_of(t0r_f)
+                        t1a, t1b = halves_of(t1r_f)
+                        lmat = jnp.concatenate([
+                            jnp.where(lpk_mask, tile_mp(t0a), 0.0),
+                            jnp.where(lpk_mask, tile_mp(t0b), 0.0),
+                            jnp.where(lpk_mask, tile_mp(t1a), 0.0),
+                            jnp.where(lpk_mask, tile_mp(t1b), 0.0),
+                            ones_lpk,
+                        ], axis=0)
+                        k_mm = jnp.where(k - k == 0.0, k, 0.0)
+                        out5 = jax.lax.dot_general(
+                            lmat, k_mm, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        drive0 = jnp.where(in_a8, out5[0:8], out5[8:16])
+                        drive1 = jnp.where(in_a8, out5[16:24], out5[24:32])
+                        rows_k = out5[32:40]
+                    else:
+                        t0c = colbcast(to_blocks(t0r_f))
+                        t1c = colbcast(to_blocks(t1r_f))
+                        rows_k = brs(k)
+                        drive0 = brs(k * t0c)
+                        drive1 = brs(k * t1c)
+                    phi0 = (drive0 + rows_k * x0r * imbw28) * (1.0 / m_mpf)
+                    phi1 = (drive1 + rows_k * x1r * imbw28) * (1.0 / m_mpf)
+                    return (
+                        x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0),
+                        x1r + jnp.where(gvr8, mpf_lr * phi1, 0.0),
+                    )
+
+                def mpf_body_symm(i, carry):
+                    # r3 "symm" layout (VERDICT r2 #1): the carry lives in
+                    # COLUMN space ([nmr, 128]: row q = particle q's value,
+                    # constant across each lane half; lane halves = the pair's
+                    # two scenarios) and the row/lane-space copies are derived
+                    # by pure data movement (pair_rows column extraction +
+                    # to_blocks), eliminating ALL FOUR colbcast rebuild matmuls.
+                    # The Stein kernel matrix is symmetric in (q, l) — k_ql
+                    # depends only on the unordered particle pair — so the
+                    # drive sum_q k_ql * t_q equals sum_l k_ql * t_l: a LANE
+                    # contraction of k * to_blocks(t) against the half-block
+                    # identity h_matN. Three [nmr, 128] @ [128, 128] matmuls
+                    # (two drives + rows_k) replace the old four colbcast
+                    # matmuls AND the three Stein-side brs reductions, and the
+                    # products they contract are real math (k * t), not
+                    # broadcast data movement.
+                    # NaN isolation: contraction is over LANES, where 0 * NaN
+                    # in the h_matN zeros would leak a diverged half's NaN into
+                    # its partner's output lanes — so the matmul operands are
+                    # sanitized (finite test) first. The carry add re-poisons
+                    # the diverged half's own region (its x NaNs persist), and
+                    # the gvcN mask keeps junk drives out of invalid rows.
+                    x0c, x1c = carry
+                    x0r = pair_rows(x0c[:, 0:1], x0c[:, 64:65])
+                    x1r = pair_rows(x1c[:, 0:1], x1c[:, 64:65])
+                    x0N = to_blocks(x0r)
+                    x1N = to_blocks(x1r)
+                    t0r_f, t1r_f = scores_of(x0r, x1r, x0N, x1N)
+                    d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
+                    k = jnp.exp(-0.5 * d2 * imbw2N)
+
+                    def san(v):
+                        return jnp.where(v - v == 0.0, v, 0.0)
+
+                    # invalid LANES (pad particles / missing B) must not feed
+                    # the lane contraction; t is already 0 there except for the
+                    # -x/bw^2 fold, so mask k by lane validity instead
+                    k_l = jnp.where(valid_laneN, san(k), 0.0)
+                    prod0 = k_l * san(to_blocks(t0r_f))
+                    prod1 = k_l * san(to_blocks(t1r_f))
+
+                    def lane_sum(v):
+                        return jax.lax.dot_general(
+                            v, h_matN, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+
+                    drive0 = lane_sum(prod0)
+                    drive1 = lane_sum(prod1)
+                    rows_k = lane_sum(k_l)
+                    phi0 = (drive0 + rows_k * x0c * imbw2N) * (1.0 / m_mpf)
+                    phi1 = (drive1 + rows_k * x1c * imbw2N) * (1.0 / m_mpf)
+                    return (
+                        x0c + jnp.where(gvcN, mpf_lr * phi0, 0.0),
+                        x1c + jnp.where(gvcN, mpf_lr * phi1, 0.0),
+                    )
+
+                if mpf_drive_layout == "symm":
+                    x0f, x1f = jax.lax.fori_loop(
+                        0, mpf_steps, mpf_body_symm, (c0c, c1c),
+                        unroll=max(1, mpf_steps) if unroll else 1)
+                    # the symm carry IS the paired-lane column layout the
+                    # commit below expects — no final relayout
+                else:
+                    x0f_r, x1f_r = jax.lax.fori_loop(
+                        0, mpf_steps, mpf_body, (c0r8, c1r8),
+                        unroll=max(1, mpf_steps) if unroll else 1)
+                    # commit once: particle lanes (0/1 and 64/65) on valid rows
+                    # take the final carry (converted back to the paired-lane
+                    # column layout via colbcast); every other lane/row keeps
+                    # its step-start value exactly as the old masked write did
+                    x0f = colbcast(to_blocks(x0f_r))
+                    x1f = colbcast(to_blocks(x1f_r))
+                mpfx_ref[:] = jnp.where(
+                    valid_rowN & ((laneN == 0) | (laneN == 64)), x0f,
+                    jnp.where(
+                        valid_rowN & ((laneN == 1) | (laneN == 65)), x1f,
+                        xsnap))
+
+            # ---- logs + sim-state commit ----
+            def scatter8(col):
+                """[ns, 1] -> [1, 128] (lane s = col[s])."""
+                mat = jnp.broadcast_to(col, (ns, 128))
+                rs = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 0)
+                return jnp.sum(jnp.where(rs == lane_s, mat, 0.0), axis=0,
+                               keepdims=True)
+
+            cost_row = scatter8(cost_col)
+            if "logs" in skip:
+                log_row = cost_row \
+                    + jnp.sum(bw8[0:1, 0:1]) * 0.0 \
+                    + jnp.sum(bw_mpf_col[0:1, 0:1]) * 0.0
+            else:
+                th_row = scatter8(th2)
+                om_row = scatter8(om2)
+                act_row = scatter8(act_col)
+                bwm_row = scatter8(bw_mpf_col)
+                bws_row = jnp.where(lane1 < n_sc, scatter8(bw8), 0.0)
+                # channel c occupies lanes [c*ns, (c+1)*ns) — for
+                # n_sc <= 8 this is the r1-r3 stride-8 layout verbatim
+                log_row = (
+                    jnp.where(lane1 < ns, cost_row, 0.0)
+                    + jnp.where((lane1 >= ns) & (lane1 < 2 * ns),
+                                pltpu.roll(th_row, shift=ns, axis=1), 0.0)
+                    + jnp.where((lane1 >= 2 * ns) & (lane1 < 3 * ns),
+                                pltpu.roll(om_row, shift=2 * ns, axis=1),
+                                0.0)
+                    + jnp.where((lane1 >= 3 * ns) & (lane1 < 4 * ns),
+                                pltpu.roll(act_row, shift=3 * ns, axis=1),
+                                0.0)
+                    + jnp.where((lane1 >= 4 * ns) & (lane1 < 5 * ns),
+                                pltpu.roll(bws_row, shift=4 * ns, axis=1),
+                                0.0)
+                    + jnp.where((lane1 >= 5 * ns) & (lane1 < 6 * ns),
+                                pltpu.roll(bwm_row, shift=5 * ns, axis=1),
+                                0.0)
+                )
+            log_ref[pl.ds(t, 1), :] = log_row
+
+            sim_ref[:] = (
+                jnp.where(lane_s == 0, th2, 0.0)
+                + jnp.where(lane_s == 1, om2, 0.0)
+                + jnp.where(lane_s == 2, bw_mpf_col, 0.0)
+            )
+            return 0
+
+        def finalize():
+            theta_out_ref[:] = theta_ref[:]
+            locs_out_ref[:] = locs_ref[:]
+            amat_out_ref[:] = amat_ref[:]
+            mpfx_out_ref[:] = mpfx_ref[:]
+
+        return step, finalize
+
+    chains = []
+    for c in range(nch):
+        nrefs = (noise_all[3 * c:3 * c + 3] if host_noise
+                 else (None, None, None))
+        chains.append(_chain(c, *nrefs, *outs_all[5 * c:5 * c + 5],
+                             *scr_all[6 * c:6 * c + 6]))
+
+    def step_all(t, _):
+        for st, _fin in chains:
+            st(t, 0)
         return 0
 
-    jax.lax.fori_loop(0, steps, step, 0)
-
-    theta_out_ref[:] = theta_ref[:]
-    locs_out_ref[:] = locs_ref[:]
-    amat_out_ref[:] = amat_ref[:]
-    mpfx_out_ref[:] = mpfx_ref[:]
+    jax.lax.fori_loop(0, steps, step_all, 0)
+    for _st, fin in chains:
+        fin()
 
 
 @functools.partial(
@@ -1219,7 +1243,8 @@ def _pendulum_sweep_kernel(
                      "n_act", "m_mpf", "mpf_steps", "dt", "g_model",
                      "g_sim", "exp_util", "mpf_log_space",
                      "mpf_fixed_bw", "mpf_bw_scale", "unroll",
-                     "interpret", "mpf_drive_layout", "probe_skip"),
+                     "interpret", "mpf_drive_layout", "probe_skip",
+                     "n_chains"),
 )
 def fused_pendulum_sweep_episode(
         seed, state0, theta0, locs0, a_mat0, mpfx0, prior_bw0,
@@ -1229,7 +1254,7 @@ def fused_pendulum_sweep_episode(
         g_sim=10.0, exp_util=True, mpf_log_space=False,
         mpf_fixed_bw=None, mpf_bw_scale=1.0, unroll=True,
         host_eps=None, host_pdz=None, host_pdu=None, interpret=False,
-        mpf_drive_layout="colbcast", probe_skip=()):
+        mpf_drive_layout="colbcast", probe_skip=(), n_chains=1):
     """Run n_sc pendulum DuSt episodes in ONE Pallas program.
 
     state0 [2] shared initial state; theta0/locs0/a_mat0 [m, hz]
@@ -1278,7 +1303,18 @@ def fused_pendulum_sweep_episode(
     steps_p = _round8(steps)
     host_noise = host_eps is not None
 
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 2)
+    # n_chains independent episode-chains per program (r4): seed may be
+    # [2] (chain 0; remaining chains derive by +4099*c) or
+    # [n_chains, 2] explicit per-chain seeds
+    seed_arr = jnp.asarray(seed, jnp.int32)
+    if seed_arr.ndim == 1:
+        seed_arr = seed_arr.reshape(1, 2)
+    if seed_arr.shape[0] < n_chains:
+        base = seed_arr[0]
+        seed_arr = jnp.stack(
+            [base + jnp.asarray([0, 4099 * c], jnp.int32)
+             for c in range(n_chains)])
+    seed_arr = seed_arr[:n_chains]
     scal = jnp.stack([
         jnp.asarray(state0[0], jnp.float32),
         jnp.asarray(state0[1], jnp.float32),
@@ -1331,18 +1367,16 @@ def fused_pendulum_sweep_episode(
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + \
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
     if host_noise:
-        inputs += [
-            jnp.asarray(host_eps, jnp.float32).reshape(
-                steps * hz * smp, 128
-            ),
-            jnp.asarray(host_pdz, jnp.float32).reshape(
-                steps * n_sc * 8, 128
-            ),
-            jnp.asarray(host_pdu, jnp.float32).reshape(
-                steps * n_sc * 8, 128
-            ),
-        ]
-        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        he = jnp.asarray(host_eps, jnp.float32).reshape(
+            n_chains, steps * hz * smp, 128)
+        hz_ = jnp.asarray(host_pdz, jnp.float32).reshape(
+            n_chains, steps * n_sc * 8, 128)
+        hu = jnp.asarray(host_pdu, jnp.float32).reshape(
+            n_chains, steps * n_sc * 8, 128)
+        for c in range(n_chains):
+            inputs += [he[c], hz_[c], hu[c]]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+            3 * n_chains)
 
     kernel = functools.partial(
         _pendulum_sweep_kernel,
@@ -1354,20 +1388,21 @@ def fused_pendulum_sweep_episode(
         mpf_bw_scale=float(mpf_bw_scale), host_noise=host_noise,
         unroll=bool(unroll),
         mpf_drive_layout=str(mpf_drive_layout),
-        probe_skip=tuple(probe_skip),
+        probe_skip=tuple(probe_skip), n_chains=n_chains,
     )
     rows = n_params * sm
     outs = pl.pallas_call(
         kernel,
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+            5 * n_chains),
         out_shape=[
             jax.ShapeDtypeStruct((steps_p, 128), jnp.float32),
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_pair * mp, 128), jnp.float32),
-        ],
+        ] * n_chains,
         scratch_shapes=[
             pltpu.VMEM((hz * smp, 128), jnp.float32),       # eps
             pltpu.VMEM((smp, 128), jnp.float32),            # theta
@@ -1375,24 +1410,32 @@ def fused_pendulum_sweep_episode(
             pltpu.VMEM((smp, 128), jnp.float32),            # amat
             pltpu.VMEM((n_pair * mp, 128), jnp.float32),    # mpf x
             pltpu.VMEM((ns, 128), jnp.float32),             # sim state
-        ],
+        ] * n_chains,
         interpret=interpret,
     )(*inputs)
-    log, theta_out, locs_out, amat_out, mpfx_out = outs
-    mpf_final = jnp.stack([
-        mpfx_out[(s // 2) * mp:(s // 2) * mp + m_mpf,
-                 64 * (s % 2):64 * (s % 2) + 2]
-        for s in range(n_sc)
-    ])
-    return {
-        "cost": log[:steps, 0:n_sc],
-        "th": log[:steps, ns:ns + n_sc],
-        "om": log[:steps, 2 * ns:2 * ns + n_sc],
-        "action": log[:steps, 3 * ns:3 * ns + n_sc],
-        "bw_sv": log[:steps, 4 * ns:4 * ns + n_sc],
-        "bw_mpf": log[:steps, 5 * ns:5 * ns + n_sc],
-        "theta": theta_out[:sm, :hz].reshape(n_sc, m, hz),
-        "locs": locs_out[:sm, :hz].reshape(n_sc, m, hz),
-        "a_mat": amat_out[:sm, :hz].reshape(n_sc, m, hz),
-        "mpf_x": mpf_final,
-    }
+
+    def decode(log, theta_out, locs_out, amat_out, mpfx_out):
+        mpf_final = jnp.stack([
+            mpfx_out[(s // 2) * mp:(s // 2) * mp + m_mpf,
+                     64 * (s % 2):64 * (s % 2) + 2]
+            for s in range(n_sc)
+        ])
+        return {
+            "cost": log[:steps, 0:n_sc],
+            "th": log[:steps, ns:ns + n_sc],
+            "om": log[:steps, 2 * ns:2 * ns + n_sc],
+            "action": log[:steps, 3 * ns:3 * ns + n_sc],
+            "bw_sv": log[:steps, 4 * ns:4 * ns + n_sc],
+            "bw_mpf": log[:steps, 5 * ns:5 * ns + n_sc],
+            "theta": theta_out[:sm, :hz].reshape(n_sc, m, hz),
+            "locs": locs_out[:sm, :hz].reshape(n_sc, m, hz),
+            "a_mat": amat_out[:sm, :hz].reshape(n_sc, m, hz),
+            "mpf_x": mpf_final,
+        }
+
+    if n_chains == 1:
+        return decode(*outs)
+    per = [decode(*outs[5 * c:5 * c + 5]) for c in range(n_chains)]
+    # leading chain axis on every field
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *per)

@@ -239,7 +239,8 @@ def megakernel_pendulum_episode_fn(stack, exp_params, steps, warm_up=0,
 
 def megakernel_pendulum_sweep_fn(stack, exp_params, steps, n_sc,
                                  warm_up=0, unroll=True,
-                                 interpret=False, svmpc_only=False):
+                                 interpret=False, svmpc_only=False,
+                                 n_chains=1):
     """Scenario-batched sweep megakernel adapter
     (`ops/pallas_sweep_episode.py`): n_sc <= 16 independent pendulum
     DuSt episodes — per-scenario true parameters, seeds, Silverman
@@ -325,7 +326,7 @@ def megakernel_pendulum_sweep_fn(stack, exp_params, steps, n_sc,
             exp_util=exp.get("likelihood", "ExponentiatedUtility")
             == "ExponentiatedUtility",
             mpf_bw_scale=exp["mpf_bandwidth_scaling"],
-            unroll=unroll, interpret=interpret,
+            unroll=unroll, interpret=interpret, n_chains=n_chains,
             host_eps=host_eps, host_pdz=host_pdz, host_pdu=host_pdu,
             **mpf_cfg,
         )

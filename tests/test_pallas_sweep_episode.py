@@ -395,3 +395,51 @@ def test_sweep_adapter_semantic_guards_raise():
         megakernel_pendulum_sweep_fn(
             stack2, cfg2["exp_params"], steps=1, n_sc=2, interpret=True
         )
+
+
+def test_sweep_multi_chain_matches_single_chain_runs():
+    """n_chains=2 (r4): two independent episode-chains advance inside
+    ONE Pallas program (their step bodies run back-to-back per fori
+    iteration so the scheduler can overlap serial dependency chains —
+    measured +5-8% solves/s on hardware, BASELINE "r4 multi-chain").
+    Each chain must be BIT-IDENTICAL to a single-chain run on the same
+    per-chain host noise."""
+    import numpy as np
+
+    from dust_tpu.experiments import build_pendulum_stack, load_config
+    from dust_tpu.simulation import megakernel_pendulum_sweep_fn
+
+    cfg = load_config("/root/repo/demo/pendulum_config.yaml")
+    stack = build_pendulum_stack(cfg, jax.random.key(0), case="dust")
+    exp = cfg["exp_params"]
+    hz, m, n_sc, steps = exp["horizon"], exp["n_particles"], 8, 2
+    smp = -(-n_sc * m // 8) * 8
+    rng = np.random.default_rng(3)
+    NCH = 2
+    eps = rng.standard_normal((NCH, steps, hz, smp, 128)).astype(
+        np.float32)
+    pdz = rng.standard_normal((NCH, steps, n_sc, 8, 128)).astype(
+        np.float32)
+    pdu = rng.uniform(size=(NCH, steps, n_sc, 8, 128)).astype(
+        np.float32)
+    lens = jnp.linspace(0.8, 1.2, n_sc)
+    mass = jnp.linspace(0.9, 1.1, n_sc)
+
+    dual = megakernel_pendulum_sweep_fn(
+        stack, exp, steps=steps, n_sc=n_sc, unroll=False,
+        interpret=True, n_chains=NCH,
+    )(jnp.array([1, 2], jnp.int32), lens, mass,
+      host_eps=eps, host_pdz=pdz, host_pdu=pdu)
+    single_fn = megakernel_pendulum_sweep_fn(
+        stack, exp, steps=steps, n_sc=n_sc, unroll=False,
+        interpret=True,
+    )
+    for c in range(NCH):
+        single = single_fn(jnp.array([1, 2], jnp.int32), lens, mass,
+                           host_eps=eps[c], host_pdz=pdz[c],
+                           host_pdu=pdu[c])
+        for k in ("cost", "th", "om", "action", "bw_sv", "bw_mpf",
+                  "theta", "locs", "a_mat", "mpf_x"):
+            np.testing.assert_array_equal(
+                np.asarray(dual[k][c]), np.asarray(single[k]),
+                err_msg=f"chain {c} field {k}")
