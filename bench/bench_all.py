@@ -451,12 +451,19 @@ def bench_particle_sweep_mega(n_scenarios, steps, repeats):
     from dust_tpu.simulation import megakernel_particle_sweep_fn
 
     S = min(int(os.environ.get("BENCH_SWEEP_S", "16")), n_scenarios)
-    groups = max(1, n_scenarios // S)
-    n = S * groups
+    # r5 multi-chain (ported from the pendulum sweep kernel): CH
+    # independent episode-chains per Pallas program; BASELINE
+    # "r5 multi-chain" has the measured ladder.
+    CH = int(os.environ.get("BENCH_SWEEP_CHAINS", "4"))
+    while S * CH > n_scenarios and CH > 1:
+        CH //= 2
+    groups = max(1, n_scenarios // (S * CH))
+    n = S * CH * groups
     config = load_config(ROOT / "demo/particle_config.yaml")
     stack = build_particle_stack(config, jax.random.key(0))
     sweep = megakernel_particle_sweep_fn(
-        stack, config["exp_params"], steps=steps, n_sc=S, unroll=True
+        stack, config["exp_params"], steps=steps, n_sc=S, unroll=True,
+        n_chains=CH,
     )
     masses = jnp.linspace(1.6, 2.4, S)
 

@@ -175,10 +175,11 @@ def _particle_sweep_kernel(
         dt, max_acc, max_speed, weights, target, rects, grid, crash,
         success_dist, change_at, exp_util, weighted_prior,
         mpf_log_space, use_fixed_mpf_bw, mpf_bw_scale, host_noise,
-        unroll, pack2, halfeps, probe_skip):
+        unroll, pack2, halfeps, probe_skip, n_chains=1):
     """S-scenario particle-navigation DuSt episodes in one program.
 
-    seed (SMEM int32 [1, 2]); scal (SMEM f32 [1, 16]):
+    seed (SMEM int32 [n_chains, 2], one row per chain); scal
+    (SMEM f32 [1, 16]):
     [px0, py0, vx0, vy0, ctrl_sigma, lr, alpha, inv_temp, inv_s2,
     inv_ps2, load, mpf_lr, mpf_sigma, prior_bw0, mpf_fixed_bw, 0];
     masses [8, 128] (row s = true base mass, broadcast over lanes).
@@ -203,911 +204,936 @@ def _particle_sweep_kernel(
     done, crashed, cum, bw_sv, bw_mpf), theta/locs/amat/lmix
     [S*m(pad8), 128], mpfx (paired-lane layout as mpfx0).
     """
+    # r5 multi-chain (mirrors pallas_sweep_episode.py): `rest` holds
+    # n_chains independent episode-chains' refs — [3*nch host-noise
+    # inputs,] 6*nch outputs, 12*nch scratch. Each chain is a full
+    # independent group of n_sc episodes (own seed row, own state);
+    # their step bodies run back-to-back inside one rolled fori
+    # iteration so the scheduler can overlap the serial dependency
+    # chains (bench/probes/dualchain_probe.py: independent chains
+    # overlap at ~1.0x through block-64 interleave granularity).
+    # n_chains=1 is the r1-r4 single-chain program.
+    nch = n_chains
     if host_noise:
-        (eps_in_ref, pdz_in_ref, pdu_in_ref,
-         log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
-         lmix_out_ref, mpfx_out_ref,
-         eps_ref, eps2_ref, px_ref, py_ref, vx_ref, vy_ref,
-         theta_ref, locs_ref, amat_ref, lmix_ref, mpfx_ref,
-         sim_ref) = rest
-    else:
-        (log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
-         lmix_out_ref, mpfx_out_ref,
-         eps_ref, eps2_ref, px_ref, py_ref, vx_ref, vy_ref,
-         theta_ref, locs_ref, amat_ref, lmix_ref, mpfx_ref,
-         sim_ref) = rest
+        noise_all, rest = rest[:3 * nch], rest[3 * nch:]
+    outs_all, scr_all = rest[:6 * nch], rest[6 * nch:]
 
-    # probe_skip (ATTRIBUTION ONLY, bench/probes/particle_section_probe
-    # SECTION=1): static set of section names whose work is replaced by
-    # cheap shape/dependency-preserving stand-ins so each section's
-    # marginal device time can be measured end-to-end. Empty in
-    # production — with probe_skip=() every branch below is the
-    # byte-identical original code path (Python-level static ifs).
-    # Stand-ins are anchored to VMEM-loaded tiles (x * 0.0 + c), never
-    # pure splat constants (the remote Mosaic's scalar-splat rejection
-    # class, see ops/pallas_solve.py).
-    skip = frozenset(probe_skip)
-    sm = n_sc * m
-    smp = _round8(sm)
-    # scenario-tile row count: 8 (one vreg) for n_sc <= 8 — the r1-r3
-    # layout, bit-identical — or 16 for the widened sweep (r4: the
-    # group-step is substantially latency-bound — 13 small sections of
-    # 0.2-8 us marginals, sum 34 of 42.7 us — so doubling S amortizes
-    # the serial chains over 2x solves; the pendulum kernel's S=16
-    # widening measured 1.49x time for 2x solves). S=16 is the
-    # ceiling: draw lanes s*8+p < 128; the 12-field log packing splits
-    # into TWO rows per step (12*16 = 192 > 128 lanes)
-    ns = 8 if n_sc <= 8 else 16
-    # half-lane param packing: with n_act <= 64 the rollout tiles'
-    # upper lane halves are pure padding, so two param draws share each
-    # 128-lane row (param 2h at lanes < 64 of row block h, 2h+1 at
-    # >= 64) — the action samples are identical across params by
-    # construction (lane-mirrored), only 1/mass differs per half.
-    # HALVES every [rows, 128] op of the hz-step rollout loop (the
-    # largest section of the particle group-step, r3 section probe).
-    npr = n_params // 2 if pack2 else n_params
-    rows = npr * sm
-    mp = mpfx0_ref.shape[0] // ((n_sc + 1) // 2)
-    ev = hz * 2
-    (w_px, w_py, w_vx, w_vy, w_cx, w_cy, w_obs,
-     wt_px, wt_py, wt_vx, wt_vy) = weights
-    tx, ty, tvx, tvy = target
-    g_bw = 1
-    while g_bw * 128 < m * ev:
-        g_bw *= 2
+    def _chain(cidx, eps_in_ref, pdz_in_ref, pdu_in_ref,
+               log_ref, theta_out_ref, locs_out_ref, amat_out_ref,
+               lmix_out_ref, mpfx_out_ref,
+               eps_ref, eps2_ref, px_ref, py_ref, vx_ref, vy_ref,
+               theta_ref, locs_ref, amat_ref, lmix_ref, mpfx_ref,
+               sim_ref):
 
-    sigma_c = scal_ref[0, 4]
-    lr = scal_ref[0, 5]
-    alpha = scal_ref[0, 6]
-    inv_temp = scal_ref[0, 7]
-    inv_s2 = scal_ref[0, 8]
-    inv_ps2 = scal_ref[0, 9]
-    load = scal_ref[0, 10]
-    mpf_lr = scal_ref[0, 11]
-    mpf_sigma = scal_ref[0, 12]
+        # probe_skip (ATTRIBUTION ONLY, bench/probes/particle_section_probe
+        # SECTION=1): static set of section names whose work is replaced by
+        # cheap shape/dependency-preserving stand-ins so each section's
+        # marginal device time can be measured end-to-end. Empty in
+        # production — with probe_skip=() every branch below is the
+        # byte-identical original code path (Python-level static ifs).
+        # Stand-ins are anchored to VMEM-loaded tiles (x * 0.0 + c), never
+        # pure splat constants (the remote Mosaic's scalar-splat rejection
+        # class, see ops/pallas_solve.py).
+        skip = frozenset(probe_skip)
+        sm = n_sc * m
+        smp = _round8(sm)
+        # scenario-tile row count: 8 (one vreg) for n_sc <= 8 — the r1-r3
+        # layout, bit-identical — or 16 for the widened sweep (r4: the
+        # group-step is substantially latency-bound — 13 small sections of
+        # 0.2-8 us marginals, sum 34 of 42.7 us — so doubling S amortizes
+        # the serial chains over 2x solves; the pendulum kernel's S=16
+        # widening measured 1.49x time for 2x solves). S=16 is the
+        # ceiling: draw lanes s*8+p < 128; the 12-field log packing splits
+        # into TWO rows per step (12*16 = 192 > 128 lanes)
+        ns = 8 if n_sc <= 8 else 16
+        # half-lane param packing: with n_act <= 64 the rollout tiles'
+        # upper lane halves are pure padding, so two param draws share each
+        # 128-lane row (param 2h at lanes < 64 of row block h, 2h+1 at
+        # >= 64) — the action samples are identical across params by
+        # construction (lane-mirrored), only 1/mass differs per half.
+        # HALVES every [rows, 128] op of the hz-step rollout loop (the
+        # largest section of the particle group-step, r3 section probe).
+        npr = n_params // 2 if pack2 else n_params
+        rows = npr * sm
+        mp = mpfx0_ref.shape[0] // ((n_sc + 1) // 2)
+        ev = hz * 2
+        (w_px, w_py, w_vx, w_vy, w_cx, w_cy, w_obs,
+         wt_px, wt_py, wt_vx, wt_vy) = weights
+        tx, ty, tvx, tvy = target
+        g_bw = 1
+        while g_bw * 128 < m * ev:
+            g_bw *= 2
 
-    theta_ref[:] = theta0_ref[:]
-    locs_ref[:] = locs0_ref[:]
-    amat_ref[:] = amat0_ref[:]
-    lmix_ref[:] = lmix0_ref[:]
-    mpfx_ref[:] = mpfx0_ref[:]
-    # sim_ref [ns, 128]: row s lanes [px, py, vx, vy, done, crashed,
-    # cum, lik_px, lik_py, lik_vx, lik_vy, prior_bw]
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    lane_ns = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 1)
-    sim0 = jnp.zeros((ns, 128), jnp.float32)
-    for i in range(4):
-        sim0 = jnp.where(lane_ns == i, scal_ref[0, i], sim0)
-        sim0 = jnp.where(lane_ns == 7 + i, scal_ref[0, i], sim0)
-    sim_ref[:] = jnp.where(lane_ns == 11, scal_ref[0, 13], sim0)
+        sigma_c = scal_ref[0, 4]
+        lr = scal_ref[0, 5]
+        alpha = scal_ref[0, 6]
+        inv_temp = scal_ref[0, 7]
+        inv_s2 = scal_ref[0, 8]
+        inv_ps2 = scal_ref[0, 9]
+        load = scal_ref[0, 10]
+        mpf_lr = scal_ref[0, 11]
+        mpf_sigma = scal_ref[0, 12]
 
-    lane_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 1)
-    row_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 0)
-    s_of_prow = row_sm // m
-    valid_sm = row_sm < sm
-    row_roll = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
-    s_of_rrow = (row_roll - (row_roll // sm) * sm) // m
-    blk = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 0) // m == \
-        jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) // m
-    colv = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) < sm
-    blk = blk & colv
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    i81 = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+        theta_ref[:] = theta0_ref[:]
+        locs_ref[:] = locs0_ref[:]
+        amat_ref[:] = amat0_ref[:]
+        lmix_ref[:] = lmix0_ref[:]
+        mpfx_ref[:] = mpfx0_ref[:]
+        # sim_ref [ns, 128]: row s lanes [px, py, vx, vy, done, crashed,
+        # cum, lik_px, lik_py, lik_vx, lik_vy, prior_bw]
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        lane_ns = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 1)
+        sim0 = jnp.zeros((ns, 128), jnp.float32)
+        for i in range(4):
+            sim0 = jnp.where(lane_ns == i, scal_ref[0, i], sim0)
+            sim0 = jnp.where(lane_ns == 7 + i, scal_ref[0, i], sim0)
+        sim_ref[:] = jnp.where(lane_ns == 11, scal_ref[0, 13], sim0)
 
-    def lane_col(tile, lane_idx):
-        """sim_ref-style [ns, 128] tile -> [ns, 1] column of one lane."""
-        return jnp.sum(jnp.where(lane_ns == lane_idx, tile, 0.0),
-                       axis=1, keepdims=True)
+        lane_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 1)
+        row_sm = jax.lax.broadcasted_iota(jnp.int32, (smp, 128), 0)
+        s_of_prow = row_sm // m
+        valid_sm = row_sm < sm
+        row_roll = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        s_of_rrow = (row_roll - (row_roll // sm) * sm) // m
+        blk = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 0) // m == \
+            jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) // m
+        colv = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1) < sm
+        blk = blk & colv
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        i81 = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
 
-    def occ_any(px, py):
-        if rects is None:
-            return None
-        if "occ" in skip:   # attribution: zero occupancy, same shape
-            return px * 0.0
-        inv_cell, offx, offy, ximax, yimax = grid
-        xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
-        yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
-        return jnp.where(occupancy_hit(xi, yi, rects, (ximax, yimax)), 1.0, 0.0)
+        def lane_col(tile, lane_idx):
+            """sim_ref-style [ns, 128] tile -> [ns, 1] column of one lane."""
+            return jnp.sum(jnp.where(lane_ns == lane_idx, tile, 0.0),
+                           axis=1, keepdims=True)
 
-    def state_cost(px, py, vx, vy, occ, quad):
-        wpx, wpy, wvx, wvy = quad
-        c = (wpx * (px - tx) ** 2 + wpy * (py - ty) ** 2
-             + wvx * (vx - tvx) ** 2 + wvy * (vy - tvy) ** 2)
-        if occ is not None:
-            c = c + w_obs * occ
-        return c
+        def occ_any(px, py):
+            if rects is None:
+                return None
+            if "occ" in skip:   # attribution: zero occupancy, same shape
+                return px * 0.0
+            inv_cell, offx, offy, ximax, yimax = grid
+            xi = jnp.clip(jnp.floor(px * inv_cell + offx), 0.0, ximax)
+            yi = jnp.clip(jnp.floor(py * inv_cell + offy), 0.0, yimax)
+            return jnp.where(occupancy_hit(xi, yi, rects, (ximax, yimax)), 1.0, 0.0)
 
-    # MPF pairing constants (pendulum sweep layout, one channel)
-    n_pair = (n_sc + 1) // 2
-    nmr = n_pair * mp
-    rowN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 0)
-    laneN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 1)
-    pair_of_row = rowN // mp
-    r_in_pair = rowN - pair_of_row * mp
-    in_aN = laneN < 64
-    valid_rowN = r_in_pair < m_mpf
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    gvr8 = (
-        (jnp.where(lane8 < 64, lane8, lane8 - 64) < m_mpf)
-        & ((row8 < n_sc // 2) | (lane8 < 64))
-        & (row8 < n_pair)
-    )
-    mdiagN = jnp.where(in_aN, laneN, laneN - 64) == r_in_pair
-    h_matN = (
-        (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) < 64)
-        == (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) < 64)
-    ).astype(jnp.float32)
+        def state_cost(px, py, vx, vy, occ, quad):
+            wpx, wpy, wvx, wvy = quad
+            c = (wpx * (px - tx) ** 2 + wpy * (py - ty) ** 2
+                 + wvx * (vx - tvx) ** 2 + wvy * (vy - tvy) ** 2)
+            if occ is not None:
+                c = c + w_obs * occ
+            return c
 
-    def pair_tile(col):
-        """[ns, 1] scenario column -> [8, 128] pair-row tile (scenario
-        2p at lanes < 64 of row p, 2p+1 at lanes >= 64; a missing B
-        mirrors its pair's A — masked off, must stay finite).
-        Vectorized: one [ns, 1] -> [ns/2, 2] reshape splits even/odd
-        scenarios onto the two lanes, replacing the old 2*n_pair
-        col_at-reduce + masked-select chain (~24 serial tiny ops per
-        call, 9 calls per step)."""
-        last = jnp.sum(jnp.where(i81 == n_sc - 1, col, 0.0))
-        c2 = jnp.where(i81 < n_sc, col, last).reshape(ns // 2, 2)
-        zp = ([jnp.zeros((8 - ns // 2, 1), jnp.float32)]
-              if ns // 2 < 8 else [])
-        ca = jnp.concatenate([c2[:, 0:1]] + zp, axis=0)
-        cb = jnp.concatenate([c2[:, 1:2]] + zp, axis=0)
-        return jnp.where(lane8 < 64, jnp.broadcast_to(ca, (8, 128)),
-                         jnp.broadcast_to(cb, (8, 128)))
+        # MPF pairing constants (pendulum sweep layout, one channel)
+        n_pair = (n_sc + 1) // 2
+        nmr = n_pair * mp
+        rowN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 0)
+        laneN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 1)
+        pair_of_row = rowN // mp
+        r_in_pair = rowN - pair_of_row * mp
+        in_aN = laneN < 64
+        valid_rowN = r_in_pair < m_mpf
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        gvr8 = (
+            (jnp.where(lane8 < 64, lane8, lane8 - 64) < m_mpf)
+            & ((row8 < n_sc // 2) | (lane8 < 64))
+            & (row8 < n_pair)
+        )
+        mdiagN = jnp.where(in_aN, laneN, laneN - 64) == r_in_pair
+        h_matN = (
+            (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) < 64)
+            == (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) < 64)
+        ).astype(jnp.float32)
 
-    def to_blocks(r8):
-        return jnp.concatenate(
-            [jnp.broadcast_to(r8[p:p + 1, :], (mp, 128))
-             for p in range(n_pair)], axis=0)
+        def pair_tile(col):
+            """[ns, 1] scenario column -> [8, 128] pair-row tile (scenario
+            2p at lanes < 64 of row p, 2p+1 at lanes >= 64; a missing B
+            mirrors its pair's A — masked off, must stay finite).
+            Vectorized: one [ns, 1] -> [ns/2, 2] reshape splits even/odd
+            scenarios onto the two lanes, replacing the old 2*n_pair
+            col_at-reduce + masked-select chain (~24 serial tiny ops per
+            call, 9 calls per step)."""
+            last = jnp.sum(jnp.where(i81 == n_sc - 1, col, 0.0))
+            c2 = jnp.where(i81 < n_sc, col, last).reshape(ns // 2, 2)
+            zp = ([jnp.zeros((8 - ns // 2, 1), jnp.float32)]
+                  if ns // 2 < 8 else [])
+            ca = jnp.concatenate([c2[:, 0:1]] + zp, axis=0)
+            cb = jnp.concatenate([c2[:, 1:2]] + zp, axis=0)
+            return jnp.where(lane8 < 64, jnp.broadcast_to(ca, (8, 128)),
+                             jnp.broadcast_to(cb, (8, 128)))
 
-    def pair_rows_x(col_a, col_b):
-        zs = jnp.zeros((n_pair, 128 - mp), jnp.float32)
-        ra = jnp.concatenate([col_a[:, 0:1].reshape(n_pair, mp), zs],
-                             axis=1)
-        rb = jnp.concatenate([col_b[:, 0:1].reshape(n_pair, mp), zs],
-                             axis=1)
-        rows8 = ra + pltpu.roll(rb, shift=64, axis=1)
-        if n_pair < 8:
-            rows8 = jnp.concatenate(
-                [rows8, jnp.zeros((8 - n_pair, 128), jnp.float32)],
-                axis=0)
-        return rows8
-
-    def brs(v):
-        s = jnp.sum(v.reshape(n_pair, mp, 128), axis=1)
-        if n_pair < 8:
-            s = jnp.concatenate(
-                [s, jnp.zeros((8 - n_pair, 128), jnp.float32)], axis=0)
-        return s
-
-    def colbcast(blocks):
-        d = jnp.where(mdiagN,
-                      jnp.where(blocks - blocks == 0.0, blocks, 0.0),
-                      0.0)
-        return jax.lax.dot_general(
-            d, h_matN, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + blocks * 0.0
-
-    def fin(v):
-        return jnp.where(v - v == 0.0, v, 0.0)
-
-    # halfeps (r4): one eps row serves BOTH action channels (x at
-    # lanes 0:64, y at 64:128) — hz*smp PRNG rows instead of hz*2*smp
-    epr = hz * smp if halfeps else hz * 2 * smp
-
-    def step(t, _):
-        if not host_noise:
-            pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] * 100003 + t)
-            if "rng" in skip:   # cheap t-dependent fills (no Box-Muller)
-                # anchored to VMEM-tile READS (x*0.0 + c); reading the
-                # scratch uninitialized on step 0 is fine — multiplied
-                # by zero. Needs epr >= 8*n_sc (demo: 1920 >= 64).
-                tv = jnp.float32(t) * 1e-6
-                eps_ref[:] = eps_ref[:] * 0.0 + (0.01 + tv)
-                pdz = eps_ref[0:8 * n_sc, :] * 0.0 + (0.02 + tv)
-                pdu = eps_ref[0:8 * n_sc, :] * 0.0 + (0.5 + tv)
-            else:
-                eps_ref[:] = _normals((epr, 128))
-                pdz = _normals((8 * n_sc, 128))
-                pdu = _uniform01((8 * n_sc, 128))
-        else:
-            eps_ref[:] = eps_in_ref[pl.ds(t * epr, epr), :]
-            pdz = pdz_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
-            pdu = pdu_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
-        if halfeps:
-            # y-channel view: ONE bulk 64-lane roll per step (pipelines
-            # freely here; doing the roll per rollout iteration instead
-            # measured ~4 us/group-step of serial-chain stalls)
-            eps2_ref[:] = pltpu.roll(eps_ref[:], shift=64, axis=1)
-
-        theta = jnp.where(valid_sm, theta_ref[:], 0.0)
-        locs = jnp.where(valid_sm, locs_ref[:], 0.0)
-        lmix_col = lmix_ref[:, 0:1]                      # [smp, 1]
-        mpfx = mpfx_ref[:]
-        sim = sim_ref[:]
-        px_col = lane_col(sim, 0)
-        py_col = lane_col(sim, 1)
-        vx_col = lane_col(sim, 2)
-        vy_col = lane_col(sim, 3)
-        done_col = lane_col(sim, 4)
-        crashed_col = lane_col(sim, 5)
-        cum_col = lane_col(sim, 6)
-        lik_px = lane_col(sim, 7)
-        lik_py = lane_col(sim, 8)
-        lik_vx = lane_col(sim, 9)
-        lik_vy = lane_col(sim, 10)
-        pbw_col = lane_col(sim, 11)
-        not_done = 1.0 - done_col
-
-        # ---- per-scenario SVMPC Silverman over m*ev flattened values
-        # (grouped bitonic, rr-major: scenario s on sublane s of every
-        # [8, 128] vreg row, so the PACKING shifts are also one
-        # single-vreg op per (q, segment) for all scenarios at once —
-        # the per-scenario packing loop cost ~n_sc x this) ----
-        n_flat = m * ev
-        if "silverman" in skip:
-            bw8 = jnp.full((ns, 1), 0.3) + pbw_col * 1e-9 \
-                + jnp.sum(theta[0:1, 0:1]) * 1e-12
-        else:
-            # theta rows at stride m -> scenario-per-sublane tiles per
-            # q; the grouped bitonic sorts 8 scenarios per vreg sublane
-            # set, so ns = 16 runs one independent sort per 8-scenario
-            # half (2x the sort work for 2x solves — amortization-
-            # neutral)
-            bw_halves = []
-            for s0 in range(0, ns, 8):
-                n_h = min(8, max(n_sc - s0, 0))
-                theta_q = []
-                for q in range(m):
-                    rows_q = jnp.concatenate(
-                        [theta[(s0 + s) * m + q:(s0 + s) * m + q + 1, :]
-                         for s in range(n_h)]
-                        + ([jnp.full((8 - n_h, 128), _POS_BIG,
-                                     jnp.float32)]
-                           if n_h < 8 else []),
-                        axis=0,
-                    )
-                    theta_q.append(rows_q)                # [8, 128]
-                acc = [jnp.full((8, 128), _POS_BIG, jnp.float32)
-                       for _ in range(g_bw)]
-                pos = 0
-                while pos < n_flat:
-                    q, l0 = divmod(pos, ev)
-                    rr, lane_off = divmod(pos, 128)
-                    take = min(ev - l0, 128 - lane_off)
-                    chunk = pltpu.roll(
-                        theta_q[q], shift=(lane_off - l0) % 128, axis=1)
-                    in_seg = (lane8 >= lane_off) \
-                        & (lane8 < lane_off + take)
-                    acc[rr] = jnp.where(in_seg, chunk, acc[rr])
-                    pos += take
-                sv_tile = jnp.concatenate(acc, axis=0)    # [g*8, 128]
-                bw_halves.append(
-                    _silverman_groups(sv_tile, g_bw, n_flat))
-            bw8 = (bw_halves[0] if ns == 8 else
-                   jnp.concatenate(bw_halves, axis=0))    # [ns, 1]
-        # scenario column -> per-particle-row column by pure movement
-        # (broadcast+concat per scenario block, no reduce/select chain)
-        bw_col = jnp.concatenate(
-            [jnp.broadcast_to(bw8[s:s + 1, :], (m, 1))
-             for s in range(n_sc)]
-            + ([jnp.zeros((smp - sm, 1), jnp.float32)]
-               if smp != sm else []), axis=0)
-        inv_bw2_col = 1.0 / (bw_col * bw_col)
-
-        # ---- dynamics draws from each scenario's MPF prior (1-D
-        # log-mass; draw rows s*8+p of the [8*n_sc, 128] tiles) ----
-        nd = 8 * n_sc
-        rowd = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 0)
-        laned = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 1)
-        n_pair_d = (n_sc + 1) // 2
-        zpad = jnp.zeros((n_pair_d, 128 - mp), jnp.float32)
-
-        def cols_to_rows(col):
+        def to_blocks(r8):
             return jnp.concatenate(
-                [col.reshape(n_pair_d, mp), zpad], axis=1)
+                [jnp.broadcast_to(r8[p:p + 1, :], (mp, 128))
+                 for p in range(n_pair)], axis=0)
 
-        x_a = cols_to_rows(mpfx[:, 0:1])
-        x_b = cols_to_rows(mpfx[:, 64:65])
-        if "draws" in skip:
-            dep = (jnp.sum(pdz[0:1, 0:1]) + jnp.sum(pdu[0:1, 0:1])
-                   + jnp.sum(x_a[0:1, 0:1]) + jnp.sum(pbw_col)) * 0.0
-            im24 = jnp.full((rows, 1), 1.0) + dep
-        else:
-            x64 = jnp.concatenate(
-                [jnp.broadcast_to(
-                    (x_a if s % 2 == 0 else x_b)[s // 2:s // 2 + 1, :],
-                    (8, 128)) for s in range(n_sc)], axis=0)
-            u_col = pdu[:, 0:1]
-            idx = jnp.minimum(jnp.floor(u_col * float(m_mpf)),
-                              float(m_mpf - 1))
-            onehot_d = laned.astype(jnp.float32) == idx
-            mq_sel = jnp.sum(jnp.where(onehot_d, x64, 0.0), axis=1,
-                             keepdims=True)
-            pbw_row = _row_of_column(pbw_col, ns)
-            pbw_d = jnp.sum(
-                jnp.where(laned == rowd // 8, pbw_row, 0.0), axis=1,
-                keepdims=True,
-            )
-            mq = mq_sel + pbw_d * pdz[:, 0:1]
-            if mpf_log_space:
-                mq = jnp.exp(mq)
-            im_d = 1.0 / mq                               # [nd, 1]
+        def pair_rows_x(col_a, col_b):
+            zs = jnp.zeros((n_pair, 128 - mp), jnp.float32)
+            ra = jnp.concatenate([col_a[:, 0:1].reshape(n_pair, mp), zs],
+                                 axis=1)
+            rb = jnp.concatenate([col_b[:, 0:1].reshape(n_pair, mp), zs],
+                                 axis=1)
+            rows8 = ra + pltpu.roll(rb, shift=64, axis=1)
+            if n_pair < 8:
+                rows8 = jnp.concatenate(
+                    [rows8, jnp.zeros((8 - n_pair, 128), jnp.float32)],
+                    axis=0)
+            return rows8
 
-            im_row = _row_of_column(im_d, nd)
-            lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-            if pack2:
-                # per-half draw index: param 2h on lanes < 64, 2h+1 on
-                # >= 64 of row block h (draw j = s*8 + p)
-                j_even = s_of_rrow * 8 + 2 * (row_roll // sm)
-                im_e = jnp.sum(jnp.where(lane_r == j_even, im_row, 0.0),
-                               axis=1, keepdims=True)
-                im_o = jnp.sum(
-                    jnp.where(lane_r == j_even + 1, im_row, 0.0),
-                    axis=1, keepdims=True)
-                im24 = jnp.where(lane_r < 64, im_e, im_o)
+        def brs(v):
+            s = jnp.sum(v.reshape(n_pair, mp, 128), axis=1)
+            if n_pair < 8:
+                s = jnp.concatenate(
+                    [s, jnp.zeros((8 - n_pair, 128), jnp.float32)], axis=0)
+            return s
+
+        def colbcast(blocks):
+            d = jnp.where(mdiagN,
+                          jnp.where(blocks - blocks == 0.0, blocks, 0.0),
+                          0.0)
+            return jax.lax.dot_general(
+                d, h_matN, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + blocks * 0.0
+
+        def fin(v):
+            return jnp.where(v - v == 0.0, v, 0.0)
+
+        # halfeps (r4): one eps row serves BOTH action channels (x at
+        # lanes 0:64, y at 64:128) — hz*smp PRNG rows instead of hz*2*smp
+        epr = hz * smp if halfeps else hz * 2 * smp
+
+        def step(t, _):
+            if not host_noise:
+                pltpu.prng_seed(seed_ref[cidx, 0],
+                            seed_ref[cidx, 1] * 100003 + t)
+                if "rng" in skip:   # cheap t-dependent fills (no Box-Muller)
+                    # anchored to VMEM-tile READS (x*0.0 + c); reading the
+                    # scratch uninitialized on step 0 is fine — multiplied
+                    # by zero. Needs epr >= 8*n_sc (demo: 1920 >= 64).
+                    tv = jnp.float32(t) * 1e-6
+                    eps_ref[:] = eps_ref[:] * 0.0 + (0.01 + tv)
+                    pdz = eps_ref[0:8 * n_sc, :] * 0.0 + (0.02 + tv)
+                    pdu = eps_ref[0:8 * n_sc, :] * 0.0 + (0.5 + tv)
+                else:
+                    eps_ref[:] = _normals((epr, 128))
+                    pdz = _normals((8 * n_sc, 128))
+                    pdu = _uniform01((8 * n_sc, 128))
             else:
-                j_of_rrow = s_of_rrow * 8 + row_roll // sm
-                im24 = jnp.sum(
-                    jnp.where(lane_r == j_of_rrow, im_row, 0.0),
-                    axis=1, keepdims=True,
-                )
-
-        # ---- rollouts: S * n_params * n_act * m trajectories ----
-        shape = (rows, 128)
-
-        def splat_rows(col):
-            """[8, 1] scenario column -> [rows, 128] rollout-row tile
-            by pure movement (per-scenario broadcast + param-block
-            tile), replacing 4 x n_sc serial full-tile masked selects."""
-            bs = jnp.concatenate(
-                [jnp.broadcast_to(col[s:s + 1, :], (m, 128))
-                 for s in range(n_sc)], axis=0)
-            return jnp.concatenate([bs] * npr, axis=0)
-
-        if "rollout" not in skip:
-            px_ref[:] = splat_rows(px_col)
-            py_ref[:] = splat_rows(py_col)
-            vx_ref[:] = splat_rows(vx_col)
-            vy_ref[:] = splat_rows(vy_col)
-
-        def actions_at(tt):
-            """(a_x, a_y) [smp, 128] at timestep tt. halfeps: one row
-            block tt*smp, x at lanes 0:64 and y at 64:128 (the roll
-            moves the y half onto lanes 0:63; lanes >= 64 of ex/ey are
-            junk-by-construction, mirrored or masked downstream).
-            Full layout: x rows at tt*2*smp, y at tt*2*smp + smp."""
+                eps_ref[:] = eps_in_ref[pl.ds(t * epr, epr), :]
+                pdz = pdz_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
+                pdu = pdu_in_ref[pl.ds(t * 8 * n_sc, 8 * n_sc), :]
             if halfeps:
-                ex = eps_ref[pl.ds(tt * smp, smp), :]
-                ey = eps2_ref[pl.ds(tt * smp, smp), :]
+                # y-channel view: ONE bulk 64-lane roll per step (pipelines
+                # freely here; doing the roll per rollout iteration instead
+                # measured ~4 us/group-step of serial-chain stalls)
+                eps2_ref[:] = pltpu.roll(eps_ref[:], shift=64, axis=1)
+
+            theta = jnp.where(valid_sm, theta_ref[:], 0.0)
+            locs = jnp.where(valid_sm, locs_ref[:], 0.0)
+            lmix_col = lmix_ref[:, 0:1]                      # [smp, 1]
+            mpfx = mpfx_ref[:]
+            sim = sim_ref[:]
+            px_col = lane_col(sim, 0)
+            py_col = lane_col(sim, 1)
+            vx_col = lane_col(sim, 2)
+            vy_col = lane_col(sim, 3)
+            done_col = lane_col(sim, 4)
+            crashed_col = lane_col(sim, 5)
+            cum_col = lane_col(sim, 6)
+            lik_px = lane_col(sim, 7)
+            lik_py = lane_col(sim, 8)
+            lik_vx = lane_col(sim, 9)
+            lik_vy = lane_col(sim, 10)
+            pbw_col = lane_col(sim, 11)
+            not_done = 1.0 - done_col
+
+            # ---- per-scenario SVMPC Silverman over m*ev flattened values
+            # (grouped bitonic, rr-major: scenario s on sublane s of every
+            # [8, 128] vreg row, so the PACKING shifts are also one
+            # single-vreg op per (q, segment) for all scenarios at once —
+            # the per-scenario packing loop cost ~n_sc x this) ----
+            n_flat = m * ev
+            if "silverman" in skip:
+                bw8 = jnp.full((ns, 1), 0.3) + pbw_col * 1e-9 \
+                    + jnp.sum(theta[0:1, 0:1]) * 1e-12
             else:
-                ex = eps_ref[pl.ds(tt * 2 * smp, smp), :]
-                ey = eps_ref[pl.ds(tt * 2 * smp + smp, smp), :]
-            thx = jnp.sum(
-                jnp.where(lane_sm == 2 * tt, theta, 0.0), axis=1,
-                keepdims=True,
-            )
-            thy = jnp.sum(
-                jnp.where(lane_sm == 2 * tt + 1, theta, 0.0), axis=1,
-                keepdims=True,
-            )
-            return thx + sigma_c * ex, thy + sigma_c * ey
-
-        def roll_body(tt, cost):
-            px = px_ref[:]
-            py = py_ref[:]
-            vx = vx_ref[:]
-            vy = vy_ref[:]
-            occ = occ_any(px, py)
-            a8x, a8y = actions_at(tt)
-            asx, asy = a8x[0:sm, :], a8y[0:sm, :]
-            if pack2:
-                # mirror the action samples into the upper lane half so
-                # both packed params see identical actions
-                asx = jnp.where(lane_sm[0:sm, :] < 64, asx,
-                                pltpu.roll(asx, shift=64, axis=1))
-                asy = jnp.where(lane_sm[0:sm, :] < 64, asy,
-                                pltpu.roll(asy, shift=64, axis=1))
-            a_x = jnp.concatenate([asx] * npr, axis=0)
-            a_y = jnp.concatenate([asy] * npr, axis=0)
-            cost = cost + (
-                state_cost(px, py, vx, vy, occ,
-                           (w_px, w_py, w_vx, w_vy))
-                + w_cx * a_x * a_x + w_cy * a_y * a_y
-            )
-            acc_x = jnp.clip(a_x * im24, -max_acc, max_acc)
-            acc_y = jnp.clip(a_y * im24, -max_acc, max_acc)
-            if crash and occ is not None:
-                scale = dt * (1.0 - occ)
-            else:
-                scale = dt
-            px_ref[:] = px + vx * scale
-            py_ref[:] = py + vy * scale
-            vx_ref[:] = jnp.clip(vx + acc_x * scale, -max_speed,
-                                 max_speed)
-            vy_ref[:] = jnp.clip(vy + acc_y * scale, -max_speed,
-                                 max_speed)
-            return cost
-
-        if "rollout" in skip:
-            cost = jnp.zeros(shape, jnp.float32) \
-                + splat_rows(px_col) * 1e-9 + im24 * 1e-9 \
-                + jnp.sum(eps_ref[0:1, 0:1]) * 0.0 \
-                + jnp.sum(theta[0:1, 0:1]) * 1e-12
-        else:
-            cost = jax.lax.fori_loop(
-                0, hz, roll_body, jnp.zeros(shape, jnp.float32),
-                unroll=hz if unroll else 1,
-            )
-            cost = cost + state_cost(
-                px_ref[:], py_ref[:], vx_ref[:], vy_ref[:],
-                occ_any(px_ref[:], py_ref[:]),
-                (wt_px, wt_py, wt_vx, wt_vy),
-            )
-
-        # ---- param-averaged costs + per-scenario DISCO update ----
-        mcost = cost[0:sm, :]
-        for p in range(1, npr):
-            mcost = mcost + cost[p * sm:(p + 1) * sm, :]
-        if pack2:
-            # fold the packed upper-half param costs onto lanes < 64
-            # (lanes >= 64 become junk, masked by `valid` below)
-            mcost = mcost + pltpu.roll(mcost, shift=64, axis=1)
-        mcost = mcost * (1.0 / n_params)
-        if smp != sm:
-            mcost = jnp.concatenate(
-                [mcost, jnp.zeros((smp - sm, 128), jnp.float32)],
-                axis=0)
-        valid = (lane_sm < n_act) & valid_sm
-        mcost_v = jnp.where(valid, mcost, _POS_BIG)
-
-        if "disco" in skip:
-            omega = jnp.where(valid, 1.0 / n_act, 0.0) + mcost * 1e-12
-            w_lik = omega
-            log_l = mcost[:, 0:1] * 1e-6
-        else:
-            # per-scenario beta = block min: one row-min + an [n_sc, m]
-            # reshape-min + broadcast/concat splat (r3, same as the
-            # pendulum kernel), replacing n_sc serial whole-tile masked
-            # min reductions (min is exact, so the regrouping is
-            # bitwise-identical)
-            rm = jnp.min(mcost_v, axis=1, keepdims=True)  # [smp, 1]
-            bmin = jnp.min(rm[0:sm, 0:1].reshape(n_sc, m), axis=1,
-                           keepdims=True)                 # [n_sc, 1]
-            beta_col = jnp.concatenate(
-                [jnp.broadcast_to(bmin[s:s + 1, :], (m, 1))
+                # theta rows at stride m -> scenario-per-sublane tiles per
+                # q; the grouped bitonic sorts 8 scenarios per vreg sublane
+                # set, so ns = 16 runs one independent sort per 8-scenario
+                # half (2x the sort work for 2x solves — amortization-
+                # neutral)
+                bw_halves = []
+                for s0 in range(0, ns, 8):
+                    n_h = min(8, max(n_sc - s0, 0))
+                    theta_q = []
+                    for q in range(m):
+                        rows_q = jnp.concatenate(
+                            [theta[(s0 + s) * m + q:(s0 + s) * m + q + 1, :]
+                             for s in range(n_h)]
+                            + ([jnp.full((8 - n_h, 128), _POS_BIG,
+                                         jnp.float32)]
+                               if n_h < 8 else []),
+                            axis=0,
+                        )
+                        theta_q.append(rows_q)                # [8, 128]
+                    acc = [jnp.full((8, 128), _POS_BIG, jnp.float32)
+                           for _ in range(g_bw)]
+                    pos = 0
+                    while pos < n_flat:
+                        q, l0 = divmod(pos, ev)
+                        rr, lane_off = divmod(pos, 128)
+                        take = min(ev - l0, 128 - lane_off)
+                        chunk = pltpu.roll(
+                            theta_q[q], shift=(lane_off - l0) % 128, axis=1)
+                        in_seg = (lane8 >= lane_off) \
+                            & (lane8 < lane_off + take)
+                        acc[rr] = jnp.where(in_seg, chunk, acc[rr])
+                        pos += take
+                    sv_tile = jnp.concatenate(acc, axis=0)    # [g*8, 128]
+                    bw_halves.append(
+                        _silverman_groups(sv_tile, g_bw, n_flat))
+                bw8 = (bw_halves[0] if ns == 8 else
+                       jnp.concatenate(bw_halves, axis=0))    # [ns, 1]
+            # scenario column -> per-particle-row column by pure movement
+            # (broadcast+concat per scenario block, no reduce/select chain)
+            bw_col = jnp.concatenate(
+                [jnp.broadcast_to(bw8[s:s + 1, :], (m, 1))
                  for s in range(n_sc)]
                 + ([jnp.zeros((smp - sm, 1), jnp.float32)]
                    if smp != sm else []), axis=0)
-            lc = jnp.where(valid, -(mcost - beta_col) * inv_temp,
-                           _NEG_BIG)
-            row_max = jnp.max(lc, axis=1, keepdims=True)
-            e = jnp.where(valid, jnp.exp(lc - row_max), 0.0)
-            sum_e = jnp.sum(e, axis=1, keepdims=True)
-            omega = e / jnp.maximum(sum_e, 1e-37)
+            inv_bw2_col = 1.0 / (bw_col * bw_col)
 
-            wl = jnp.where(valid, -mcost * alpha, _NEG_BIG)
-            wl_max = jnp.max(wl, axis=1, keepdims=True)
-            we = jnp.where(valid, jnp.exp(wl - wl_max), 0.0)
-            we_sum = jnp.sum(we, axis=1, keepdims=True)
-            w_lik = we / jnp.maximum(we_sum, 1e-37)
-            if exp_util:
-                log_l = wl_max + jnp.log(jnp.maximum(we_sum, 1e-37)) \
-                    - math.log(float(n_act))
+            # ---- dynamics draws from each scenario's MPF prior (1-D
+            # log-mass; draw rows s*8+p of the [8*n_sc, 128] tiles) ----
+            nd = 8 * n_sc
+            rowd = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 0)
+            laned = jax.lax.broadcasted_iota(jnp.int32, (nd, 128), 1)
+            n_pair_d = (n_sc + 1) // 2
+            zpad = jnp.zeros((n_pair_d, 128 - mp), jnp.float32)
+
+            def cols_to_rows(col):
+                return jnp.concatenate(
+                    [col.reshape(n_pair_d, mp), zpad], axis=1)
+
+            x_a = cols_to_rows(mpfx[:, 0:1])
+            x_b = cols_to_rows(mpfx[:, 64:65])
+            if "draws" in skip:
+                dep = (jnp.sum(pdz[0:1, 0:1]) + jnp.sum(pdu[0:1, 0:1])
+                       + jnp.sum(x_a[0:1, 0:1]) + jnp.sum(pbw_col)) * 0.0
+                im24 = jnp.full((rows, 1), 1.0) + dep
             else:
-                log_l = -alpha * jnp.sum(
-                    jnp.where(valid, mcost, 0.0), axis=1, keepdims=True
-                ) * (1.0 / n_act)
-
-        # DISCO delta + likelihood gradient accumulation (a_seq == 0
-        # required, like the pendulum sweep kernel). The weights are
-        # normalized (sum_l omega = sum_l w_lik = 1 over valid lanes),
-        # so sum_l w*(theta_t + sigma*eps) = theta_t + sigma*sum w*eps:
-        # the per-iteration theta lane extractions drop out of the loop
-        # entirely and theta cancels exactly in the likelihood gradient
-        # (the pendulum sweep kernel's identity).
-        # halfeps: omega/w_lik are zero outside valid lanes
-        # (< n_act <= 64), so the masked lane sums pick exactly the
-        # channel aligned at lanes < 64 of each view (ex = eps,
-        # ey = the bulk-rolled eps2 view)
-        def acc_body(tt, carry):
-            de, wacc = carry
-            if halfeps:
-                ex = eps_ref[pl.ds(tt * smp, smp), :]
-                ey = eps2_ref[pl.ds(tt * smp, smp), :]
-            else:
-                ex = eps_ref[pl.ds(tt * 2 * smp, smp), :]
-                ey = eps_ref[pl.ds(tt * 2 * smp + smp, smp), :]
-            dqx = jnp.sum(omega * ex, axis=1, keepdims=True)
-            dqy = jnp.sum(omega * ey, axis=1, keepdims=True)
-            wqx = jnp.sum(w_lik * ex, axis=1, keepdims=True)
-            wqy = jnp.sum(w_lik * ey, axis=1, keepdims=True)
-            de = de + jnp.where(lane_sm == 2 * tt, dqx, 0.0) \
-                + jnp.where(lane_sm == 2 * tt + 1, dqy, 0.0)
-            wacc = wacc + jnp.where(lane_sm == 2 * tt, wqx, 0.0) \
-                + jnp.where(lane_sm == 2 * tt + 1, wqy, 0.0)
-            return de, wacc
-
-        if "acc" in skip:
-            d_eps = omega * 1e-9 + jnp.sum(eps_ref[0:1, 0:1]) * 0.0
-            w_eps = w_lik * 1e-9
-        else:
-            d_eps, w_eps = jax.lax.fori_loop(
-                0, hz, acc_body,
-                (jnp.zeros((smp, 128), jnp.float32),
-                 jnp.zeros((smp, 128), jnp.float32)),
-                unroll=hz if unroll else 1,
-            )
-        delta = jnp.where(lane_sm < ev, theta + sigma_c * d_eps, 0.0)
-        glik = sigma_c * w_eps * inv_s2
-
-        # ---- Stein + weighted GMM prior (block-masked, centered) ----
-        blkf = blk.astype(jnp.float32) * (1.0 / m)
-        lm_row = _row_of_column(lmix_col, smp)            # [1, 128]
-        lm_lane = jnp.broadcast_to(lm_row[:, 0:smp], (smp, smp))
-        if "stein" in skip:
-            theta_new = jnp.where(valid_sm & (lane_sm < ev),
-                                  theta + lr * glik * 1e-3, 0.0)
-        else:
-            mean_t = jnp.dot(blkf, fin(theta),
-                             preferred_element_type=jnp.float32)
-            tc = theta - mean_t
-            lc_c = locs - mean_t
-            tc_norm = jnp.sum(tc * tc, axis=1, keepdims=True)
-            lc_norm = jnp.sum(lc_c * lc_c, axis=1, keepdims=True)
-
-            g_tl = _block_dot_t(tc, lc_c)
-            d2_tl = jnp.maximum(
-                tc_norm - 2.0 * g_tl + lc_norm.reshape(1, smp), 0.0
-            )
-            lp_pri = jnp.where(blk, -0.5 * inv_ps2 * d2_tl + lm_lane,
-                               _NEG_BIG)
-            r_max = jnp.max(lp_pri, axis=1, keepdims=True)
-            r_e = jnp.exp(lp_pri - r_max)
-            r = r_e / jnp.maximum(jnp.sum(r_e, axis=1, keepdims=True),
-                                  1e-37)
-            score = glik + (
-                jnp.dot(r, fin(lc_c),
-                        preferred_element_type=jnp.float32)
-                - tc
-            ) * inv_ps2
-
-            g_tt = _block_dot_t(tc, tc)
-            d2_tt = jnp.maximum(
-                tc_norm - 2.0 * g_tt + tc_norm.reshape(1, smp), 0.0
-            )
-            kmat = jnp.where(
-                blk, jnp.exp(-0.5 * d2_tt * inv_bw2_col), 0.0
-            )
-            k_score = jnp.dot(kmat, fin(score),
-                              preferred_element_type=jnp.float32)
-            k_theta = jnp.dot(kmat, fin(tc),
-                              preferred_element_type=jnp.float32)
-            rowsum_k = jnp.sum(kmat, axis=1, keepdims=True)
-            grad_k = -(k_theta - rowsum_k * tc) * inv_bw2_col
-            phi = (k_score + grad_k) * (1.0 / m)
-            theta_new = jnp.where(valid_sm & (lane_sm < ev),
-                                  theta + lr * phi, 0.0)
-
-        # ---- forward: per-scenario weights / select / roll ----
-        if "forward" in skip:
-            dep = jnp.sum(theta_new[0:1, 0:1]) * 1e-9 \
-                + jnp.sum(log_l[0:1, 0:1]) * 1e-12
-            ax_col = px_col * 1e-3 + dep
-            ay_col = py_col * 1e-3 + dep
-            lw_col = lmix_col + dep
-            theta_fwd = theta_new
-        else:
-            mean_n = jnp.dot(blkf, fin(theta_new),
-                             preferred_element_type=jnp.float32)
-            nc = theta_new - mean_n
-            lc_n = locs - mean_n
-            tn_norm = jnp.sum(nc * nc, axis=1, keepdims=True)
-            ln_norm = jnp.sum(lc_n * lc_n, axis=1, keepdims=True)
-            g_nl = _block_dot_t(nc, lc_n)
-            d2_nl = jnp.maximum(
-                tn_norm - 2.0 * g_nl + ln_norm.reshape(1, smp), 0.0
-            )
-            lp_new = jnp.where(blk, -0.5 * inv_ps2 * d2_nl + lm_lane,
-                               _NEG_BIG)
-            n_max = jnp.max(lp_new, axis=1, keepdims=True)
-            log_p = n_max + jnp.log(jnp.maximum(
-                jnp.sum(jnp.exp(lp_new - n_max), axis=1, keepdims=True),
-                1e-37,
-            ))
-            log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p, _NEG_BIG)
-
-            # per-scenario posterior weights (for the weighted prior
-            # refresh) + argmax selection — VECTORIZED over scenarios: the
-            # block-masked [smp, smp] weight matrix turns every per-block
-            # max / sum / argmin into one row reduction for all scenarios
-            # at once (the serial 8-scenario loop cost ~n_sc x this). The
-            # math chain is the single-episode kernel's exact one
-            # (softmax -> clamp at 1e-37 -> log -> renormalized
-            # log-softmax), so underflowed weights floor identically.
-            rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
-            col_idx = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1)
-            w_row = _row_of_column(log_w, smp)                # [1, 128]
-            wmat = jnp.where(blk, jnp.broadcast_to(
-                w_row[:, 0:smp], (smp, smp)), _NEG_BIG)
-            wmax = jnp.max(wmat, axis=1, keepdims=True)       # block max
-            esum = jnp.sum(jnp.where(blk, jnp.exp(wmat - wmax), 0.0),
-                           axis=1, keepdims=True)             # block sum
-            w_norm = jnp.exp(log_w - wmax) / jnp.maximum(esum, 1e-37)
-            lw_raw = jnp.log(jnp.maximum(w_norm, 1e-37))      # [smp, 1]
-            l_row = _row_of_column(lw_raw, smp)
-            lmat = jnp.where(blk, jnp.broadcast_to(
-                l_row[:, 0:smp], (smp, smp)), _NEG_BIG)
-            lmax2 = jnp.max(lmat, axis=1, keepdims=True)
-            lse2 = lmax2 + jnp.log(jnp.sum(
-                jnp.where(blk, jnp.exp(lmat - lmax2), 0.0), axis=1,
-                keepdims=True))
-            lw_col = lw_raw - lse2                            # [smp, 1]
-            # first-maximal row per block -> one-hot selection column
-            is_max = blk & (wmat >= wmax)
-            i_star = jnp.min(jnp.where(is_max, col_idx, smp), axis=1,
-                             keepdims=True)                   # [smp, 1]
-            onehot = (rowm1 == i_star).astype(jnp.float32)
-            ax_all = onehot * theta_new[:, 0:1]               # [smp, 1]
-            ay_all = onehot * theta_new[:, 1:2]
-
-            def block_sum_col(col_all):
-                """[smp, 1] -> [ns, 1] per-scenario block row sums (one
-                reshape+sum for all scenarios, not an n_sc select loop)."""
-                s_ = jnp.sum(col_all[0:sm, 0:1].reshape(n_sc, m), axis=1,
-                             keepdims=True)
-                if n_sc < ns:
-                    s_ = jnp.concatenate(
-                        [s_, jnp.zeros((ns - n_sc, 1), jnp.float32)],
-                        axis=0)
-                return s_
-
-            ax_col = block_sum_col(ax_all)
-            ay_col = block_sum_col(ay_all)
-
-            rolled = pltpu.roll(theta_new, shift=128 - 2, axis=1)
-            theta_fwd = jnp.where(
-                lane_sm < ev - 2, rolled,
-                jnp.where(lane_sm < ev, theta_new, 0.0),
-            )
-
-        if warm_up > 0:
-            active = (t >= warm_up).astype(jnp.float32)
-        else:
-            active = jnp.float32(1.0)
-        act_b = active > 0.5
-        a_x_col = active * ax_col
-        a_y_col = active * ay_col
-        theta_next = jnp.where(act_b, theta_fwd, theta_new)
-        locs_next = jnp.where(act_b, theta_fwd, locs)
-        theta_ref[:] = jnp.where(valid_sm, theta_next, 0.0)
-        locs_ref[:] = jnp.where(valid_sm, locs_next, 0.0)
-        amat_ref[:] = jnp.where(valid_sm, amat_ref[:] + delta,
-                                amat_ref[:])
-        if weighted_prior:
-            lmix_ref[:] = jnp.where(
-                act_b & (lane_sm == 0) & valid_sm,
-                jnp.broadcast_to(lw_col, (smp, 128)), lmix_ref[:],
-            )
-
-        # ---- simulator: all S particles as column physics ----
-        if "sim" in skip:
-            npx = px_col + a_x_col * 1e-9
-            npy = py_col + a_y_col * 1e-9
-            nvx = vx_col + masses_ref[0:ns, 0:1] * 1e-12
-            nvy = vy_col
-        else:
-            mass_t = masses_ref[:, 0:1]                  # [8, 1]
-            sim_mass = jnp.where(jnp.asarray(t >= change_at),
-                                 mass_t + load, mass_t)
-            occ_s = occ_any(px_col, py_col)
-            if crash and occ_s is not None:
-                s_scale = dt * (1.0 - occ_s)
-            else:
-                s_scale = dt
-            acc_x = jnp.clip(a_x_col / sim_mass, -max_acc, max_acc)
-            acc_y = jnp.clip(a_y_col / sim_mass, -max_acc, max_acc)
-            frozen = done_col > 0.5
-            npx = jnp.where(frozen, px_col, px_col + vx_col * s_scale)
-            npy = jnp.where(frozen, py_col, py_col + vy_col * s_scale)
-            nvx = jnp.where(frozen, vx_col,
-                            jnp.clip(vx_col + acc_x * s_scale,
-                                     -max_speed, max_speed))
-            nvy = jnp.where(frozen, vy_col,
-                            jnp.clip(vy_col + acc_y * s_scale,
-                                     -max_speed, max_speed))
-
-        # ---- MPF log-mass posterior (transposed pairwise body),
-        # gated per scenario on (t >= warm_up) & not done ----
-        gate_col = (active * not_done) > 0.5              # [8, 1] bool
-        if use_fixed_mpf_bw:
-            bw_mpf_col = jnp.broadcast_to(
-                scal_ref[0, 14].reshape(1, 1), (ns, 1))
-        else:
-            mrows = []
-            for s in range(n_sc):
-                p, gg = divmod(s, 2)
-                xrow = (x_a if gg == 0 else x_b)[p:p + 1, :]
-                mrows.append(jnp.where(lane1 < m_mpf, xrow, _POS_BIG))
-            mrows = mrows + [jnp.full((1, 128), _POS_BIG, jnp.float32)
-                             ] * (ns - n_sc)
-            bw_mpf_col = _silverman_rows(
-                jnp.concatenate(mrows, axis=0), m_mpf
-            ) * mpf_bw_scale
-
-        if "mpfglue" in skip:
-            # keep the posterior state + a cheap dependency
-            mpfx_ref[:] = mpfx_ref[:] + (
-                jnp.sum(bw_mpf_col) + jnp.sum(a_x_col)
-                + jnp.sum(nvx) + jnp.sum(pbw_col)) * 0.0
-        else:
-            inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
-            if crash and rects is not None:
-                msc_col = dt * (1.0 - occ_any(lik_px, lik_py))
-            else:
-                msc_col = jnp.full((ns, 1), dt)
-
-            ax8 = pair_tile(a_x_col)
-            ay8 = pair_tile(a_y_col)
-            lvx8 = pair_tile(lik_vx)
-            lvy8 = pair_tile(lik_vy)
-            nvx8 = pair_tile(nvx)
-            nvy8 = pair_tile(nvy)
-            msc8 = pair_tile(msc_col)
-            ppbw2_8 = pair_tile(1.0 / (pbw_col * pbw_col))
-            imbw2_8 = pair_tile(1.0 / (bw_mpf_col * bw_mpf_col))
-
-            xsnap = mpfx_ref[:]
-            c0r8 = pair_rows_x(xsnap[:, 0:1], xsnap[:, 64:65])
-            c0c = colbcast(to_blocks(c0r8))
-            ppbw2N = to_blocks(ppbw2_8)
-            imbw2N = to_blocks(imbw2_8)
-
-            def vel_grad(a8, v08, loc8, invm):
-                acc_raw = a8 * invm
-                acc = jnp.clip(acc_raw, -max_acc, max_acc)
-                g_a = jnp.where(
-                    (acc_raw > -max_acc) & (acc_raw < max_acc), 1.0, 0.0)
-                v_raw = v08 + acc * msc8
-                pred = jnp.clip(v_raw, -max_speed, max_speed)
-                g_v = jnp.where(
-                    (v_raw > -max_speed) & (v_raw < max_speed), 1.0, 0.0)
-                dpred = g_v * g_a * (-a8 * invm * invm) * msc8
-                return -(pred - loc8) * inv_os2 * dpred
-
-            def mpf_body(i, x0r):
-                x0N = to_blocks(x0r)
-                x0c = colbcast(x0N)
-
-                mass = jnp.where(gvr8, x0r, 1.0)
+                x64 = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        (x_a if s % 2 == 0 else x_b)[s // 2:s // 2 + 1, :],
+                        (8, 128)) for s in range(n_sc)], axis=0)
+                u_col = pdu[:, 0:1]
+                idx = jnp.minimum(jnp.floor(u_col * float(m_mpf)),
+                                  float(m_mpf - 1))
+                onehot_d = laned.astype(jnp.float32) == idx
+                mq_sel = jnp.sum(jnp.where(onehot_d, x64, 0.0), axis=1,
+                                 keepdims=True)
+                pbw_row = _row_of_column(pbw_col, ns)
+                pbw_d = jnp.sum(
+                    jnp.where(laned == rowd // 8, pbw_row, 0.0), axis=1,
+                    keepdims=True,
+                )
+                mq = mq_sel + pbw_d * pdz[:, 0:1]
                 if mpf_log_space:
-                    mass = jnp.exp(mass)
-                invm = 1.0 / mass
-                gl = (vel_grad(ax8, lvx8, nvx8, invm)
-                      + vel_grad(ay8, lvy8, nvy8, invm))
-                if mpf_log_space:
-                    gl = gl * mass
+                    mq = jnp.exp(mq)
+                im_d = 1.0 / mq                               # [nd, 1]
 
-                d2c = (x0N - c0c) ** 2
-                pz = jnp.where(valid_rowN, jnp.exp(-0.5 * d2c * ppbw2N),
-                               0.0)
-                psum_r = brs(pz)
-                pc0r = brs(pz * c0c) / psum_r
-                gp0 = (pc0r - x0r) * ppbw2_8
-                s0r = jnp.where(gvr8, gl + gp0, 0.0)
+                im_row = _row_of_column(im_d, nd)
+                lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+                if pack2:
+                    # per-half draw index: param 2h on lanes < 64, 2h+1 on
+                    # >= 64 of row block h (draw j = s*8 + p)
+                    j_even = s_of_rrow * 8 + 2 * (row_roll // sm)
+                    im_e = jnp.sum(jnp.where(lane_r == j_even, im_row, 0.0),
+                                   axis=1, keepdims=True)
+                    im_o = jnp.sum(
+                        jnp.where(lane_r == j_even + 1, im_row, 0.0),
+                        axis=1, keepdims=True)
+                    im24 = jnp.where(lane_r < 64, im_e, im_o)
+                else:
+                    j_of_rrow = s_of_rrow * 8 + row_roll // sm
+                    im24 = jnp.sum(
+                        jnp.where(lane_r == j_of_rrow, im_row, 0.0),
+                        axis=1, keepdims=True,
+                    )
 
-                t0c = colbcast(to_blocks(s0r - x0r * imbw2_8))
-                d2 = (x0c - x0N) ** 2
-                k = jnp.where(valid_rowN,
-                              jnp.exp(-0.5 * d2 * imbw2N), 0.0)
-                rows_k = brs(k)
-                drive0 = brs(k * t0c)
-                phi0 = (drive0 + rows_k * x0r * imbw2_8) \
-                    * (1.0 / m_mpf)
-                return x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0)
+            # ---- rollouts: S * n_params * n_act * m trajectories ----
+            shape = (rows, 128)
 
-            x0f_r = jax.lax.fori_loop(
-                0, mpf_steps, mpf_body, c0r8,
-                unroll=max(1, mpf_steps) if unroll else 1)
-            x0f = colbcast(to_blocks(x0f_r))
-            # per-scenario gate expanded to (pair row, lane half): gateN
-            # follows the same lane-half layout as the particle values, so
-            # one masked commit covers both halves
-            gateN = to_blocks(
-                pair_tile(jnp.where(gate_col, 1.0, 0.0))) > 0.5
-            mpfx_ref[:] = jnp.where(
-                valid_rowN & ((laneN == 0) | (laneN == 64)) & gateN,
-                x0f, xsnap)
+            def splat_rows(col):
+                """[8, 1] scenario column -> [rows, 128] rollout-row tile
+                by pure movement (per-scenario broadcast + param-block
+                tile), replacing 4 x n_sc serial full-tile masked selects."""
+                bs = jnp.concatenate(
+                    [jnp.broadcast_to(col[s:s + 1, :], (m, 128))
+                     for s in range(n_sc)], axis=0)
+                return jnp.concatenate([bs] * npr, axis=0)
 
-        bw_mpf_eff = jnp.where(gate_col, bw_mpf_col, pbw_col)
-        nlik_px = jnp.where(gate_col, npx, lik_px)
-        nlik_py = jnp.where(gate_col, npy, lik_py)
-        nlik_vx = jnp.where(gate_col, nvx, lik_vx)
-        nlik_vy = jnp.where(gate_col, nvy, lik_vy)
+            if "rollout" not in skip:
+                px_ref[:] = splat_rows(px_col)
+                py_ref[:] = splat_rows(py_col)
+                vx_ref[:] = splat_rows(vx_col)
+                vy_ref[:] = splat_rows(vy_col)
 
-        # ---- per-scenario cost / crash / goal termination ----
-        if "term" in skip:
-            cost_t = npx * 1e-9 + npy * 1e-9
-            cum_new = cum_col + not_done * cost_t
-            crashed_new = crashed_col + nvx * 1e-12
-            done_new = done_col + nvy * 1e-12
-        else:
-            occ_n = occ_any(npx, npy)
-            occ_n = occ_n if occ_n is not None else jnp.zeros((ns, 1))
-            cost_t = (w_px * (npx - tx) ** 2 + w_py * (npy - ty) ** 2
-                      + w_vx * (nvx - tvx) ** 2
-                      + w_vy * (nvy - tvy) ** 2
-                      + w_obs * occ_n)
-            cum_new = cum_col + not_done * cost_t
-            crash_now = occ_n > 0.0
-            dist2 = ((tx - npx) ** 2 + (ty - npy) ** 2
-                     + (tvx - nvx) ** 2 + (tvy - nvy) ** 2)
-            success_now = dist2 <= success_dist * success_dist
-            crashed_new = jnp.maximum(
-                crashed_col,
-                jnp.where(crash_now & (done_col < 0.5), 1.0, 0.0))
-            done_new = jnp.maximum(
-                done_col, jnp.where(crash_now | success_now, 1.0, 0.0))
+            def actions_at(tt):
+                """(a_x, a_y) [smp, 128] at timestep tt. halfeps: one row
+                block tt*smp, x at lanes 0:64 and y at 64:128 (the roll
+                moves the y half onto lanes 0:63; lanes >= 64 of ex/ey are
+                junk-by-construction, mirrored or masked downstream).
+                Full layout: x rows at tt*2*smp, y at tt*2*smp + smp."""
+                if halfeps:
+                    ex = eps_ref[pl.ds(tt * smp, smp), :]
+                    ey = eps2_ref[pl.ds(tt * smp, smp), :]
+                else:
+                    ex = eps_ref[pl.ds(tt * 2 * smp, smp), :]
+                    ey = eps_ref[pl.ds(tt * 2 * smp + smp, smp), :]
+                thx = jnp.sum(
+                    jnp.where(lane_sm == 2 * tt, theta, 0.0), axis=1,
+                    keepdims=True,
+                )
+                thy = jnp.sum(
+                    jnp.where(lane_sm == 2 * tt + 1, theta, 0.0), axis=1,
+                    keepdims=True,
+                )
+                return thx + sigma_c * ex, thy + sigma_c * ey
 
-        # ---- log row(s): field f of scenario s at lane (f%8)*ns+s;
-        # ns = 8 packs all 12 fields in one row (f*8+s, the r1-r3
-        # layout verbatim); ns = 16 needs two rows per step (12 fields
-        # x 16 lanes = 192): fields 0..7 in row 2t, 8..11 in 2t+1 ----
-        def scatter8(col):
-            mat = jnp.broadcast_to(col, (ns, 128))
-            r8 = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 0)
-            return jnp.sum(jnp.where(r8 == lane_ns, mat, 0.0), axis=0,
-                           keepdims=True)
+            def roll_body(tt, cost):
+                px = px_ref[:]
+                py = py_ref[:]
+                vx = vx_ref[:]
+                vy = vy_ref[:]
+                occ = occ_any(px, py)
+                a8x, a8y = actions_at(tt)
+                asx, asy = a8x[0:sm, :], a8y[0:sm, :]
+                if pack2:
+                    # mirror the action samples into the upper lane half so
+                    # both packed params see identical actions
+                    asx = jnp.where(lane_sm[0:sm, :] < 64, asx,
+                                    pltpu.roll(asx, shift=64, axis=1))
+                    asy = jnp.where(lane_sm[0:sm, :] < 64, asy,
+                                    pltpu.roll(asy, shift=64, axis=1))
+                a_x = jnp.concatenate([asx] * npr, axis=0)
+                a_y = jnp.concatenate([asy] * npr, axis=0)
+                cost = cost + (
+                    state_cost(px, py, vx, vy, occ,
+                               (w_px, w_py, w_vx, w_vy))
+                    + w_cx * a_x * a_x + w_cy * a_y * a_y
+                )
+                acc_x = jnp.clip(a_x * im24, -max_acc, max_acc)
+                acc_y = jnp.clip(a_y * im24, -max_acc, max_acc)
+                if crash and occ is not None:
+                    scale = dt * (1.0 - occ)
+                else:
+                    scale = dt
+                px_ref[:] = px + vx * scale
+                py_ref[:] = py + vy * scale
+                vx_ref[:] = jnp.clip(vx + acc_x * scale, -max_speed,
+                                     max_speed)
+                vy_ref[:] = jnp.clip(vy + acc_y * scale, -max_speed,
+                                     max_speed)
+                return cost
 
-        if "logs" in skip:
-            log_row = scatter8(cum_new) \
-                + jnp.sum(bw8[0:1, 0:1]) * 0.0 \
-                + jnp.sum(bw_mpf_eff[0:1, 0:1]) * 0.0 \
-                + jnp.sum(a_x_col) * 0.0
-            if ns == 8:
-                log_ref[pl.ds(t, 1), :] = log_row
+            if "rollout" in skip:
+                cost = jnp.zeros(shape, jnp.float32) \
+                    + splat_rows(px_col) * 1e-9 + im24 * 1e-9 \
+                    + jnp.sum(eps_ref[0:1, 0:1]) * 0.0 \
+                    + jnp.sum(theta[0:1, 0:1]) * 1e-12
             else:
-                log_ref[pl.ds(2 * t, 1), :] = log_row
-                log_ref[pl.ds(2 * t + 1, 1), :] = log_row
-        else:
-            fields = [npx, npy, nvx, nvy, a_x_col, a_y_col, cost_t,
-                      done_new, crashed_new, cum_new,
-                      jnp.broadcast_to(bw8, (ns, 1)), bw_mpf_eff]
-            per_row = 128 // ns              # fields per log row
-            rows_out = []
-            for r0 in range(0, len(fields), per_row):
-                log_row = jnp.zeros((1, 128), jnp.float32)
-                for fi, colv_ in enumerate(fields[r0:r0 + per_row]):
-                    log_row = log_row + jnp.where(
-                        (lane1 >= fi * ns) & (lane1 < (fi + 1) * ns),
-                        pltpu.roll(scatter8(colv_), shift=fi * ns,
-                                   axis=1),
-                        0.0)
-                rows_out.append(log_row)
-            if ns == 8:
-                log_ref[pl.ds(t, 1), :] = rows_out[0]
-            else:
-                log_ref[pl.ds(2 * t, 1), :] = rows_out[0]
-                log_ref[pl.ds(2 * t + 1, 1), :] = rows_out[1]
+                cost = jax.lax.fori_loop(
+                    0, hz, roll_body, jnp.zeros(shape, jnp.float32),
+                    unroll=hz if unroll else 1,
+                )
+                cost = cost + state_cost(
+                    px_ref[:], py_ref[:], vx_ref[:], vy_ref[:],
+                    occ_any(px_ref[:], py_ref[:]),
+                    (wt_px, wt_py, wt_vx, wt_vy),
+                )
 
-        # ---- sim-state commit ----
-        new_cols = [npx, npy, nvx, nvy, done_new, crashed_new, cum_new,
-                    nlik_px, nlik_py, nlik_vx, nlik_vy, bw_mpf_eff]
-        sim_new = jnp.zeros((ns, 128), jnp.float32)
-        for i, colv_ in enumerate(new_cols):
-            sim_new = jnp.where(lane_ns == i, jnp.broadcast_to(
-                colv_, (ns, 128)), sim_new)
-        sim_ref[:] = sim_new
+            # ---- param-averaged costs + per-scenario DISCO update ----
+            mcost = cost[0:sm, :]
+            for p in range(1, npr):
+                mcost = mcost + cost[p * sm:(p + 1) * sm, :]
+            if pack2:
+                # fold the packed upper-half param costs onto lanes < 64
+                # (lanes >= 64 become junk, masked by `valid` below)
+                mcost = mcost + pltpu.roll(mcost, shift=64, axis=1)
+            mcost = mcost * (1.0 / n_params)
+            if smp != sm:
+                mcost = jnp.concatenate(
+                    [mcost, jnp.zeros((smp - sm, 128), jnp.float32)],
+                    axis=0)
+            valid = (lane_sm < n_act) & valid_sm
+            mcost_v = jnp.where(valid, mcost, _POS_BIG)
+
+            if "disco" in skip:
+                omega = jnp.where(valid, 1.0 / n_act, 0.0) + mcost * 1e-12
+                w_lik = omega
+                log_l = mcost[:, 0:1] * 1e-6
+            else:
+                # per-scenario beta = block min: one row-min + an [n_sc, m]
+                # reshape-min + broadcast/concat splat (r3, same as the
+                # pendulum kernel), replacing n_sc serial whole-tile masked
+                # min reductions (min is exact, so the regrouping is
+                # bitwise-identical)
+                rm = jnp.min(mcost_v, axis=1, keepdims=True)  # [smp, 1]
+                bmin = jnp.min(rm[0:sm, 0:1].reshape(n_sc, m), axis=1,
+                               keepdims=True)                 # [n_sc, 1]
+                beta_col = jnp.concatenate(
+                    [jnp.broadcast_to(bmin[s:s + 1, :], (m, 1))
+                     for s in range(n_sc)]
+                    + ([jnp.zeros((smp - sm, 1), jnp.float32)]
+                       if smp != sm else []), axis=0)
+                lc = jnp.where(valid, -(mcost - beta_col) * inv_temp,
+                               _NEG_BIG)
+                row_max = jnp.max(lc, axis=1, keepdims=True)
+                e = jnp.where(valid, jnp.exp(lc - row_max), 0.0)
+                sum_e = jnp.sum(e, axis=1, keepdims=True)
+                omega = e / jnp.maximum(sum_e, 1e-37)
+
+                wl = jnp.where(valid, -mcost * alpha, _NEG_BIG)
+                wl_max = jnp.max(wl, axis=1, keepdims=True)
+                we = jnp.where(valid, jnp.exp(wl - wl_max), 0.0)
+                we_sum = jnp.sum(we, axis=1, keepdims=True)
+                w_lik = we / jnp.maximum(we_sum, 1e-37)
+                if exp_util:
+                    log_l = wl_max + jnp.log(jnp.maximum(we_sum, 1e-37)) \
+                        - math.log(float(n_act))
+                else:
+                    log_l = -alpha * jnp.sum(
+                        jnp.where(valid, mcost, 0.0), axis=1, keepdims=True
+                    ) * (1.0 / n_act)
+
+            # DISCO delta + likelihood gradient accumulation (a_seq == 0
+            # required, like the pendulum sweep kernel). The weights are
+            # normalized (sum_l omega = sum_l w_lik = 1 over valid lanes),
+            # so sum_l w*(theta_t + sigma*eps) = theta_t + sigma*sum w*eps:
+            # the per-iteration theta lane extractions drop out of the loop
+            # entirely and theta cancels exactly in the likelihood gradient
+            # (the pendulum sweep kernel's identity).
+            # halfeps: omega/w_lik are zero outside valid lanes
+            # (< n_act <= 64), so the masked lane sums pick exactly the
+            # channel aligned at lanes < 64 of each view (ex = eps,
+            # ey = the bulk-rolled eps2 view)
+            def acc_body(tt, carry):
+                de, wacc = carry
+                if halfeps:
+                    ex = eps_ref[pl.ds(tt * smp, smp), :]
+                    ey = eps2_ref[pl.ds(tt * smp, smp), :]
+                else:
+                    ex = eps_ref[pl.ds(tt * 2 * smp, smp), :]
+                    ey = eps_ref[pl.ds(tt * 2 * smp + smp, smp), :]
+                dqx = jnp.sum(omega * ex, axis=1, keepdims=True)
+                dqy = jnp.sum(omega * ey, axis=1, keepdims=True)
+                wqx = jnp.sum(w_lik * ex, axis=1, keepdims=True)
+                wqy = jnp.sum(w_lik * ey, axis=1, keepdims=True)
+                de = de + jnp.where(lane_sm == 2 * tt, dqx, 0.0) \
+                    + jnp.where(lane_sm == 2 * tt + 1, dqy, 0.0)
+                wacc = wacc + jnp.where(lane_sm == 2 * tt, wqx, 0.0) \
+                    + jnp.where(lane_sm == 2 * tt + 1, wqy, 0.0)
+                return de, wacc
+
+            if "acc" in skip:
+                d_eps = omega * 1e-9 + jnp.sum(eps_ref[0:1, 0:1]) * 0.0
+                w_eps = w_lik * 1e-9
+            else:
+                d_eps, w_eps = jax.lax.fori_loop(
+                    0, hz, acc_body,
+                    (jnp.zeros((smp, 128), jnp.float32),
+                     jnp.zeros((smp, 128), jnp.float32)),
+                    unroll=hz if unroll else 1,
+                )
+            delta = jnp.where(lane_sm < ev, theta + sigma_c * d_eps, 0.0)
+            glik = sigma_c * w_eps * inv_s2
+
+            # ---- Stein + weighted GMM prior (block-masked, centered) ----
+            blkf = blk.astype(jnp.float32) * (1.0 / m)
+            lm_row = _row_of_column(lmix_col, smp)            # [1, 128]
+            lm_lane = jnp.broadcast_to(lm_row[:, 0:smp], (smp, smp))
+            if "stein" in skip:
+                theta_new = jnp.where(valid_sm & (lane_sm < ev),
+                                      theta + lr * glik * 1e-3, 0.0)
+            else:
+                mean_t = jnp.dot(blkf, fin(theta),
+                                 preferred_element_type=jnp.float32)
+                tc = theta - mean_t
+                lc_c = locs - mean_t
+                tc_norm = jnp.sum(tc * tc, axis=1, keepdims=True)
+                lc_norm = jnp.sum(lc_c * lc_c, axis=1, keepdims=True)
+
+                g_tl = _block_dot_t(tc, lc_c)
+                d2_tl = jnp.maximum(
+                    tc_norm - 2.0 * g_tl + lc_norm.reshape(1, smp), 0.0
+                )
+                lp_pri = jnp.where(blk, -0.5 * inv_ps2 * d2_tl + lm_lane,
+                                   _NEG_BIG)
+                r_max = jnp.max(lp_pri, axis=1, keepdims=True)
+                r_e = jnp.exp(lp_pri - r_max)
+                r = r_e / jnp.maximum(jnp.sum(r_e, axis=1, keepdims=True),
+                                      1e-37)
+                score = glik + (
+                    jnp.dot(r, fin(lc_c),
+                            preferred_element_type=jnp.float32)
+                    - tc
+                ) * inv_ps2
+
+                g_tt = _block_dot_t(tc, tc)
+                d2_tt = jnp.maximum(
+                    tc_norm - 2.0 * g_tt + tc_norm.reshape(1, smp), 0.0
+                )
+                kmat = jnp.where(
+                    blk, jnp.exp(-0.5 * d2_tt * inv_bw2_col), 0.0
+                )
+                k_score = jnp.dot(kmat, fin(score),
+                                  preferred_element_type=jnp.float32)
+                k_theta = jnp.dot(kmat, fin(tc),
+                                  preferred_element_type=jnp.float32)
+                rowsum_k = jnp.sum(kmat, axis=1, keepdims=True)
+                grad_k = -(k_theta - rowsum_k * tc) * inv_bw2_col
+                phi = (k_score + grad_k) * (1.0 / m)
+                theta_new = jnp.where(valid_sm & (lane_sm < ev),
+                                      theta + lr * phi, 0.0)
+
+            # ---- forward: per-scenario weights / select / roll ----
+            if "forward" in skip:
+                dep = jnp.sum(theta_new[0:1, 0:1]) * 1e-9 \
+                    + jnp.sum(log_l[0:1, 0:1]) * 1e-12
+                ax_col = px_col * 1e-3 + dep
+                ay_col = py_col * 1e-3 + dep
+                lw_col = lmix_col + dep
+                theta_fwd = theta_new
+            else:
+                mean_n = jnp.dot(blkf, fin(theta_new),
+                                 preferred_element_type=jnp.float32)
+                nc = theta_new - mean_n
+                lc_n = locs - mean_n
+                tn_norm = jnp.sum(nc * nc, axis=1, keepdims=True)
+                ln_norm = jnp.sum(lc_n * lc_n, axis=1, keepdims=True)
+                g_nl = _block_dot_t(nc, lc_n)
+                d2_nl = jnp.maximum(
+                    tn_norm - 2.0 * g_nl + ln_norm.reshape(1, smp), 0.0
+                )
+                lp_new = jnp.where(blk, -0.5 * inv_ps2 * d2_nl + lm_lane,
+                                   _NEG_BIG)
+                n_max = jnp.max(lp_new, axis=1, keepdims=True)
+                log_p = n_max + jnp.log(jnp.maximum(
+                    jnp.sum(jnp.exp(lp_new - n_max), axis=1, keepdims=True),
+                    1e-37,
+                ))
+                log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p, _NEG_BIG)
+
+                # per-scenario posterior weights (for the weighted prior
+                # refresh) + argmax selection — VECTORIZED over scenarios: the
+                # block-masked [smp, smp] weight matrix turns every per-block
+                # max / sum / argmin into one row reduction for all scenarios
+                # at once (the serial 8-scenario loop cost ~n_sc x this). The
+                # math chain is the single-episode kernel's exact one
+                # (softmax -> clamp at 1e-37 -> log -> renormalized
+                # log-softmax), so underflowed weights floor identically.
+                rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
+                col_idx = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1)
+                w_row = _row_of_column(log_w, smp)                # [1, 128]
+                wmat = jnp.where(blk, jnp.broadcast_to(
+                    w_row[:, 0:smp], (smp, smp)), _NEG_BIG)
+                wmax = jnp.max(wmat, axis=1, keepdims=True)       # block max
+                esum = jnp.sum(jnp.where(blk, jnp.exp(wmat - wmax), 0.0),
+                               axis=1, keepdims=True)             # block sum
+                w_norm = jnp.exp(log_w - wmax) / jnp.maximum(esum, 1e-37)
+                lw_raw = jnp.log(jnp.maximum(w_norm, 1e-37))      # [smp, 1]
+                l_row = _row_of_column(lw_raw, smp)
+                lmat = jnp.where(blk, jnp.broadcast_to(
+                    l_row[:, 0:smp], (smp, smp)), _NEG_BIG)
+                lmax2 = jnp.max(lmat, axis=1, keepdims=True)
+                lse2 = lmax2 + jnp.log(jnp.sum(
+                    jnp.where(blk, jnp.exp(lmat - lmax2), 0.0), axis=1,
+                    keepdims=True))
+                lw_col = lw_raw - lse2                            # [smp, 1]
+                # first-maximal row per block -> one-hot selection column
+                is_max = blk & (wmat >= wmax)
+                i_star = jnp.min(jnp.where(is_max, col_idx, smp), axis=1,
+                                 keepdims=True)                   # [smp, 1]
+                onehot = (rowm1 == i_star).astype(jnp.float32)
+                ax_all = onehot * theta_new[:, 0:1]               # [smp, 1]
+                ay_all = onehot * theta_new[:, 1:2]
+
+                def block_sum_col(col_all):
+                    """[smp, 1] -> [ns, 1] per-scenario block row sums (one
+                    reshape+sum for all scenarios, not an n_sc select loop)."""
+                    s_ = jnp.sum(col_all[0:sm, 0:1].reshape(n_sc, m), axis=1,
+                                 keepdims=True)
+                    if n_sc < ns:
+                        s_ = jnp.concatenate(
+                            [s_, jnp.zeros((ns - n_sc, 1), jnp.float32)],
+                            axis=0)
+                    return s_
+
+                ax_col = block_sum_col(ax_all)
+                ay_col = block_sum_col(ay_all)
+
+                rolled = pltpu.roll(theta_new, shift=128 - 2, axis=1)
+                theta_fwd = jnp.where(
+                    lane_sm < ev - 2, rolled,
+                    jnp.where(lane_sm < ev, theta_new, 0.0),
+                )
+
+            if warm_up > 0:
+                active = (t >= warm_up).astype(jnp.float32)
+            else:
+                active = jnp.float32(1.0)
+            act_b = active > 0.5
+            a_x_col = active * ax_col
+            a_y_col = active * ay_col
+            theta_next = jnp.where(act_b, theta_fwd, theta_new)
+            locs_next = jnp.where(act_b, theta_fwd, locs)
+            theta_ref[:] = jnp.where(valid_sm, theta_next, 0.0)
+            locs_ref[:] = jnp.where(valid_sm, locs_next, 0.0)
+            amat_ref[:] = jnp.where(valid_sm, amat_ref[:] + delta,
+                                    amat_ref[:])
+            if weighted_prior:
+                lmix_ref[:] = jnp.where(
+                    act_b & (lane_sm == 0) & valid_sm,
+                    jnp.broadcast_to(lw_col, (smp, 128)), lmix_ref[:],
+                )
+
+            # ---- simulator: all S particles as column physics ----
+            if "sim" in skip:
+                npx = px_col + a_x_col * 1e-9
+                npy = py_col + a_y_col * 1e-9
+                nvx = vx_col + masses_ref[0:ns, 0:1] * 1e-12
+                nvy = vy_col
+            else:
+                mass_t = masses_ref[:, 0:1]                  # [8, 1]
+                sim_mass = jnp.where(jnp.asarray(t >= change_at),
+                                     mass_t + load, mass_t)
+                occ_s = occ_any(px_col, py_col)
+                if crash and occ_s is not None:
+                    s_scale = dt * (1.0 - occ_s)
+                else:
+                    s_scale = dt
+                acc_x = jnp.clip(a_x_col / sim_mass, -max_acc, max_acc)
+                acc_y = jnp.clip(a_y_col / sim_mass, -max_acc, max_acc)
+                frozen = done_col > 0.5
+                npx = jnp.where(frozen, px_col, px_col + vx_col * s_scale)
+                npy = jnp.where(frozen, py_col, py_col + vy_col * s_scale)
+                nvx = jnp.where(frozen, vx_col,
+                                jnp.clip(vx_col + acc_x * s_scale,
+                                         -max_speed, max_speed))
+                nvy = jnp.where(frozen, vy_col,
+                                jnp.clip(vy_col + acc_y * s_scale,
+                                         -max_speed, max_speed))
+
+            # ---- MPF log-mass posterior (transposed pairwise body),
+            # gated per scenario on (t >= warm_up) & not done ----
+            gate_col = (active * not_done) > 0.5              # [8, 1] bool
+            if use_fixed_mpf_bw:
+                bw_mpf_col = jnp.broadcast_to(
+                    scal_ref[0, 14].reshape(1, 1), (ns, 1))
+            else:
+                mrows = []
+                for s in range(n_sc):
+                    p, gg = divmod(s, 2)
+                    xrow = (x_a if gg == 0 else x_b)[p:p + 1, :]
+                    mrows.append(jnp.where(lane1 < m_mpf, xrow, _POS_BIG))
+                mrows = mrows + [jnp.full((1, 128), _POS_BIG, jnp.float32)
+                                 ] * (ns - n_sc)
+                bw_mpf_col = _silverman_rows(
+                    jnp.concatenate(mrows, axis=0), m_mpf
+                ) * mpf_bw_scale
+
+            if "mpfglue" in skip:
+                # keep the posterior state + a cheap dependency
+                mpfx_ref[:] = mpfx_ref[:] + (
+                    jnp.sum(bw_mpf_col) + jnp.sum(a_x_col)
+                    + jnp.sum(nvx) + jnp.sum(pbw_col)) * 0.0
+            else:
+                inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
+                if crash and rects is not None:
+                    msc_col = dt * (1.0 - occ_any(lik_px, lik_py))
+                else:
+                    msc_col = jnp.full((ns, 1), dt)
+
+                ax8 = pair_tile(a_x_col)
+                ay8 = pair_tile(a_y_col)
+                lvx8 = pair_tile(lik_vx)
+                lvy8 = pair_tile(lik_vy)
+                nvx8 = pair_tile(nvx)
+                nvy8 = pair_tile(nvy)
+                msc8 = pair_tile(msc_col)
+                ppbw2_8 = pair_tile(1.0 / (pbw_col * pbw_col))
+                imbw2_8 = pair_tile(1.0 / (bw_mpf_col * bw_mpf_col))
+
+                xsnap = mpfx_ref[:]
+                c0r8 = pair_rows_x(xsnap[:, 0:1], xsnap[:, 64:65])
+                c0c = colbcast(to_blocks(c0r8))
+                ppbw2N = to_blocks(ppbw2_8)
+                imbw2N = to_blocks(imbw2_8)
+
+                def vel_grad(a8, v08, loc8, invm):
+                    acc_raw = a8 * invm
+                    acc = jnp.clip(acc_raw, -max_acc, max_acc)
+                    g_a = jnp.where(
+                        (acc_raw > -max_acc) & (acc_raw < max_acc), 1.0, 0.0)
+                    v_raw = v08 + acc * msc8
+                    pred = jnp.clip(v_raw, -max_speed, max_speed)
+                    g_v = jnp.where(
+                        (v_raw > -max_speed) & (v_raw < max_speed), 1.0, 0.0)
+                    dpred = g_v * g_a * (-a8 * invm * invm) * msc8
+                    return -(pred - loc8) * inv_os2 * dpred
+
+                def mpf_body(i, x0r):
+                    x0N = to_blocks(x0r)
+                    x0c = colbcast(x0N)
+
+                    mass = jnp.where(gvr8, x0r, 1.0)
+                    if mpf_log_space:
+                        mass = jnp.exp(mass)
+                    invm = 1.0 / mass
+                    gl = (vel_grad(ax8, lvx8, nvx8, invm)
+                          + vel_grad(ay8, lvy8, nvy8, invm))
+                    if mpf_log_space:
+                        gl = gl * mass
+
+                    d2c = (x0N - c0c) ** 2
+                    pz = jnp.where(valid_rowN, jnp.exp(-0.5 * d2c * ppbw2N),
+                                   0.0)
+                    psum_r = brs(pz)
+                    pc0r = brs(pz * c0c) / psum_r
+                    gp0 = (pc0r - x0r) * ppbw2_8
+                    s0r = jnp.where(gvr8, gl + gp0, 0.0)
+
+                    t0c = colbcast(to_blocks(s0r - x0r * imbw2_8))
+                    d2 = (x0c - x0N) ** 2
+                    k = jnp.where(valid_rowN,
+                                  jnp.exp(-0.5 * d2 * imbw2N), 0.0)
+                    rows_k = brs(k)
+                    drive0 = brs(k * t0c)
+                    phi0 = (drive0 + rows_k * x0r * imbw2_8) \
+                        * (1.0 / m_mpf)
+                    return x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0)
+
+                x0f_r = jax.lax.fori_loop(
+                    0, mpf_steps, mpf_body, c0r8,
+                    unroll=max(1, mpf_steps) if unroll else 1)
+                x0f = colbcast(to_blocks(x0f_r))
+                # per-scenario gate expanded to (pair row, lane half): gateN
+                # follows the same lane-half layout as the particle values, so
+                # one masked commit covers both halves
+                gateN = to_blocks(
+                    pair_tile(jnp.where(gate_col, 1.0, 0.0))) > 0.5
+                mpfx_ref[:] = jnp.where(
+                    valid_rowN & ((laneN == 0) | (laneN == 64)) & gateN,
+                    x0f, xsnap)
+
+            bw_mpf_eff = jnp.where(gate_col, bw_mpf_col, pbw_col)
+            nlik_px = jnp.where(gate_col, npx, lik_px)
+            nlik_py = jnp.where(gate_col, npy, lik_py)
+            nlik_vx = jnp.where(gate_col, nvx, lik_vx)
+            nlik_vy = jnp.where(gate_col, nvy, lik_vy)
+
+            # ---- per-scenario cost / crash / goal termination ----
+            if "term" in skip:
+                cost_t = npx * 1e-9 + npy * 1e-9
+                cum_new = cum_col + not_done * cost_t
+                crashed_new = crashed_col + nvx * 1e-12
+                done_new = done_col + nvy * 1e-12
+            else:
+                occ_n = occ_any(npx, npy)
+                occ_n = occ_n if occ_n is not None else jnp.zeros((ns, 1))
+                cost_t = (w_px * (npx - tx) ** 2 + w_py * (npy - ty) ** 2
+                          + w_vx * (nvx - tvx) ** 2
+                          + w_vy * (nvy - tvy) ** 2
+                          + w_obs * occ_n)
+                cum_new = cum_col + not_done * cost_t
+                crash_now = occ_n > 0.0
+                dist2 = ((tx - npx) ** 2 + (ty - npy) ** 2
+                         + (tvx - nvx) ** 2 + (tvy - nvy) ** 2)
+                success_now = dist2 <= success_dist * success_dist
+                crashed_new = jnp.maximum(
+                    crashed_col,
+                    jnp.where(crash_now & (done_col < 0.5), 1.0, 0.0))
+                done_new = jnp.maximum(
+                    done_col, jnp.where(crash_now | success_now, 1.0, 0.0))
+
+            # ---- log row(s): field f of scenario s at lane (f%8)*ns+s;
+            # ns = 8 packs all 12 fields in one row (f*8+s, the r1-r3
+            # layout verbatim); ns = 16 needs two rows per step (12 fields
+            # x 16 lanes = 192): fields 0..7 in row 2t, 8..11 in 2t+1 ----
+            def scatter8(col):
+                mat = jnp.broadcast_to(col, (ns, 128))
+                r8 = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 0)
+                return jnp.sum(jnp.where(r8 == lane_ns, mat, 0.0), axis=0,
+                               keepdims=True)
+
+            if "logs" in skip:
+                log_row = scatter8(cum_new) \
+                    + jnp.sum(bw8[0:1, 0:1]) * 0.0 \
+                    + jnp.sum(bw_mpf_eff[0:1, 0:1]) * 0.0 \
+                    + jnp.sum(a_x_col) * 0.0
+                if ns == 8:
+                    log_ref[pl.ds(t, 1), :] = log_row
+                else:
+                    log_ref[pl.ds(2 * t, 1), :] = log_row
+                    log_ref[pl.ds(2 * t + 1, 1), :] = log_row
+            else:
+                fields = [npx, npy, nvx, nvy, a_x_col, a_y_col, cost_t,
+                          done_new, crashed_new, cum_new,
+                          jnp.broadcast_to(bw8, (ns, 1)), bw_mpf_eff]
+                per_row = 128 // ns              # fields per log row
+                rows_out = []
+                for r0 in range(0, len(fields), per_row):
+                    log_row = jnp.zeros((1, 128), jnp.float32)
+                    for fi, colv_ in enumerate(fields[r0:r0 + per_row]):
+                        log_row = log_row + jnp.where(
+                            (lane1 >= fi * ns) & (lane1 < (fi + 1) * ns),
+                            pltpu.roll(scatter8(colv_), shift=fi * ns,
+                                       axis=1),
+                            0.0)
+                    rows_out.append(log_row)
+                if ns == 8:
+                    log_ref[pl.ds(t, 1), :] = rows_out[0]
+                else:
+                    log_ref[pl.ds(2 * t, 1), :] = rows_out[0]
+                    log_ref[pl.ds(2 * t + 1, 1), :] = rows_out[1]
+
+            # ---- sim-state commit ----
+            new_cols = [npx, npy, nvx, nvy, done_new, crashed_new, cum_new,
+                        nlik_px, nlik_py, nlik_vx, nlik_vy, bw_mpf_eff]
+            sim_new = jnp.zeros((ns, 128), jnp.float32)
+            for i, colv_ in enumerate(new_cols):
+                sim_new = jnp.where(lane_ns == i, jnp.broadcast_to(
+                    colv_, (ns, 128)), sim_new)
+            sim_ref[:] = sim_new
+            return 0
+
+        def finalize():
+            theta_out_ref[:] = theta_ref[:]
+            locs_out_ref[:] = locs_ref[:]
+            amat_out_ref[:] = amat_ref[:]
+            lmix_out_ref[:] = lmix_ref[:]
+            mpfx_out_ref[:] = mpfx_ref[:]
+
+        return step, finalize
+
+    chains = []
+    for c in range(nch):
+        nrefs = (noise_all[3 * c:3 * c + 3] if host_noise
+                 else (None, None, None))
+        chains.append(_chain(c, *nrefs, *outs_all[6 * c:6 * c + 6],
+                             *scr_all[12 * c:12 * c + 12]))
+
+    def step_all(t, _):
+        for st, _fin in chains:
+            st(t, 0)
         return 0
 
-    jax.lax.fori_loop(0, steps, step, 0)
-
-    theta_out_ref[:] = theta_ref[:]
-    locs_out_ref[:] = locs_ref[:]
-    amat_out_ref[:] = amat_ref[:]
-    lmix_out_ref[:] = lmix_ref[:]
-    mpfx_out_ref[:] = mpfx_ref[:]
+    jax.lax.fori_loop(0, steps, step_all, 0)
+    for _st, fin in chains:
+        fin()
 
 
 @functools.partial(
@@ -1118,7 +1144,7 @@ def _particle_sweep_kernel(
                      "crash", "success_dist", "change_at", "exp_util",
                      "weighted_prior", "mpf_log_space",
                      "use_fixed_mpf_bw", "mpf_bw_scale", "unroll",
-                     "interpret", "probe_skip"))
+                     "interpret", "probe_skip", "n_chains"))
 def fused_particle_sweep_episode(
         seed, state0, theta0, locs0, log_mix0, a_mat0, mpfx0,
         prior_bw0, true_masses, load, ctrl_sigma, lr, alpha, temp,
@@ -1128,7 +1154,7 @@ def fused_particle_sweep_episode(
         grid, crash, success_dist=1.0, change_at, exp_util=True,
         weighted_prior=True, mpf_log_space=True, use_fixed_mpf_bw=True,
         mpf_bw_scale=1.0, unroll=True, host_eps=None, host_pdz=None,
-        host_pdu=None, interpret=False, probe_skip=()):
+        host_pdu=None, interpret=False, probe_skip=(), n_chains=1):
     """Run n_sc particle-navigation DuSt episodes in ONE Pallas
     program. state0 [4] shared; theta0/locs0/a_mat0 [m, hz, 2] and
     log_mix0 [m] shared across scenarios (the sweep harness layout);
@@ -1139,7 +1165,8 @@ def fused_particle_sweep_episode(
 
     Host-noise mode: host_eps [steps, hz, 2, smp, 128] (channel x/y,
     rows s*m + q; smp = n_sc*m rounded up to 8), host_pdz/host_pdu
-    [steps, n_sc, 8, 128] (lane 0 used; rows p < n_params).
+    [steps, n_sc, 8, 128] (lane 0 used; rows p < n_params); with
+    n_chains > 1 every noise array gains a leading chain axis.
 
     Returns per-scenario logs [steps, n_sc] (state/action components,
     cost, done, crashed, cum, bw_sv, bw_mpf) plus final
@@ -1177,7 +1204,18 @@ def fused_particle_sweep_episode(
     steps_l = _round8(steps if ns == 8 else 2 * steps)
     host_noise = host_eps is not None
 
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 2)
+    # n_chains independent episode-chains per program (r5): seed may
+    # be [2] (chain 0; remaining chains derive by +4099*c) or
+    # [n_chains, 2] explicit per-chain seeds
+    seed_arr = jnp.asarray(seed, jnp.int32)
+    if seed_arr.ndim == 1:
+        seed_arr = seed_arr.reshape(1, 2)
+    if seed_arr.shape[0] < n_chains:
+        base = seed_arr[0]
+        seed_arr = jnp.stack(
+            [base + jnp.asarray([0, 4099 * c], jnp.int32)
+             for c in range(n_chains)])
+    seed_arr = seed_arr[:n_chains]
     scal = jnp.stack([
         jnp.asarray(state0[0], jnp.float32),
         jnp.asarray(state0[1], jnp.float32),
@@ -1232,25 +1270,26 @@ def fused_particle_sweep_episode(
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
     if host_noise:
         he = jnp.asarray(host_eps, jnp.float32).reshape(
-            steps, hz, 2, smp, 128)
+            n_chains, steps, hz, 2, smp, 128)
         if halfeps:
             # pack the two channels into one row's lane halves: only
             # lanes < n_act <= 64 of each channel are ever consumed,
             # so the values the kernel reads are bit-identical to the
             # full layout's
             he = jnp.concatenate(
-                [he[:, :, 0, :, 0:64], he[:, :, 1, :, 0:64]], axis=-1
-            ).reshape(steps * hz * smp, 128)
+                [he[:, :, :, 0, :, 0:64], he[:, :, :, 1, :, 0:64]],
+                axis=-1,
+            ).reshape(n_chains, steps * hz * smp, 128)
         else:
-            he = he.reshape(steps * hz * 2 * smp, 128)
-        inputs += [
-            he,
-            jnp.asarray(host_pdz, jnp.float32).reshape(
-                steps * n_sc * 8, 128),
-            jnp.asarray(host_pdu, jnp.float32).reshape(
-                steps * n_sc * 8, 128),
-        ]
-        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+            he = he.reshape(n_chains, steps * hz * 2 * smp, 128)
+        hpz = jnp.asarray(host_pdz, jnp.float32).reshape(
+            n_chains, steps * n_sc * 8, 128)
+        hpu = jnp.asarray(host_pdu, jnp.float32).reshape(
+            n_chains, steps * n_sc * 8, 128)
+        for c in range(n_chains):
+            inputs += [he[c], hpz[c], hpu[c]]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+            3 * n_chains)
 
     kernel = functools.partial(
         _particle_sweep_kernel,
@@ -1265,13 +1304,14 @@ def fused_particle_sweep_episode(
         use_fixed_mpf_bw=bool(use_fixed_mpf_bw),
         mpf_bw_scale=float(mpf_bw_scale), host_noise=host_noise,
         unroll=bool(unroll), pack2=pack2, halfeps=halfeps,
-        probe_skip=tuple(probe_skip),
+        probe_skip=tuple(probe_skip), n_chains=n_chains,
     )
     rows = (n_params // 2 if pack2 else n_params) * sm
     outs = pl.pallas_call(
         kernel,
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+            6 * n_chains),
         out_shape=[
             jax.ShapeDtypeStruct((steps_l, 128), jnp.float32),
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
@@ -1279,7 +1319,7 @@ def fused_particle_sweep_episode(
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
             jax.ShapeDtypeStruct((smp, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_pair * mp, 128), jnp.float32),
-        ],
+        ] * n_chains,
         scratch_shapes=[
             pltpu.VMEM((hz * smp if halfeps else hz * 2 * smp, 128),
                        jnp.float32),                        # eps
@@ -1295,41 +1335,49 @@ def fused_particle_sweep_episode(
             pltpu.VMEM((smp, 128), jnp.float32),            # log-mix
             pltpu.VMEM((n_pair * mp, 128), jnp.float32),    # mpf x
             pltpu.VMEM((ns, 128), jnp.float32),             # sim state
-        ],
+        ] * n_chains,
         interpret=interpret,
     )(*inputs)
-    log, theta_out, locs_out, amat_out, lmix_out, mpfx_out = outs
 
-    def fld(f):
-        """Per-scenario log field f: ns = 8 packs all 12 fields in one
-        row (lane f*8+s); ns = 16 packs fields 0..7 in row 2t and
-        8..11 in row 2t+1 (lane (f%8)*16+s)."""
-        if ns == 8:
-            return log[:steps, f * 8:f * 8 + n_sc]
-        r0, fi = divmod(f, 128 // ns)
-        return log[r0:2 * steps:2, fi * ns:fi * ns + n_sc]
+    def decode(log, theta_out, locs_out, amat_out, lmix_out,
+               mpfx_out):
+        def fld(f):
+            """Per-scenario log field f: ns = 8 packs all 12 fields in one
+            row (lane f*8+s); ns = 16 packs fields 0..7 in row 2t and
+            8..11 in row 2t+1 (lane (f%8)*16+s)."""
+            if ns == 8:
+                return log[:steps, f * 8:f * 8 + n_sc]
+            r0, fi = divmod(f, 128 // ns)
+            return log[r0:2 * steps:2, fi * ns:fi * ns + n_sc]
 
-    mpf_final = jnp.stack([
-        mpfx_out[(s // 2) * mp:(s // 2) * mp + m_mpf,
-                 64 * (s % 2):64 * (s % 2) + 1]
-        for s in range(n_sc)
-    ])
-    return {
-        "px": fld(0),
-        "py": fld(1),
-        "vx": fld(2),
-        "vy": fld(3),
-        "a_x": fld(4),
-        "a_y": fld(5),
-        "cost": fld(6),
-        "done": fld(7),
-        "crashed": fld(8),
-        "cum": fld(9),
-        "bw_sv": fld(10),
-        "bw_mpf": fld(11),
-        "theta": theta_out[:sm, :ev].reshape(n_sc, m, hz, 2),
-        "locs": locs_out[:sm, :ev].reshape(n_sc, m, hz, 2),
-        "a_mat": amat_out[:sm, :ev].reshape(n_sc, m, hz, 2),
-        "log_mix": lmix_out[:sm, 0].reshape(n_sc, m),
-        "mpf_x": mpf_final,
-    }
+        mpf_final = jnp.stack([
+            mpfx_out[(s // 2) * mp:(s // 2) * mp + m_mpf,
+                     64 * (s % 2):64 * (s % 2) + 1]
+            for s in range(n_sc)
+        ])
+        return {
+            "px": fld(0),
+            "py": fld(1),
+            "vx": fld(2),
+            "vy": fld(3),
+            "a_x": fld(4),
+            "a_y": fld(5),
+            "cost": fld(6),
+            "done": fld(7),
+            "crashed": fld(8),
+            "cum": fld(9),
+            "bw_sv": fld(10),
+            "bw_mpf": fld(11),
+            "theta": theta_out[:sm, :ev].reshape(n_sc, m, hz, 2),
+            "locs": locs_out[:sm, :ev].reshape(n_sc, m, hz, 2),
+            "a_mat": amat_out[:sm, :ev].reshape(n_sc, m, hz, 2),
+            "log_mix": lmix_out[:sm, 0].reshape(n_sc, m),
+            "mpf_x": mpf_final,
+        }
+
+    if n_chains == 1:
+        return decode(*outs)
+    per = [decode(*outs[6 * c:6 * c + 6]) for c in range(n_chains)]
+    # leading chain axis on every field
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *per)

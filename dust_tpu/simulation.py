@@ -390,7 +390,7 @@ def megakernel_particle_episode_fn(stack, exp_params, steps, warm_up=0,
 def megakernel_particle_sweep_fn(stack, exp_params, steps, n_sc,
                                  warm_up=0, unroll=True,
                                  interpret=False, success_dist=1.0,
-                                 probe_skip=()):
+                                 probe_skip=(), n_chains=1):
     """Scenario-batched particle sweep megakernel adapter
     (`ops/pallas_particle_sweep_episode.py`): n_sc <= 16 independent
     obstacle-navigation DuSt episodes — per-scenario seeds, true
@@ -451,7 +451,8 @@ def megakernel_particle_sweep_fn(stack, exp_params, steps, n_sc,
             mpf_log_space=exp["mpf_log_space"], use_fixed_mpf_bw=True,
             mpf_bw_scale=exp["mpf_bandwidth_scaling"], unroll=unroll,
             interpret=interpret, host_eps=host_eps, host_pdz=host_pdz,
-            host_pdu=host_pdu, probe_skip=probe_skip, **statics,
+            host_pdu=host_pdu, probe_skip=probe_skip,
+            n_chains=n_chains, **statics,
         )
 
     return sweep

@@ -346,3 +346,41 @@ def test_particle_sweep_device_rng_deterministic():
     np.testing.assert_array_equal(np.asarray(a["cum"]),
                                   np.asarray(b["cum"]))
     assert np.isfinite(np.asarray(a["cum"])).all()
+
+
+def test_particle_sweep_multi_chain_matches_single_chain_runs():
+    """n_chains=2 (r5): two independent episode-chains advance inside
+    ONE Pallas program (their step bodies run back-to-back per fori
+    iteration so the scheduler can overlap serial dependency chains —
+    the pendulum sweep kernel's r4 multi-chain lever, ported; BASELINE
+    "r5 multi-chain"). Each chain must be BIT-IDENTICAL to a
+    single-chain run on the same per-chain host noise."""
+    stack, cfg = _stack()
+    exp = cfg["exp_params"]
+    hz, m, n_sc, steps = exp["horizon"], exp["n_particles"], 8, 2
+    NCH = 2
+    noises = [_noise(n_sc, steps, hz, m, seed=7 + c) for c in range(NCH)]
+    eps = jnp.stack([n[0] for n in noises])
+    pdz = jnp.stack([n[1] for n in noises])
+    pdu = jnp.stack([n[2] for n in noises])
+    masses = jnp.linspace(1.6, 2.4, n_sc)
+
+    dual = megakernel_particle_sweep_fn(
+        stack, exp, steps=steps, n_sc=n_sc, unroll=False,
+        interpret=True, n_chains=NCH,
+    )(jnp.array([1, 2], jnp.int32), masses,
+      host_eps=eps, host_pdz=pdz, host_pdu=pdu)
+    single_fn = megakernel_particle_sweep_fn(
+        stack, exp, steps=steps, n_sc=n_sc, unroll=False,
+        interpret=True,
+    )
+    for c in range(NCH):
+        single = single_fn(jnp.array([1, 2], jnp.int32), masses,
+                           host_eps=eps[c], host_pdz=pdz[c],
+                           host_pdu=pdu[c])
+        for k in ("px", "py", "vx", "vy", "a_x", "a_y", "cost", "done",
+                  "crashed", "cum", "bw_sv", "bw_mpf", "theta", "locs",
+                  "a_mat", "log_mix", "mpf_x"):
+            np.testing.assert_array_equal(
+                np.asarray(dual[k][c]), np.asarray(single[k]),
+                err_msg=f"chain {c} field {k}")
