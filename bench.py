@@ -149,10 +149,12 @@ def bench_episode_sweep(stack, config):
 
     n_sweep = int(os.environ.get("BENCH_SWEEP_N", "256"))
     S = int(os.environ.get("BENCH_SWEEP_S", "16"))
-    # r4 multi-chain: CH independent episode-chains per Pallas program
+    # Multi-chain: CH independent episode-chains per Pallas program
     # (back-to-back step bodies give the scheduler independent serial
-    # chains to overlap; measured +5% at every n, BASELINE
-    # "r4 multi-chain"). BENCH_SWEEP_CHAINS=1 restores one chain.
+    # chains to overlap). CH=4 at S=16 is the measured knee of the
+    # full CH x S x n ladder — +5.7%/+6.7% over CH=1 at n=1024/4096,
+    # CH=8 uncompilable at S=16 — see BASELINE "r5 multi-chain
+    # verdict". BENCH_SWEEP_CHAINS=1 restores one chain.
     CH = int(os.environ.get("BENCH_SWEEP_CHAINS", "4"))
     groups = max(1, n_sweep // (S * CH))
     sweep = megakernel_pendulum_sweep_fn(

@@ -41,9 +41,14 @@ from dust_tpu.ops.pallas_sweep_episode import fused_pendulum_sweep_episode
 
 HZ, M, NA, MM = 30, 3, 128, 50
 # N_SC=16 measures the production (r4 widened) layout; N_SC=8 the
-# r1-r3 one. GROUPS scales down so the episode batch stays 256.
+# r1-r3 one. CHAINS>1 measures the r4/r5 multi-chain body (n_chains
+# independent episode-chains per program — marginals then say what the
+# chain interleaving does and does not hide). GROUPS scales down so
+# the episode batch stays 256.
 N_SC = int(os.environ.get("N_SC", "8"))
-STEPS, GROUPS = 200, int(os.environ.get("GROUPS", str(256 // N_SC)))
+CHAINS = int(os.environ.get("CHAINS", "1"))
+STEPS = 200
+GROUPS = int(os.environ.get("GROUPS", str(max(1, 256 // (N_SC * CHAINS)))))
 
 
 def run(tag, n_params=8, m_mpf=MM, mpf_steps=20, mpf_fixed_bw=None,
@@ -63,7 +68,7 @@ def run(tag, n_params=8, m_mpf=MM, mpf_steps=20, mpf_fixed_bw=None,
             n_act=NA, m_mpf=m_mpf, mpf_steps=mpf_steps,
             mpf_fixed_bw=mpf_fixed_bw,
             unroll=os.environ.get("UNROLL", "1") == "1",
-            probe_skip=probe_skip,
+            probe_skip=probe_skip, n_chains=CHAINS,
         )["cost"]
 
     @jax.jit
@@ -83,7 +88,8 @@ def run(tag, n_params=8, m_mpf=MM, mpf_steps=20, mpf_fixed_bw=None,
         once(r + 1).block_until_ready()
         ts.append(time.perf_counter() - t0)
     us = min(ts) / (STEPS * GROUPS) * 1e6
-    print(f"{tag}: {us:.1f} us/group-step")
+    per_solve = us / (N_SC * CHAINS)
+    print(f"{tag}: {us:.1f} us/group-step ({per_solve:.2f} us/solve)")
     return us
 
 

@@ -176,7 +176,8 @@ def sweep_group_bytes(S=8, m=3, hz=30, m_mpf=50, steps=200):
 
 
 # ------------------------------------------------------------- measure
-def measure_sweep(steps=200, groups=32, repeats=3):
+def measure_sweep(steps=200, groups=16, repeats=3, n_sc=16,
+                  n_chains=4):
     import jax
     import jax.numpy as jnp
 
@@ -186,10 +187,11 @@ def measure_sweep(steps=200, groups=32, repeats=3):
     config = load_config(ROOT / "demo/pendulum_config.yaml")
     stack = build_pendulum_stack(config, jax.random.key(0), case="dust")
     sweep = megakernel_pendulum_sweep_fn(
-        stack, config["exp_params"], steps=steps, n_sc=8, unroll=True
+        stack, config["exp_params"], steps=steps, n_sc=n_sc,
+        unroll=True, n_chains=n_chains,
     )
-    lens = jnp.linspace(0.8, 1.2, 8)
-    mass = jnp.linspace(0.9, 1.1, 8)
+    lens = jnp.linspace(0.8, 1.2, n_sc)
+    mass = jnp.linspace(0.9, 1.1, n_sc)
 
     @jax.jit
     def run_groups(seeds):
@@ -213,7 +215,8 @@ def measure_sweep(steps=200, groups=32, repeats=3):
     return best / (groups * steps)     # seconds per group-step
 
 
-def measure_particle_sweep(steps=200, groups=8, repeats=3):
+def measure_particle_sweep(steps=200, groups=8, repeats=3,
+                           n_sc=16, n_chains=1):
     import jax
     import jax.numpy as jnp
 
@@ -223,9 +226,10 @@ def measure_particle_sweep(steps=200, groups=8, repeats=3):
     config = load_config(ROOT / "demo/particle_config.yaml")
     stack = build_particle_stack(config, jax.random.key(0))
     sweep = megakernel_particle_sweep_fn(
-        stack, config["exp_params"], steps=steps, n_sc=8, unroll=True
+        stack, config["exp_params"], steps=steps, n_sc=n_sc,
+        unroll=True, n_chains=n_chains,
     )
-    masses = jnp.linspace(1.6, 2.4, 8)
+    masses = jnp.linspace(1.6, 2.4, n_sc)
 
     @jax.jit
     def run_groups(seeds):
@@ -312,22 +316,30 @@ def main():
         measured["particle_group_step_s"] = measure_particle_sweep()
         measured["mpf2048_update_s"] = measure_fused_mpf(2048)
         measured["mpf8192_update_s"] = measure_fused_mpf(8192, chain=4)
+        measured["mpf32768_update_s"] = measure_fused_mpf(32768,
+                                                          chain=2)
     else:
         measured = dict(RECORDED)
 
     rows = []
-    # sweep megakernel
-    fl = sweep_group_step_flops()
+    # sweep megakernel at the SHIPPING shape (r5): S=16 scenario tiles
+    # x CH=4 independent chains = 64 solves per program-step; the
+    # analytic per-step count scales linearly in S and CH (every
+    # section's tiles gain the scenario/chain factor)
+    SWEEP_S, SWEEP_CH = 16, 4
+    fl1 = sweep_group_step_flops(S=SWEEP_S)
+    fl = {k: v * SWEEP_CH for k, v in fl1.items()}
     t = measured["sweep_group_step_s"]
     ach = fl["total"] / t
-    ep_bytes = sweep_group_bytes()
+    ep_bytes = sweep_group_bytes(S=SWEEP_S) * SWEEP_CH
     useful = fl["total"] - fl["mpf_colbcast_mxu"]
     rows.append({
         "kernel": "sweep_megakernel_group_step",
         "flops": fl["total"],
         "flop_breakdown": {k: v for k, v in fl.items() if k != "total"},
         "seconds": round(t * 1e6, 3),
-        "unit": "us/group-step (8 solves)",
+        "unit": f"us/group-step ({SWEEP_S * SWEEP_CH} solves, "
+                f"S={SWEEP_S} x CH={SWEEP_CH})",
         "achieved_total_tflops": round(ach / 1e12, 3),
         # the colbcast matmuls are MXU data movement; only the rest is
         # useful math, so the MFU split is per-unit:
@@ -340,8 +352,10 @@ def main():
         "binds": "MXU broadcast dispatches (colbcast) + serial "
                  "dependency chains; HBM idle (VMEM-resident)",
     })
-    # particle sweep megakernel (VERDICT r3 #5)
-    fl = particle_sweep_group_step_flops()
+    # particle sweep megakernel (VERDICT r3 #5; r5 shipping shape)
+    PART_S, PART_CH = 16, 1
+    flp = particle_sweep_group_step_flops(S=PART_S)
+    fl = {k: v * PART_CH for k, v in flp.items()}
     t = measured["particle_group_step_s"]
     ach = fl["total"] / t
     useful = fl["total"] - fl["mpf_colbcast_mxu"]
@@ -350,7 +364,8 @@ def main():
         "flops": fl["total"],
         "flop_breakdown": {k: v for k, v in fl.items() if k != "total"},
         "seconds": round(t * 1e6, 3),
-        "unit": "us/group-step (8 solves)",
+        "unit": f"us/group-step ({PART_S * PART_CH} solves, "
+                f"S={PART_S} x CH={PART_CH})",
         "achieved_total_tflops": round(ach / 1e12, 3),
         "pct_mxu_f32_peak_total": round(100 * ach / MXU_F32, 2),
         "useful_math_tflops": round(useful / t / 1e12, 3),
@@ -359,7 +374,11 @@ def main():
                  "dependency chains (hz=40 rollout/acc loops, "
                  "mpf_steps=20 loop); HBM idle (VMEM-resident)",
     })
-    for m, key in ((2048, "mpf2048_update_s"), (8192, "mpf8192_update_s")):
+    for m, key in ((2048, "mpf2048_update_s"),
+                   (8192, "mpf8192_update_s"),
+                   (32768, "mpf32768_update_s")):
+        if key not in measured:
+            continue
         fm = fused_mpf_update_flops(m)
         t = measured[key]
         ach = fm["total"] / t

@@ -401,9 +401,10 @@ def test_sweep_multi_chain_matches_single_chain_runs():
     """n_chains=2 (r4): two independent episode-chains advance inside
     ONE Pallas program (their step bodies run back-to-back per fori
     iteration so the scheduler can overlap serial dependency chains —
-    measured +5-8% solves/s on hardware, BASELINE "r4 multi-chain").
-    Each chain must be BIT-IDENTICAL to a single-chain run on the same
-    per-chain host noise."""
+    measured +5.7-6.7% solves/s at the S=16/CH=4 bench default,
+    BASELINE "r5 multi-chain verdict"). Each chain must be
+    BIT-IDENTICAL to a single-chain run on the same per-chain host
+    noise."""
     import numpy as np
 
     from dust_tpu.experiments import build_pendulum_stack, load_config
