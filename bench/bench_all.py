@@ -450,10 +450,13 @@ def bench_particle_sweep_mega(n_scenarios, steps, repeats):
     S = 8 at n >= 256; BENCH_SWEEP_S=8 restores the r1-r3 layout)."""
     from dust_tpu.simulation import megakernel_particle_sweep_fn
 
-    S = min(int(os.environ.get("BENCH_SWEEP_S", "16")), n_scenarios)
     # r5 multi-chain (ported from the pendulum sweep kernel): CH
-    # independent episode-chains per Pallas program; BASELINE
-    # "r5 multi-chain" has the measured ladder.
+    # independent episode-chains per Pallas program. The particle
+    # ladder's winner is S=8 x CH=4 — S=8 x CH=4 beats S=16 at every n
+    # (433.9k vs 403.3k at n=2048) and S=16 x CH=4 exceeds the remote
+    # compiler's ceiling; BASELINE "r5 multi-chain verdict (particle)"
+    # has the measured ladder.
+    S = min(int(os.environ.get("BENCH_SWEEP_S", "8")), n_scenarios)
     CH = int(os.environ.get("BENCH_SWEEP_CHAINS", "4"))
     while S * CH > n_scenarios and CH > 1:
         CH //= 2

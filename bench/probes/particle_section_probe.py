@@ -47,8 +47,10 @@ from dust_tpu.experiments import build_particle_stack, load_config
 from dust_tpu.simulation import megakernel_particle_sweep_fn
 
 STEPS, REPEATS = 200, 3
-# N_SC=16 measures the r4 widened layout; 8 (default) the r1-r3 one
+# N_SC=16 measures the r4 widened layout; 8 (default) the r1-r3 one.
+# CHAINS>1 measures the r5 multi-chain body.
 N_SC = int(os.environ.get("N_SC", "8"))
+CHAINS = int(os.environ.get("CHAINS", "1"))
 GROUPS = int(os.environ.get("GROUPS", "8"))
 
 
@@ -58,7 +60,7 @@ def run(tag, probe_skip=(), **overrides):
     stack = build_particle_stack(config, jax.random.key(0))
     sweep = megakernel_particle_sweep_fn(
         stack, config["exp_params"], steps=STEPS, n_sc=N_SC,
-        unroll=True, probe_skip=probe_skip,
+        unroll=True, probe_skip=probe_skip, n_chains=CHAINS,
     )
     masses = jnp.linspace(1.6, 2.4, N_SC)
 

@@ -216,7 +216,7 @@ def measure_sweep(steps=200, groups=16, repeats=3, n_sc=16,
 
 
 def measure_particle_sweep(steps=200, groups=8, repeats=3,
-                           n_sc=16, n_chains=1):
+                           n_sc=8, n_chains=4):
     import jax
     import jax.numpy as jnp
 
@@ -352,8 +352,10 @@ def main():
         "binds": "MXU broadcast dispatches (colbcast) + serial "
                  "dependency chains; HBM idle (VMEM-resident)",
     })
-    # particle sweep megakernel (VERDICT r3 #5; r5 shipping shape)
-    PART_S, PART_CH = 16, 1
+    # particle sweep megakernel (VERDICT r3 #5; r5 shipping shape —
+    # the particle ladder's winner is S=8 x CH=4, BASELINE
+    # "r5 multi-chain verdict (particle)")
+    PART_S, PART_CH = 8, 4
     flp = particle_sweep_group_step_flops(S=PART_S)
     fl = {k: v * PART_CH for k, v in flp.items()}
     t = measured["particle_group_step_s"]
