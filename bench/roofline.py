@@ -291,15 +291,17 @@ def measure_fused_mpf(m, steps=20, repeats=3, chain=20):
     return best / chain                 # seconds per update
 
 
-# r2 recorded rates (SKIP_MEASURE path; refreshed whenever the script
+# recorded rates (SKIP_MEASURE path; refreshed whenever the script
 # runs on hardware)
-RECORDED = {        # measured r4 2026-08-20 on one v5e via the tunnel
-    "sweep_group_step_s": 24.355e-6,
-    "mpf2048_update_s": 2.638e-3,
-    "mpf8192_update_s": 16.006e-3,
-    # r4 post-halfeps (GROUPS=8; 38.1 at GROUPS=8 same-day A/B probe,
-    # 41.8 in this script's measure — tunnel-load variance)
-    "particle_group_step_s": 41.809e-6,
+RECORDED = {        # measured r5 2026-08-21 on one v5e via the tunnel
+    # SHIPPING shapes: pendulum S=16 x CH=4 (64 solves/program-step,
+    # 2.06 us/solve), particle S=8 x CH=4 (32 solves, 2.91 us/solve at
+    # the 256-episode batch; 2.30 at n=2048 — chain_ladder probes)
+    "sweep_group_step_s": 131.565e-6,
+    "particle_group_step_s": 93.139e-6,
+    "mpf2048_update_s": 2.786e-3,
+    "mpf8192_update_s": 16.789e-3,
+    "mpf32768_update_s": 134.635e-3,
 }
 
 
