@@ -768,6 +768,7 @@ def _pendulum_sweep_kernel(
             if "mpfglue" in skip:
                 # keep the posterior state + a cheap dependency
                 mpfx_ref[:] = mpfx_ref[:] + jnp.sum(bw_mpf_col) * 0.0
+                mpf_plan = None
             else:
                 scal_s = []                   # per-scenario MPF scalars
                 for s in range(n_sc):
@@ -1143,27 +1144,44 @@ def _pendulum_sweep_kernel(
                         x1c + jnp.where(gvcN, mpf_lr * phi1, 0.0),
                     )
 
+                # r5 joint-MPF: the fori itself is DEFERRED to step_all,
+                # which runs ONE loop advancing every chain's carry per
+                # iteration. With n_chains > 1 the chains' 20-iteration
+                # serial MPF loops previously ran back-to-back — whole
+                # step bodies apart, far beyond Mosaic's scheduling
+                # window — so the dominant serial section (43.8 us of
+                # the 157.8 us S=16 x CH=4 group-step, BASELINE r5
+                # attribution) never saw the chain overlap the
+                # dualchain probe promises. Interleaving at ITERATION
+                # granularity puts ~450 ns of independent work adjacent
+                # every iteration. Values are bit-identical (pure
+                # cross-chain reordering of independent ops).
                 if mpf_drive_layout == "symm":
-                    x0f, x1f = jax.lax.fori_loop(
-                        0, mpf_steps, mpf_body_symm, (c0c, c1c),
-                        unroll=max(1, mpf_steps) if unroll else 1)
-                    # the symm carry IS the paired-lane column layout the
-                    # commit below expects — no final relayout
+                    # the symm carry IS the paired-lane column layout
+                    # the commit below expects — no final relayout
+                    mpf_body_fn, mpf_carry0 = mpf_body_symm, (c0c, c1c)
                 else:
-                    x0f_r, x1f_r = jax.lax.fori_loop(
-                        0, mpf_steps, mpf_body, (c0r8, c1r8),
-                        unroll=max(1, mpf_steps) if unroll else 1)
-                    # commit once: particle lanes (0/1 and 64/65) on valid rows
-                    # take the final carry (converted back to the paired-lane
-                    # column layout via colbcast); every other lane/row keeps
-                    # its step-start value exactly as the old masked write did
-                    x0f = colbcast(to_blocks(x0f_r))
-                    x1f = colbcast(to_blocks(x1f_r))
-                mpfx_ref[:] = jnp.where(
-                    valid_rowN & ((laneN == 0) | (laneN == 64)), x0f,
-                    jnp.where(
-                        valid_rowN & ((laneN == 1) | (laneN == 65)), x1f,
-                        xsnap))
+                    mpf_body_fn, mpf_carry0 = mpf_body, (c0r8, c1r8)
+
+                def mpf_commit(final):
+                    if mpf_drive_layout == "symm":
+                        x0f, x1f = final
+                    else:
+                        # commit once: particle lanes (0/1 and 64/65) on
+                        # valid rows take the final carry (converted back
+                        # to the paired-lane column layout via colbcast);
+                        # every other lane/row keeps its step-start value
+                        # exactly as the old masked write did
+                        x0f_r, x1f_r = final
+                        x0f = colbcast(to_blocks(x0f_r))
+                        x1f = colbcast(to_blocks(x1f_r))
+                    mpfx_ref[:] = jnp.where(
+                        valid_rowN & ((laneN == 0) | (laneN == 64)), x0f,
+                        jnp.where(
+                            valid_rowN & ((laneN == 1) | (laneN == 65)),
+                            x1f, xsnap))
+
+                mpf_plan = (mpf_body_fn, mpf_carry0, mpf_commit)
 
             # ---- logs + sim-state commit ----
             def scatter8(col):
@@ -1210,7 +1228,7 @@ def _pendulum_sweep_kernel(
                 + jnp.where(lane_s == 1, om2, 0.0)
                 + jnp.where(lane_s == 2, bw_mpf_col, 0.0)
             )
-            return 0
+            return mpf_plan
 
         def finalize():
             theta_out_ref[:] = theta_ref[:]
@@ -1228,8 +1246,24 @@ def _pendulum_sweep_kernel(
                              *scr_all[6 * c:6 * c + 6]))
 
     def step_all(t, _):
-        for st, _fin in chains:
-            st(t, 0)
+        # each chain's step returns its deferred MPF plan (body fn,
+        # initial carry, commit); ONE joint fori advances every chain's
+        # carry per iteration so the chains' dominant serial loops
+        # interleave at iteration granularity (see the MPF section)
+        plans = [st(t, 0) for st, _fin in chains]
+        plans = [pln for pln in plans if pln is not None]
+        if plans:
+            def joint_mpf(i, carries):
+                return tuple(body(i, c)
+                             for (body, _c0, _cm), c
+                             in zip(plans, carries))
+
+            finals = jax.lax.fori_loop(
+                0, mpf_steps, joint_mpf,
+                tuple(c0 for _b, c0, _cm in plans),
+                unroll=max(1, mpf_steps) if unroll else 1)
+            for (_b, _c0, commit), c in zip(plans, finals):
+                commit(c)
         return 0
 
     jax.lax.fori_loop(0, steps, step_all, 0)
