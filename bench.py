@@ -149,13 +149,15 @@ def bench_episode_sweep(stack, config):
 
     n_sweep = int(os.environ.get("BENCH_SWEEP_N", "256"))
     S = int(os.environ.get("BENCH_SWEEP_S", "16"))
-    # Multi-chain: CH independent episode-chains per Pallas program
-    # (back-to-back step bodies give the scheduler independent serial
-    # chains to overlap). CH=4 at S=16 is the measured knee of the
-    # full CH x S x n ladder — +5.7%/+6.7% over CH=1 at n=1024/4096,
-    # CH=8 uncompilable at S=16 — see BASELINE "r5 multi-chain
-    # verdict". BENCH_SWEEP_CHAINS=1 restores one chain.
-    CH = int(os.environ.get("BENCH_SWEEP_CHAINS", "4"))
+    # Multi-chain: CH independent episode-chains per Pallas program,
+    # with the chains' 20-iteration MPF loops JOINTLY interleaved at
+    # iteration granularity (r5, "joint-MPF" — the dominant serial
+    # section overlaps across chains). CH=2 is the measured best at
+    # the n=256 headline batch (427.2k vs CH=4's 416.1k) and CH=3 the
+    # n>=1024 peak (543.8k at n=4096) — full ladder in BASELINE
+    # "r5 multi-chain verdict"; CH=8 uncompilable at S=16.
+    # BENCH_SWEEP_CHAINS=1 restores one chain.
+    CH = int(os.environ.get("BENCH_SWEEP_CHAINS", "2"))
     groups = max(1, n_sweep // (S * CH))
     sweep = megakernel_pendulum_sweep_fn(
         stack, config["exp_params"], steps=STEPS, n_sc=S, warm_up=0,

@@ -177,7 +177,7 @@ def sweep_group_bytes(S=8, m=3, hz=30, m_mpf=50, steps=200):
 
 # ------------------------------------------------------------- measure
 def measure_sweep(steps=200, groups=16, repeats=3, n_sc=16,
-                  n_chains=4):
+                  n_chains=2):
     import jax
     import jax.numpy as jnp
 
@@ -328,7 +328,7 @@ def main():
     # x CH=4 independent chains = 64 solves per program-step; the
     # analytic per-step count scales linearly in S and CH (every
     # section's tiles gain the scenario/chain factor)
-    SWEEP_S, SWEEP_CH = 16, 4
+    SWEEP_S, SWEEP_CH = 16, 2
     fl1 = sweep_group_step_flops(S=SWEEP_S)
     fl = {k: v * SWEEP_CH for k, v in fl1.items()}
     t = measured["sweep_group_step_s"]

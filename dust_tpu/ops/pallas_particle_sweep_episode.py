@@ -950,7 +950,6 @@ def _particle_sweep_kernel(
                 mpfx_ref[:] = mpfx_ref[:] + (
                     jnp.sum(bw_mpf_col) + jnp.sum(a_x_col)
                     + jnp.sum(nvx) + jnp.sum(pbw_col)) * 0.0
-                mpf_plan = None
             else:
                 inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
                 if crash and rects is not None:
@@ -1017,26 +1016,18 @@ def _particle_sweep_kernel(
                         * (1.0 / m_mpf)
                     return x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0)
 
-                # r5 joint-MPF (the pendulum kernel's move): the fori
-                # is deferred to step_all, which runs ONE loop advancing
-                # every chain's carry per iteration so the chains'
-                # dominant serial MPF loops interleave at iteration
-                # granularity instead of running whole step bodies
-                # apart. Values are bit-identical (pure cross-chain
-                # reordering of independent ops).
-                # per-scenario gate expanded to (pair row, lane half):
-                # gateN follows the same lane-half layout as the
-                # particle values, so one masked commit covers both
+                x0f_r = jax.lax.fori_loop(
+                    0, mpf_steps, mpf_body, c0r8,
+                    unroll=max(1, mpf_steps) if unroll else 1)
+                x0f = colbcast(to_blocks(x0f_r))
+                # per-scenario gate expanded to (pair row, lane half): gateN
+                # follows the same lane-half layout as the particle values, so
+                # one masked commit covers both halves
                 gateN = to_blocks(
                     pair_tile(jnp.where(gate_col, 1.0, 0.0))) > 0.5
-
-                def mpf_commit(x0f_r):
-                    x0f = colbcast(to_blocks(x0f_r))
-                    mpfx_ref[:] = jnp.where(
-                        valid_rowN & ((laneN == 0) | (laneN == 64))
-                        & gateN, x0f, xsnap)
-
-                mpf_plan = (mpf_body, c0r8, mpf_commit)
+                mpfx_ref[:] = jnp.where(
+                    valid_rowN & ((laneN == 0) | (laneN == 64)) & gateN,
+                    x0f, xsnap)
 
             bw_mpf_eff = jnp.where(gate_col, bw_mpf_col, pbw_col)
             nlik_px = jnp.where(gate_col, npx, lik_px)
@@ -1117,7 +1108,7 @@ def _particle_sweep_kernel(
                 sim_new = jnp.where(lane_ns == i, jnp.broadcast_to(
                     colv_, (ns, 128)), sim_new)
             sim_ref[:] = sim_new
-            return mpf_plan
+            return 0
 
         def finalize():
             theta_out_ref[:] = theta_ref[:]
@@ -1136,22 +1127,8 @@ def _particle_sweep_kernel(
                              *scr_all[12 * c:12 * c + 12]))
 
     def step_all(t, _):
-        # joint cross-chain MPF loop (see the MPF section): one fori
-        # advances every chain's carry per iteration
-        plans = [st(t, 0) for st, _fin in chains]
-        plans = [pln for pln in plans if pln is not None]
-        if plans:
-            def joint_mpf(i, carries):
-                return tuple(body(i, c)
-                             for (body, _c0, _cm), c
-                             in zip(plans, carries))
-
-            finals = jax.lax.fori_loop(
-                0, mpf_steps, joint_mpf,
-                tuple(c0 for _b, c0, _cm in plans),
-                unroll=max(1, mpf_steps) if unroll else 1)
-            for (_b, _c0, commit), c in zip(plans, finals):
-                commit(c)
+        for st, _fin in chains:
+            st(t, 0)
         return 0
 
     jax.lax.fori_loop(0, steps, step_all, 0)
