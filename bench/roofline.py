@@ -294,11 +294,13 @@ def measure_fused_mpf(m, steps=20, repeats=3, chain=20):
 # recorded rates (SKIP_MEASURE path; refreshed whenever the script
 # runs on hardware)
 RECORDED = {        # measured r5 2026-08-21 on one v5e via the tunnel
-    # SHIPPING shapes: pendulum S=16 x CH=4 (64 solves/program-step,
-    # 2.06 us/solve), particle S=8 x CH=4 (32 solves, 2.91 us/solve at
-    # the 256-episode batch; 2.30 at n=2048 — chain_ladder probes)
-    "sweep_group_step_s": 131.565e-6,
-    "particle_group_step_s": 93.139e-6,
+    # SHIPPING shapes: pendulum S=16 x CH=2 joint-MPF (32 solves per
+    # program-step, 2.13 us/solve at the 512-episode batch; 1.84 at
+    # n=4096 CH=3 — chain_ladder probes), particle S=8 x CH=4
+    # per-chain MPF (32 solves, 2.76 us/solve at the 256-episode
+    # batch; 2.30 at n=2048)
+    "sweep_group_step_s": 68.069e-6,
+    "particle_group_step_s": 88.234e-6,
     "mpf2048_update_s": 2.786e-3,
     "mpf8192_update_s": 16.789e-3,
     "mpf32768_update_s": 134.635e-3,
