@@ -534,701 +534,718 @@ def _pendulum_sweep_kernel(
                 sd, cd = _rot_sincos(om * dt, _MAX_SPEED * dt)
                 return cost, cth * cd - sth * sd, sth * cd + cth * sd, om
 
+            # r5 joint-rollout (the joint-MPF pattern extended): the
+            # hz-step rollout fori is ALSO deferred to step_all, which
+            # advances every chain's rollout carry in one joint loop —
+            # and the deferral additionally packs the chains' pre-
+            # rollout sections (rng fills, draws) back-to-back, closer
+            # adjacency for the scheduler everywhere. The rest of the
+            # step body moves into `cont`, resumed per chain after the
+            # joint rollout. Values bit-identical (pure cross-chain
+            # reordering of independent ops).
             if "rollout" in skip:
-                cost = zsr + th0_col * th0_col + om0_col \
+                cost_skip = zsr + th0_col * th0_col + om0_col \
                     + (c_grav + c_act) * 1e-9 \
                     + jnp.sum(eps_ref[0:1, 0:1]) * 0.0
+                roll_plan = None
             else:
-                cost, cth, _, om = jax.lax.fori_loop(
-                    0, hz, roll_body,
-                    (zsr, jnp.cos(zsr + th0_col), jnp.sin(zsr + th0_col),
-                     zsr + om0_col),
-                    unroll=hz if unroll else 1,
-                )
-                cost = cost + _SWINGUP_W * (cth - 1.0) ** 2 + om * om
+                cost_skip = None
+                roll_plan = (roll_body,
+                             (zsr, jnp.cos(zsr + th0_col),
+                              jnp.sin(zsr + th0_col), zsr + om0_col))
 
-            # ---- param-averaged costs [smp, 128] ----
-            mcost = cost[0:sm, :]
-            for p in range(1, n_params):
-                mcost = mcost + cost[p * sm:(p + 1) * sm, :]
-            mcost = mcost * (1.0 / n_params)
-            if smp != sm:
-                mcost = jnp.concatenate(
-                    [mcost, jnp.zeros((smp - sm, 128), jnp.float32)], axis=0
-                )
-            valid = (lane_sm < n_act) & valid_sm
-            mcost_v = jnp.where(valid, mcost, _POS_BIG)
-
-            # ---- DISCO update with per-scenario normalizers ----
-            if "disco" in skip:
-                omega = jnp.where(valid, 1.0 / n_act, 0.0) + mcost * 1e-12
-                w_lik = omega
-                log_l = mcost[:, 0:1] * 1e-6
-            else:
-                omega, w_lik, log_l = _disco_weights_sweep(
-                    mcost, mcost_v, valid, sm, smp, m, n_sc, n_act,
-                    inv_temp, alpha, exp_util)
-
-            # DISCO delta + analytic likelihood gradient. The delta drops
-            # the a_seq term: this kernel requires the controller a_seq to
-            # be zero (the SVMPC demo path never calls controller.step;
-            # megakernel_pendulum_sweep_fn checks the concrete init state).
-            # The weights are normalized (sum_l omega = sum_l w_lik = 1 over
-            # valid lanes), so sum_l w*(theta_t + sigma*eps) = theta_t +
-            # sigma*sum_l w*eps — the per-iteration theta broadcast drops
-            # out of the loop and theta cancels exactly in the likelihood
-            # gradient (wa - theta = sigma*sum w*eps).
-            if "acc" in skip:
-                d_eps = omega * 1e-9 + jnp.sum(eps_ref[0:1, 0:1]) * 0.0
-                w_eps = w_lik * 1e-9
-            else:
-                def acc_body(tt, carry):
-                    de, we_acc = carry
-                    e_sm = eps_ref[pl.ds(tt * smp, smp), :]
-                    dq = jnp.sum(omega * e_sm, axis=1, keepdims=True)
-                    wq = jnp.sum(w_lik * e_sm, axis=1, keepdims=True)
-                    de = de + jnp.where(lane_sm == tt, dq, 0.0)
-                    we_acc = we_acc + jnp.where(lane_sm == tt, wq, 0.0)
-                    return de, we_acc
-
-                d_eps, w_eps = jax.lax.fori_loop(
-                    0, hz, acc_body,
-                    (jnp.zeros((smp, 128), jnp.float32),
-                     jnp.zeros((smp, 128), jnp.float32)),
-                    unroll=hz if unroll else 1,
-                )
-            delta = jnp.where(lane_sm < hz, theta + sigma_c * d_eps, 0.0)
-            glik = sigma_c * w_eps * inv_s2
-
-            # ---- Stein direction via block-masked pairwise matrices ----
-            # Pairwise distances within a scenario block are translation
-            # invariant, and the MXU Gram identity |x|^2 - 2 x.y + |y|^2
-            # runs its dot_general in bf16 passes: the cancellation error
-            # grows with |theta|^2 while the Silverman bandwidth only
-            # tracks the SPREAD, so uncentered Gram blows up exp(-d2/2bw^2)
-            # once |theta| drifts (measured: theta -> 1e8 -> NaN on long
-            # hw-PRNG episodes). Center per scenario block first (one
-            # block-mask matmul) so every norm is spread-scale, and clamp
-            # d2 at 0.
-            # NaN isolation: the block masks zero off-scenario MATRIX
-            # entries, but a dot's column operand still poisons every row
-            # through 0 * NaN = NaN. Sanitize the column operands of the
-            # five cross-row matmuls so a diverged scenario stays NaN in
-            # its own rows (its elementwise path keeps the NaN) without
-            # leaking into healthy scenarios (parallel/sweep.py's
-            # per-scenario failure-isolation contract).
-            def fin(v):
-                # finite test as sub/compare/select only (v - v is 0 for
-                # finite v, NaN for inf/NaN) — guaranteed to lower in
-                # Mosaic, unlike a jnp.isfinite intrinsic
-                return jnp.where(v - v == 0.0, v, 0.0)
-
-            blkf = blk.astype(jnp.float32) * (1.0 / m)
-            if "stein" in skip:
-                theta_new = jnp.where(valid_sm & (lane_sm < ev),
-                                      theta + lr * glik * 1e-3, 0.0)
-            else:
-                theta_new = _stein_update_sweep(
-                    theta, locs, glik, blk, blkf, valid_sm, lane_sm,
-                    inv_ps2, log_mix, inv_bw2_col, lr, m, ev, smp, fin)
-
-            # ---- forward: per-scenario weights / select / roll ----
-            if "forward" in skip:
-                act_col = th_col * 1e-3 \
-                    + jnp.sum(theta_new[0:1, 0:1]) * 1e-9 \
-                    + jnp.sum(log_l[0:1, 0:1]) * 1e-12
-                theta_fwd = theta_new
-            else:
-                # same per-scenario centering discipline as the Stein block
-                mean_n = jnp.dot(blkf, fin(theta_new),
-                                 preferred_element_type=jnp.float32)
-                nc = theta_new - mean_n
-                lc_n = locs - mean_n
-                tn_norm = jnp.sum(nc * nc, axis=1, keepdims=True)
-                ln_norm = jnp.sum(lc_n * lc_n, axis=1, keepdims=True)
-                g_nl = _block_dot_t(nc, lc_n)
-                d2_nl = jnp.maximum(
-                    tn_norm - 2.0 * g_nl + ln_norm.reshape(1, smp), 0.0
-                )
-                lp_new = jnp.where(blk, -0.5 * inv_ps2 * d2_nl + log_mix,
-                                   _NEG_BIG)
-                n_max = jnp.max(lp_new, axis=1, keepdims=True)
-                log_p = n_max + jnp.log(jnp.maximum(
-                    jnp.sum(jnp.exp(lp_new - n_max), axis=1,
-                            keepdims=True),
-                    1e-37,
-                ))
-                log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p,
-                                  _NEG_BIG)
-
-                # per-scenario argmax selection, VECTORIZED over scenarios:
-                # the block-masked [smp, smp] weight matrix turns every
-                # per-block max / argmin into one row reduction for all
-                # scenarios at once (the old serial loop also built a dead
-                # full-width a_seq row per scenario; only lane 0 — the
-                # applied action — was ever consumed)
-                rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
-                col_idx = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1)
-                w_row = _row_of_column(log_w, smp)            # [1, 128]
-                wmat = jnp.where(blk, jnp.broadcast_to(
-                    w_row[:, 0:smp], (smp, smp)), _NEG_BIG)
-                wmax = jnp.max(wmat, axis=1, keepdims=True)   # block max
-                is_max = blk & (wmat >= wmax)
-                i_star = jnp.min(jnp.where(is_max, col_idx, smp), axis=1,
-                                 keepdims=True)               # [smp, 1]
-                onehot = (rowm1 == i_star).astype(jnp.float32)
-                a_all = onehot * theta_new[:, 0:1]            # [smp, 1]
-                # per-scenario selected action: one [n_sc, m] reshape-sum
-                # (r3, the particle kernel's block_sum_col), replacing the
-                # n_sc serial masked-sum + select chain
-                a_sum = jnp.sum(a_all[0:sm, 0:1].reshape(n_sc, m), axis=1,
-                                keepdims=True)                # [n_sc, 1]
-                act_col = (a_sum if n_sc == ns else jnp.concatenate(
-                    [a_sum, jnp.zeros((ns - n_sc, 1), jnp.float32)],
-                    axis=0))
-
-                rolled = pltpu.roll(theta_new, shift=128 - 1, axis=1)
-                theta_fwd = jnp.where(
-                    lane_sm < (hz - 1), rolled,
-                    jnp.where(lane_sm < ev, theta_new, 0.0),
-                )
-
-            if warm_up > 0:
-                active = t >= warm_up
-                act_col = jnp.where(active, act_col, 0.0)
-                theta_next = jnp.where(active, theta_fwd, theta_new)
-                locs_next = jnp.where(active, theta_fwd, locs)
-            else:
-                theta_next = theta_fwd
-                locs_next = theta_fwd
-            theta_ref[:] = jnp.where(valid_sm, theta_next, 0.0)
-            locs_ref[:] = jnp.where(valid_sm, locs_next, 0.0)
-            amat_ref[:] = jnp.where(valid_sm, amat_ref[:] + delta,
-                                    amat_ref[:])
-
-            # ---- simulator: all S pendulums as column physics ----
-            a_cl = jnp.clip(act_col, -_MAX_TORQUE, _MAX_TORQUE)
-            if "sim" in skip:
-                om2 = om_col + a_cl * 1e-9
-                th2 = th_col + om2 * dt
-                cost_col = om2 * om2
-            else:
-                il_t = il_true_ref[:, 0:1]
-                im_t = im_true_ref[:, 0:1]
-                om2 = om_col + (
-                    -3.0 * g_sim * 0.5 * il_t * sin_col
-                    + 3.0 * im_t * il_t * il_t * a_cl
-                ) * dt
-                om2 = jnp.clip(om2, -_MAX_SPEED, _MAX_SPEED)
-                th2 = th_col + om2 * dt
-                cost_col = _SWINGUP_W * (jnp.cos(th2) - 1.0) ** 2 \
-                    + om2 * om2
-
-            # ---- MPF updates: TWO scenarios per tile (lane groups 0-63 /
-            # 64-127) and ALL pairs stacked on the sublane axis into ONE
-            # fori body. Pairing scenarios in the lane halves halved the
-            # serial loop (the MPF section was 65% of the step at one
-            # scenario per iteration); stacking the n_pair tiles halves it
-            # again at 52.9%: every [1, 128] row-layout op becomes one
-            # [8, 128] op (still a single vreg) and every [mp, 128]
-            # pairwise op one [n_pair*mp, 128] op — same vector work,
-            # ~n_pair x fewer serialized instructions ----
-            # per-scenario MPF Silverman: the draws section's l_a/m_a/l_b/
-            # m_b row tiles already hold every scenario's particle values
-            # along lanes (mpfx_ref is unwritten since they were built), so
-            # the bandwidth rows need no _row_of_column transposes — and
-            # ONE row-batched bitonic sort covers all scenarios
-            if mpf_fixed_bw is None:
-                mrows = []
-                for s in range(n_sc):
-                    p, g = divmod(s, 2)
-                    lrow = (l_a if g == 0 else l_b)[p:p + 1, :]
-                    mrow_v = (m_a if g == 0 else m_b)[p:p + 1, :]
-                    mrows.append(jnp.where(
-                        lane1 < m_mpf, lrow,
-                        jnp.where(lane1 < 2 * m_mpf,
-                                  pltpu.roll(mrow_v, shift=m_mpf, axis=1),
-                                  _POS_BIG),
-                    ))
-                bwm8 = _silverman_rows(
-                    jnp.concatenate(mrows, axis=0), 2 * m_mpf
-                ) * mpf_bw_scale
-            # bw_mpf column directly (r3): the fixed bandwidth splats, the
-            # Silverman one IS bwm8 — zero rows >= n_sc to preserve the
-            # old loop's unset-row behavior
-            i81c = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
-            if mpf_fixed_bw is not None:
-                bw_mpf_col = jnp.where(i81c < n_sc,
-                                       jnp.float32(mpf_fixed_bw), 0.0)
-            else:
-                bwm8_p = (bwm8 if n_sc == ns else jnp.concatenate(
-                    [bwm8, jnp.zeros((ns - n_sc, 1), jnp.float32)],
-                    axis=0))
-                bw_mpf_col = jnp.where(i81c < n_sc, bwm8_p, 0.0)
-            if "mpfglue" in skip:
-                # keep the posterior state + a cheap dependency
-                mpfx_ref[:] = mpfx_ref[:] + jnp.sum(bw_mpf_col) * 0.0
-                mpf_plan = None
-            else:
-                scal_s = []                   # per-scenario MPF scalars
-                for s in range(n_sc):
-                    if mpf_fixed_bw is not None:
-                        bw_mpf = jnp.float32(mpf_fixed_bw)
-                    else:
-                        bw_mpf = bwm8[s:s + 1, :]
-                    # 0-d col_at extractions of the step-top columns — the
-                    # same values the old per-scenario full-tile masked sums
-                    # produced, without the ~40 serial whole-tile reductions
-                    pbw_s = col_at(pbw_col, s)
-                    scal_s.append(dict(
-                        sin_t=col_at(sin_col, s),
-                        a=col_at(a_cl, s),
-                        om=col_at(om_col, s),
-                        th=col_at(th_col, s),
-                        th2=col_at(th2, s),
-                        om2=col_at(om2, s),
-                        prior_pbw2=1.0 / (pbw_s * pbw_s),
-                        inv_mbw2=1.0 / (bw_mpf * bw_mpf),
-                    ))
-
-                inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
-                n_pair = (n_sc + 1) // 2
-                nmr = n_pair * mp
-                rowN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 0)
-                laneN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 1)
-                pair_of_row = rowN // mp
-                r_in_pair = rowN - pair_of_row * mp
-                in_aN = laneN < 64
-                valid_rowN = r_in_pair < m_mpf
-                row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-                gvr8 = (
-                    (jnp.where(lane8 < 64, lane8, lane8 - 64) < m_mpf)
-                    & ((row8 < n_sc // 2) | (lane8 < 64))
-                    & (row8 < n_pair)
-                )
-                # transposed-body constants: mdiagN picks each row particle's
-                # own lane within each half; h_matN sums within lane halves
-                mdiagN = jnp.where(in_aN, laneN, laneN - 64) == r_in_pair
-                # symm-layout masks: lane validity (half-local lane < m_mpf)
-                # and the column-space update mask (valid particle row AND the
-                # lane half's scenario exists — mirrors gvr8 in column space)
-                valid_laneN = jnp.where(in_aN, laneN, laneN - 64) < m_mpf
-                gvcN = valid_rowN & (in_aN | (pair_of_row < n_sc // 2))
-                h_matN = (
-                    (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) < 64)
-                    == (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) < 64)
-                ).astype(jnp.float32)
-                in_a8 = lane8 < 64
-                if mpf_drive_layout == "lanepack":
-                    # lane-packed drive constants: L's K axis matches k's row
-                    # packing (p*mp + q), so pair p's row of L carries its
-                    # operand values at lanes [p*mp, p*mp + mp)
-                    laneK = jax.lax.broadcasted_iota(jnp.int32, (8, nmr), 1)
-                    rowK = jax.lax.broadcasted_iota(jnp.int32, (8, nmr), 0)
-                    lpk_mask = (laneK // mp) == rowK
-                    ones_lpk = jnp.where(lpk_mask, 1.0, 0.0)
-
-                    def tile_mp(w):
-                        """[8, 128] tile with values at lanes < mp (one lane
-                        half's particle values) -> [8, nmr] period-mp tiling
-                        (value q at every lane p'*mp + q)."""
-                        if nmr <= 128:
-                            wide = w[:, :nmr]
-                        else:
-                            wide = jnp.concatenate(
-                                [w, jnp.zeros((8, nmr - 128), jnp.float32)],
-                                axis=1)
-                        out = wide
-                        for p in range(1, n_pair):
-                            out = out + pltpu.roll(wide, shift=p * mp, axis=1)
-                        return out
-
-                    def halves_of(r8):
-                        """row tile [8, 128] -> (A-half, B-half) value tiles,
-                        each with its particle values at lanes < m_mpf and
-                        EXACT zeros on [m_mpf, 128) (tile_mp's period-mp rolls
-                        would otherwise alias junk into neighbouring pair
-                        segments)."""
-                        keep = lane8 < m_mpf
-                        wa = jnp.where(keep, r8, 0.0)
-                        wb = jnp.where(keep, pltpu.roll(r8, shift=64, axis=1),
-                                       0.0)
-                        return wa, wb
-
-                def stack_rows(key):
-                    """per-scenario scalar -> [8, 128] tile: pair p's row holds
-                    scenario 2p's value at lanes < 64, 2p+1's at lanes >= 64 (a
-                    missing B mirrors its pair's A scenario, like the old
-                    single-group fallback; the values are masked off anyway but
-                    must stay finite)."""
-                    acc = jnp.zeros((8, 128), jnp.float32)
-                    for s in range(2 * n_pair):
-                        val = scal_s[min(s, n_sc - 1)][key]
-                        mask = (row8 == s // 2) & ((lane8 < 64) == (s % 2 == 0))
-                        acc = jnp.where(mask, val, acc)
-                    return acc
-
-                sin8 = stack_rows("sin_t")
-                a8 = stack_rows("a")
-                om8 = stack_rows("om")
-                th8 = stack_rows("th")
-                th28 = stack_rows("th2")
-                om28 = stack_rows("om2")
-                ppbw28 = stack_rows("prior_pbw2")
-                imbw28 = stack_rows("inv_mbw2")
-
-                def to_blocks(rows8_t):
-                    """[8, 128] pair rows -> [nmr, 128]: every row of pair
-                    block p holds pair p's row. Per-pair broadcast + concat
-                    (pure data movement, no select chain over the full tile) —
-                    a NaN'd pair's values never touch other pairs' blocks."""
-                    return jnp.concatenate(
-                        [jnp.broadcast_to(rows8_t[p:p + 1, :], (mp, 128))
-                         for p in range(n_pair)], axis=0)
-
-                def pair_rows(col_a, col_b):
-                    """per-particle [nmr, 1] A/B columns -> [8, 128] pair rows
-                    (pair p: A values at lanes 0..mp-1, B at 64..64+mp-1).
-                    One whole-column reshape per operand replaces the old
-                    per-pair slice/reshape chain; the reshape moves each pair's
-                    mp values into its own row with no cross-pair arithmetic,
-                    so a diverged pair's NaN stays out of other pairs' rows.
-                    Within a pair the A/B lane sets are disjoint, so the add
-                    only ever combines a value with an exact 0.0."""
-                    zs = jnp.zeros((n_pair, 128 - mp), jnp.float32)
-                    ra = jnp.concatenate(
-                        [col_a[:, 0:1].reshape(n_pair, mp), zs], axis=1)
-                    rb = jnp.concatenate(
-                        [col_b[:, 0:1].reshape(n_pair, mp), zs], axis=1)
-                    rows = ra + pltpu.roll(rb, shift=64, axis=1)
-                    if n_pair < 8:
-                        rows = jnp.concatenate(
-                            [rows, jnp.zeros((8 - n_pair, 128), jnp.float32)],
-                            axis=0)
-                    return rows
-
-                def brs(v):
-                    """per-pair-block row sum of [nmr, 128] -> [8, 128] row
-                    tile (pair p's sums on row p, per-lane). Sums touch only
-                    the pair's own rows (pure reshape + axis sum), so pairs
-                    stay isolated; within a pair, lanes never mix, so the two
-                    scenarios sharing the lane halves stay isolated too."""
-                    s = jnp.sum(v.reshape(n_pair, mp, 128), axis=1)
-                    if n_pair < 8:
-                        s = jnp.concatenate(
-                            [s, jnp.zeros((8 - n_pair, 128), jnp.float32)],
-                            axis=0)
-                    return s
-
-                def colbcast(blocks):
-                    """to_blocks(r8) -> column-broadcast tile: value of the ROW
-                    particle (q = r_in_pair) in the scenario selected by the
-                    LANE half, via one diagonal select + one MXU matmul against
-                    h_matN. NaN isolation: ANY NaN in a matmul row operand
-                    poisons every output lane of that row (each contraction
-                    touches every input lane through 0 * NaN terms), so the
-                    operand is sanitized with the sub/compare/select finite
-                    test first and the diverged half's NaN re-injected after
-                    with `blocks * 0.0` — NaN exactly at the diverged half's
-                    lanes, an exact +0.0 everywhere else."""
-                    d = jnp.where(mdiagN,
-                                  jnp.where(blocks - blocks == 0.0, blocks, 0.0),
-                                  0.0)
-                    return jax.lax.dot_general(
-                        d, h_matN, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) + blocks * 0.0
-
-                # prior centers are the step-start particles (fixed across the
-                # mpf_steps SVGD iterations)
-                xsnap = mpfx_ref[:]
-                c0r8 = pair_rows(xsnap[:, 0:1], xsnap[:, 64:65])
-                c1r8 = pair_rows(xsnap[:, 1:2], xsnap[:, 65:66])
-                c0c = colbcast(to_blocks(c0r8))   # q-indexed (column-broadcast)
-                c1c = colbcast(to_blocks(c1r8))
-                ppbw2N = to_blocks(ppbw28)
-                imbw2N = to_blocks(imbw28)
-
-                def scores_of(x0r, x1r, x0N, x1N):
-                    """Stein drive operands t = score - x/bw^2 in ROW space
-                    [8, 128] (pair rows, A particles at lanes < 64, B at
-                    >= 64) from the row/lane-space particle copies. Shared by
-                    every drive layout below.
-
-                    GMM prior responsibilities and weighted prior means are
-                    transposed: rows = centers q, lanes = current particles.
-                    No max-subtraction: logits = -0.5*d2c*ppbw2 <= 0 with the
-                    self-distance diagonal exactly 0 on every valid row, so
-                    the max is exactly 0.0 and exp(logits - mx) ==
-                    exp(logits) bitwise (reference softmax at mpf.py:31-38
-                    via torch logsumexp is tolerance-matched by tests).
-                    Invalid LANES (pad particles / missing B) produce finite
-                    junk columns masked by gvr8 at the score; invalid center
-                    ROWS are excluded from the sums here."""
-                    d2c = (x0N - c0c) ** 2 + (x1N - c1c) ** 2
-                    pz = jnp.where(valid_rowN,
-                                   jnp.exp(-0.5 * d2c * ppbw2N), 0.0)
-                    psum_r = brs(pz)
-                    pc0r = brs(pz * c0c) / psum_r
-                    pc1r = brs(pz * c1c) / psum_r
-
-                    # likelihood gradient in stacked row layout [8, 128]
-                    length = jnp.where(gvr8, x0r, 1.0)
-                    mass = jnp.where(gvr8, x1r, 1.0)
-                    if mpf_log_space:
-                        length = jnp.exp(length)
-                        mass = jnp.exp(mass)
-                    ilx = 1.0 / length
-                    imx = 1.0 / mass
-                    tdd = -3.0 * g_model * 0.5 * ilx * sin8 \
-                        + 3.0 * imx * ilx * ilx * a8
-                    td_raw = om8 + dt * tdd
-                    td = jnp.clip(td_raw, -_MAX_SPEED, _MAX_SPEED)
-                    thp = th8 + td * dt
-                    gate = jnp.where(
-                        (td_raw > -_MAX_SPEED) & (td_raw < _MAX_SPEED),
-                        1.0, 0.0,
-                    )
-                    dtd_dl = gate * dt * (
-                        3.0 * g_model * 0.5 * ilx * ilx * sin8
-                        - 6.0 * imx * ilx * ilx * ilx * a8
-                    )
-                    dtd_dm = gate * dt * (-3.0 * imx * imx * ilx * ilx * a8)
-                    common = -((thp - th28) * dt + (td - om28)) * inv_os2
-                    gl_l = common * dtd_dl
-                    gl_m = common * dtd_dm
-                    if mpf_log_space:
-                        gl_l = gl_l * length
-                        gl_m = gl_m * mass
-                    gp0 = (pc0r - x0r) * ppbw28
-                    gp1 = (pc1r - x1r) * ppbw28
-                    s0r = jnp.where(gvr8, gl_l + gp0, 0.0)
-                    s1r = jnp.where(gvr8, gl_m + gp1, 0.0)
-
-                    # The repulsion sum folds into the drive sum:
-                    #   phi(l) = sum_q k_ql*(s_q + (x_l - x_q)/bw^2)
-                    #          = sum_q k_ql*(s_q - x_q/bw^2)
-                    #            + (sum_q k_ql)*x_l/bw^2
-                    # with the fold applied in ROW space before any broadcast
-                    # (imbw2 is constant per (pair, lane-half), so it is valid
-                    # in both orientations); x_l rides x0r/x1r directly, so the
-                    # whole update closes in row space with no relayout.
-                    return s0r - x0r * imbw28, s1r - x1r * imbw28
-
-                def mpf_body(i, carry):
-                    # TRANSPOSED body: the particle state rides the carry in
-                    # ROW layout only ([8, 128]: pair rows, A particles at
-                    # lanes < 64, B at >= 64). Every pairwise matrix is built
-                    # with the SUMMED particle index on the sublane axis, so
-                    # all six per-iteration reductions are per-pair-block row
-                    # sums (brs) instead of lane-half reductions — measured
-                    # 3.8x cheaper per iteration (bench/probes/
-                    # mpf_transpose_probe.py: 449 vs 1688 ns on the
-                    # shape-faithful body; the MPF loop was 65% of the
-                    # group-step). Column-broadcast operands are rebuilt from
-                    # row space with colbcast (MXU matmuls, VPU-free).
-                    x0r, x1r = carry
-                    x0N = to_blocks(x0r)          # lane-indexed particles
-                    x1N = to_blocks(x1r)
-                    x0c = colbcast(x0N)           # row(q)-indexed particles
-                    x1c = colbcast(x1N)
-                    t0r_f, t1r_f = scores_of(x0r, x1r, x0N, x1N)
-                    # RBF Stein update, transposed (rows = summed particles q,
-                    # lanes = updated particles l)
-                    d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
-                    k = jnp.where(valid_rowN,
-                                  jnp.exp(-0.5 * d2 * imbw2N), 0.0)
-                    if mpf_drive_layout == "lanepack":
-                        # r3 layout: ONE [40, nmr] @ [nmr, 128] MXU matmul
-                        # computes both drives (per lane half) AND rows_k,
-                        # replacing the two t0c/t1c colbcast matmuls (4 MXU
-                        # passes) and the three brs reductions with 2 passes.
-                        # L row group g, pair-row p, lane (p', q):
-                        #   g=0/1: t0 of half A/B at q if p'==p else 0
-                        #   g=2/3: t1 of half A/B; g=4: 1.0 (rows_k).
-                        # out rows: drive for pair p with the SUMMED half fixed
-                        # to the group's half — recombined per lane half below.
-                        # NaN isolation: a diverged half's NaNs enter L only in
-                        # its own group's rows (poisoning only that pair's
-                        # already-NaN lanes after the half selects); k's NaN
-                        # LANES would poison every output row at those lanes
-                        # through 0 * NaN contraction terms, so k is sanitized
-                        # for the matmul — the junk drives it produces at the
-                        # diverged lanes are absorbed by the carry's own NaNs
-                        # (x0r/x1r are already NaN there, and NaN + finite stays
-                        # NaN) — see test_sweep_mpf_nan_partner_isolation.
-                        t0a, t0b = halves_of(t0r_f)
-                        t1a, t1b = halves_of(t1r_f)
-                        lmat = jnp.concatenate([
-                            jnp.where(lpk_mask, tile_mp(t0a), 0.0),
-                            jnp.where(lpk_mask, tile_mp(t0b), 0.0),
-                            jnp.where(lpk_mask, tile_mp(t1a), 0.0),
-                            jnp.where(lpk_mask, tile_mp(t1b), 0.0),
-                            ones_lpk,
-                        ], axis=0)
-                        k_mm = jnp.where(k - k == 0.0, k, 0.0)
-                        out5 = jax.lax.dot_general(
-                            lmat, k_mm, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        drive0 = jnp.where(in_a8, out5[0:8], out5[8:16])
-                        drive1 = jnp.where(in_a8, out5[16:24], out5[24:32])
-                        rows_k = out5[32:40]
-                    else:
-                        t0c = colbcast(to_blocks(t0r_f))
-                        t1c = colbcast(to_blocks(t1r_f))
-                        rows_k = brs(k)
-                        drive0 = brs(k * t0c)
-                        drive1 = brs(k * t1c)
-                    phi0 = (drive0 + rows_k * x0r * imbw28) * (1.0 / m_mpf)
-                    phi1 = (drive1 + rows_k * x1r * imbw28) * (1.0 / m_mpf)
-                    return (
-                        x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0),
-                        x1r + jnp.where(gvr8, mpf_lr * phi1, 0.0),
-                    )
-
-                def mpf_body_symm(i, carry):
-                    # r3 "symm" layout (VERDICT r2 #1): the carry lives in
-                    # COLUMN space ([nmr, 128]: row q = particle q's value,
-                    # constant across each lane half; lane halves = the pair's
-                    # two scenarios) and the row/lane-space copies are derived
-                    # by pure data movement (pair_rows column extraction +
-                    # to_blocks), eliminating ALL FOUR colbcast rebuild matmuls.
-                    # The Stein kernel matrix is symmetric in (q, l) — k_ql
-                    # depends only on the unordered particle pair — so the
-                    # drive sum_q k_ql * t_q equals sum_l k_ql * t_l: a LANE
-                    # contraction of k * to_blocks(t) against the half-block
-                    # identity h_matN. Three [nmr, 128] @ [128, 128] matmuls
-                    # (two drives + rows_k) replace the old four colbcast
-                    # matmuls AND the three Stein-side brs reductions, and the
-                    # products they contract are real math (k * t), not
-                    # broadcast data movement.
-                    # NaN isolation: contraction is over LANES, where 0 * NaN
-                    # in the h_matN zeros would leak a diverged half's NaN into
-                    # its partner's output lanes — so the matmul operands are
-                    # sanitized (finite test) first. The carry add re-poisons
-                    # the diverged half's own region (its x NaNs persist), and
-                    # the gvcN mask keeps junk drives out of invalid rows.
-                    x0c, x1c = carry
-                    x0r = pair_rows(x0c[:, 0:1], x0c[:, 64:65])
-                    x1r = pair_rows(x1c[:, 0:1], x1c[:, 64:65])
-                    x0N = to_blocks(x0r)
-                    x1N = to_blocks(x1r)
-                    t0r_f, t1r_f = scores_of(x0r, x1r, x0N, x1N)
-                    d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
-                    k = jnp.exp(-0.5 * d2 * imbw2N)
-
-                    def san(v):
-                        return jnp.where(v - v == 0.0, v, 0.0)
-
-                    # invalid LANES (pad particles / missing B) must not feed
-                    # the lane contraction; t is already 0 there except for the
-                    # -x/bw^2 fold, so mask k by lane validity instead
-                    k_l = jnp.where(valid_laneN, san(k), 0.0)
-                    prod0 = k_l * san(to_blocks(t0r_f))
-                    prod1 = k_l * san(to_blocks(t1r_f))
-
-                    def lane_sum(v):
-                        return jax.lax.dot_general(
-                            v, h_matN, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-
-                    drive0 = lane_sum(prod0)
-                    drive1 = lane_sum(prod1)
-                    rows_k = lane_sum(k_l)
-                    phi0 = (drive0 + rows_k * x0c * imbw2N) * (1.0 / m_mpf)
-                    phi1 = (drive1 + rows_k * x1c * imbw2N) * (1.0 / m_mpf)
-                    return (
-                        x0c + jnp.where(gvcN, mpf_lr * phi0, 0.0),
-                        x1c + jnp.where(gvcN, mpf_lr * phi1, 0.0),
-                    )
-
-                # r5 joint-MPF: the fori itself is DEFERRED to step_all,
-                # which runs ONE loop advancing every chain's carry per
-                # iteration. With n_chains > 1 the chains' 20-iteration
-                # serial MPF loops previously ran back-to-back — whole
-                # step bodies apart, far beyond Mosaic's scheduling
-                # window — so the dominant serial section (43.8 us of
-                # the 157.8 us S=16 x CH=4 group-step, BASELINE r5
-                # attribution) never saw the chain overlap the
-                # dualchain probe promises. Interleaving at ITERATION
-                # granularity puts ~450 ns of independent work adjacent
-                # every iteration. Values are bit-identical (pure
-                # cross-chain reordering of independent ops).
-                if mpf_drive_layout == "symm":
-                    # the symm carry IS the paired-lane column layout
-                    # the commit below expects — no final relayout
-                    mpf_body_fn, mpf_carry0 = mpf_body_symm, (c0c, c1c)
+            def cont(roll_final):
+                if roll_final is None:
+                    cost = cost_skip
                 else:
-                    mpf_body_fn, mpf_carry0 = mpf_body, (c0r8, c1r8)
+                    cost_f, cth, _sth_f, om = roll_final
+                    cost = cost_f + _SWINGUP_W * (cth - 1.0) ** 2 \
+                        + om * om
 
-                def mpf_commit(final):
+                # ---- param-averaged costs [smp, 128] ----
+                mcost = cost[0:sm, :]
+                for p in range(1, n_params):
+                    mcost = mcost + cost[p * sm:(p + 1) * sm, :]
+                mcost = mcost * (1.0 / n_params)
+                if smp != sm:
+                    mcost = jnp.concatenate(
+                        [mcost, jnp.zeros((smp - sm, 128), jnp.float32)], axis=0
+                    )
+                valid = (lane_sm < n_act) & valid_sm
+                mcost_v = jnp.where(valid, mcost, _POS_BIG)
+
+                # ---- DISCO update with per-scenario normalizers ----
+                if "disco" in skip:
+                    omega = jnp.where(valid, 1.0 / n_act, 0.0) + mcost * 1e-12
+                    w_lik = omega
+                    log_l = mcost[:, 0:1] * 1e-6
+                else:
+                    omega, w_lik, log_l = _disco_weights_sweep(
+                        mcost, mcost_v, valid, sm, smp, m, n_sc, n_act,
+                        inv_temp, alpha, exp_util)
+
+                # DISCO delta + analytic likelihood gradient. The delta drops
+                # the a_seq term: this kernel requires the controller a_seq to
+                # be zero (the SVMPC demo path never calls controller.step;
+                # megakernel_pendulum_sweep_fn checks the concrete init state).
+                # The weights are normalized (sum_l omega = sum_l w_lik = 1 over
+                # valid lanes), so sum_l w*(theta_t + sigma*eps) = theta_t +
+                # sigma*sum_l w*eps — the per-iteration theta broadcast drops
+                # out of the loop and theta cancels exactly in the likelihood
+                # gradient (wa - theta = sigma*sum w*eps).
+                if "acc" in skip:
+                    d_eps = omega * 1e-9 + jnp.sum(eps_ref[0:1, 0:1]) * 0.0
+                    w_eps = w_lik * 1e-9
+                else:
+                    def acc_body(tt, carry):
+                        de, we_acc = carry
+                        e_sm = eps_ref[pl.ds(tt * smp, smp), :]
+                        dq = jnp.sum(omega * e_sm, axis=1, keepdims=True)
+                        wq = jnp.sum(w_lik * e_sm, axis=1, keepdims=True)
+                        de = de + jnp.where(lane_sm == tt, dq, 0.0)
+                        we_acc = we_acc + jnp.where(lane_sm == tt, wq, 0.0)
+                        return de, we_acc
+
+                    d_eps, w_eps = jax.lax.fori_loop(
+                        0, hz, acc_body,
+                        (jnp.zeros((smp, 128), jnp.float32),
+                         jnp.zeros((smp, 128), jnp.float32)),
+                        unroll=hz if unroll else 1,
+                    )
+                delta = jnp.where(lane_sm < hz, theta + sigma_c * d_eps, 0.0)
+                glik = sigma_c * w_eps * inv_s2
+
+                # ---- Stein direction via block-masked pairwise matrices ----
+                # Pairwise distances within a scenario block are translation
+                # invariant, and the MXU Gram identity |x|^2 - 2 x.y + |y|^2
+                # runs its dot_general in bf16 passes: the cancellation error
+                # grows with |theta|^2 while the Silverman bandwidth only
+                # tracks the SPREAD, so uncentered Gram blows up exp(-d2/2bw^2)
+                # once |theta| drifts (measured: theta -> 1e8 -> NaN on long
+                # hw-PRNG episodes). Center per scenario block first (one
+                # block-mask matmul) so every norm is spread-scale, and clamp
+                # d2 at 0.
+                # NaN isolation: the block masks zero off-scenario MATRIX
+                # entries, but a dot's column operand still poisons every row
+                # through 0 * NaN = NaN. Sanitize the column operands of the
+                # five cross-row matmuls so a diverged scenario stays NaN in
+                # its own rows (its elementwise path keeps the NaN) without
+                # leaking into healthy scenarios (parallel/sweep.py's
+                # per-scenario failure-isolation contract).
+                def fin(v):
+                    # finite test as sub/compare/select only (v - v is 0 for
+                    # finite v, NaN for inf/NaN) — guaranteed to lower in
+                    # Mosaic, unlike a jnp.isfinite intrinsic
+                    return jnp.where(v - v == 0.0, v, 0.0)
+
+                blkf = blk.astype(jnp.float32) * (1.0 / m)
+                if "stein" in skip:
+                    theta_new = jnp.where(valid_sm & (lane_sm < ev),
+                                          theta + lr * glik * 1e-3, 0.0)
+                else:
+                    theta_new = _stein_update_sweep(
+                        theta, locs, glik, blk, blkf, valid_sm, lane_sm,
+                        inv_ps2, log_mix, inv_bw2_col, lr, m, ev, smp, fin)
+
+                # ---- forward: per-scenario weights / select / roll ----
+                if "forward" in skip:
+                    act_col = th_col * 1e-3 \
+                        + jnp.sum(theta_new[0:1, 0:1]) * 1e-9 \
+                        + jnp.sum(log_l[0:1, 0:1]) * 1e-12
+                    theta_fwd = theta_new
+                else:
+                    # same per-scenario centering discipline as the Stein block
+                    mean_n = jnp.dot(blkf, fin(theta_new),
+                                     preferred_element_type=jnp.float32)
+                    nc = theta_new - mean_n
+                    lc_n = locs - mean_n
+                    tn_norm = jnp.sum(nc * nc, axis=1, keepdims=True)
+                    ln_norm = jnp.sum(lc_n * lc_n, axis=1, keepdims=True)
+                    g_nl = _block_dot_t(nc, lc_n)
+                    d2_nl = jnp.maximum(
+                        tn_norm - 2.0 * g_nl + ln_norm.reshape(1, smp), 0.0
+                    )
+                    lp_new = jnp.where(blk, -0.5 * inv_ps2 * d2_nl + log_mix,
+                                       _NEG_BIG)
+                    n_max = jnp.max(lp_new, axis=1, keepdims=True)
+                    log_p = n_max + jnp.log(jnp.maximum(
+                        jnp.sum(jnp.exp(lp_new - n_max), axis=1,
+                                keepdims=True),
+                        1e-37,
+                    ))
+                    log_w = jnp.where(valid_sm[:, 0:1], log_l + log_p,
+                                      _NEG_BIG)
+
+                    # per-scenario argmax selection, VECTORIZED over scenarios:
+                    # the block-masked [smp, smp] weight matrix turns every
+                    # per-block max / argmin into one row reduction for all
+                    # scenarios at once (the old serial loop also built a dead
+                    # full-width a_seq row per scenario; only lane 0 — the
+                    # applied action — was ever consumed)
+                    rowm1 = jax.lax.broadcasted_iota(jnp.int32, (smp, 1), 0)
+                    col_idx = jax.lax.broadcasted_iota(jnp.int32, (smp, smp), 1)
+                    w_row = _row_of_column(log_w, smp)            # [1, 128]
+                    wmat = jnp.where(blk, jnp.broadcast_to(
+                        w_row[:, 0:smp], (smp, smp)), _NEG_BIG)
+                    wmax = jnp.max(wmat, axis=1, keepdims=True)   # block max
+                    is_max = blk & (wmat >= wmax)
+                    i_star = jnp.min(jnp.where(is_max, col_idx, smp), axis=1,
+                                     keepdims=True)               # [smp, 1]
+                    onehot = (rowm1 == i_star).astype(jnp.float32)
+                    a_all = onehot * theta_new[:, 0:1]            # [smp, 1]
+                    # per-scenario selected action: one [n_sc, m] reshape-sum
+                    # (r3, the particle kernel's block_sum_col), replacing the
+                    # n_sc serial masked-sum + select chain
+                    a_sum = jnp.sum(a_all[0:sm, 0:1].reshape(n_sc, m), axis=1,
+                                    keepdims=True)                # [n_sc, 1]
+                    act_col = (a_sum if n_sc == ns else jnp.concatenate(
+                        [a_sum, jnp.zeros((ns - n_sc, 1), jnp.float32)],
+                        axis=0))
+
+                    rolled = pltpu.roll(theta_new, shift=128 - 1, axis=1)
+                    theta_fwd = jnp.where(
+                        lane_sm < (hz - 1), rolled,
+                        jnp.where(lane_sm < ev, theta_new, 0.0),
+                    )
+
+                if warm_up > 0:
+                    active = t >= warm_up
+                    act_col = jnp.where(active, act_col, 0.0)
+                    theta_next = jnp.where(active, theta_fwd, theta_new)
+                    locs_next = jnp.where(active, theta_fwd, locs)
+                else:
+                    theta_next = theta_fwd
+                    locs_next = theta_fwd
+                theta_ref[:] = jnp.where(valid_sm, theta_next, 0.0)
+                locs_ref[:] = jnp.where(valid_sm, locs_next, 0.0)
+                amat_ref[:] = jnp.where(valid_sm, amat_ref[:] + delta,
+                                        amat_ref[:])
+
+                # ---- simulator: all S pendulums as column physics ----
+                a_cl = jnp.clip(act_col, -_MAX_TORQUE, _MAX_TORQUE)
+                if "sim" in skip:
+                    om2 = om_col + a_cl * 1e-9
+                    th2 = th_col + om2 * dt
+                    cost_col = om2 * om2
+                else:
+                    il_t = il_true_ref[:, 0:1]
+                    im_t = im_true_ref[:, 0:1]
+                    om2 = om_col + (
+                        -3.0 * g_sim * 0.5 * il_t * sin_col
+                        + 3.0 * im_t * il_t * il_t * a_cl
+                    ) * dt
+                    om2 = jnp.clip(om2, -_MAX_SPEED, _MAX_SPEED)
+                    th2 = th_col + om2 * dt
+                    cost_col = _SWINGUP_W * (jnp.cos(th2) - 1.0) ** 2 \
+                        + om2 * om2
+
+                # ---- MPF updates: TWO scenarios per tile (lane groups 0-63 /
+                # 64-127) and ALL pairs stacked on the sublane axis into ONE
+                # fori body. Pairing scenarios in the lane halves halved the
+                # serial loop (the MPF section was 65% of the step at one
+                # scenario per iteration); stacking the n_pair tiles halves it
+                # again at 52.9%: every [1, 128] row-layout op becomes one
+                # [8, 128] op (still a single vreg) and every [mp, 128]
+                # pairwise op one [n_pair*mp, 128] op — same vector work,
+                # ~n_pair x fewer serialized instructions ----
+                # per-scenario MPF Silverman: the draws section's l_a/m_a/l_b/
+                # m_b row tiles already hold every scenario's particle values
+                # along lanes (mpfx_ref is unwritten since they were built), so
+                # the bandwidth rows need no _row_of_column transposes — and
+                # ONE row-batched bitonic sort covers all scenarios
+                if mpf_fixed_bw is None:
+                    mrows = []
+                    for s in range(n_sc):
+                        p, g = divmod(s, 2)
+                        lrow = (l_a if g == 0 else l_b)[p:p + 1, :]
+                        mrow_v = (m_a if g == 0 else m_b)[p:p + 1, :]
+                        mrows.append(jnp.where(
+                            lane1 < m_mpf, lrow,
+                            jnp.where(lane1 < 2 * m_mpf,
+                                      pltpu.roll(mrow_v, shift=m_mpf, axis=1),
+                                      _POS_BIG),
+                        ))
+                    bwm8 = _silverman_rows(
+                        jnp.concatenate(mrows, axis=0), 2 * m_mpf
+                    ) * mpf_bw_scale
+                # bw_mpf column directly (r3): the fixed bandwidth splats, the
+                # Silverman one IS bwm8 — zero rows >= n_sc to preserve the
+                # old loop's unset-row behavior
+                i81c = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+                if mpf_fixed_bw is not None:
+                    bw_mpf_col = jnp.where(i81c < n_sc,
+                                           jnp.float32(mpf_fixed_bw), 0.0)
+                else:
+                    bwm8_p = (bwm8 if n_sc == ns else jnp.concatenate(
+                        [bwm8, jnp.zeros((ns - n_sc, 1), jnp.float32)],
+                        axis=0))
+                    bw_mpf_col = jnp.where(i81c < n_sc, bwm8_p, 0.0)
+                if "mpfglue" in skip:
+                    # keep the posterior state + a cheap dependency
+                    mpfx_ref[:] = mpfx_ref[:] + jnp.sum(bw_mpf_col) * 0.0
+                    mpf_plan = None
+                else:
+                    scal_s = []                   # per-scenario MPF scalars
+                    for s in range(n_sc):
+                        if mpf_fixed_bw is not None:
+                            bw_mpf = jnp.float32(mpf_fixed_bw)
+                        else:
+                            bw_mpf = bwm8[s:s + 1, :]
+                        # 0-d col_at extractions of the step-top columns — the
+                        # same values the old per-scenario full-tile masked sums
+                        # produced, without the ~40 serial whole-tile reductions
+                        pbw_s = col_at(pbw_col, s)
+                        scal_s.append(dict(
+                            sin_t=col_at(sin_col, s),
+                            a=col_at(a_cl, s),
+                            om=col_at(om_col, s),
+                            th=col_at(th_col, s),
+                            th2=col_at(th2, s),
+                            om2=col_at(om2, s),
+                            prior_pbw2=1.0 / (pbw_s * pbw_s),
+                            inv_mbw2=1.0 / (bw_mpf * bw_mpf),
+                        ))
+
+                    inv_os2 = 1.0 / (mpf_sigma * mpf_sigma)
+                    n_pair = (n_sc + 1) // 2
+                    nmr = n_pair * mp
+                    rowN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 0)
+                    laneN = jax.lax.broadcasted_iota(jnp.int32, (nmr, 128), 1)
+                    pair_of_row = rowN // mp
+                    r_in_pair = rowN - pair_of_row * mp
+                    in_aN = laneN < 64
+                    valid_rowN = r_in_pair < m_mpf
+                    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                    gvr8 = (
+                        (jnp.where(lane8 < 64, lane8, lane8 - 64) < m_mpf)
+                        & ((row8 < n_sc // 2) | (lane8 < 64))
+                        & (row8 < n_pair)
+                    )
+                    # transposed-body constants: mdiagN picks each row particle's
+                    # own lane within each half; h_matN sums within lane halves
+                    mdiagN = jnp.where(in_aN, laneN, laneN - 64) == r_in_pair
+                    # symm-layout masks: lane validity (half-local lane < m_mpf)
+                    # and the column-space update mask (valid particle row AND the
+                    # lane half's scenario exists — mirrors gvr8 in column space)
+                    valid_laneN = jnp.where(in_aN, laneN, laneN - 64) < m_mpf
+                    gvcN = valid_rowN & (in_aN | (pair_of_row < n_sc // 2))
+                    h_matN = (
+                        (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) < 64)
+                        == (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) < 64)
+                    ).astype(jnp.float32)
+                    in_a8 = lane8 < 64
+                    if mpf_drive_layout == "lanepack":
+                        # lane-packed drive constants: L's K axis matches k's row
+                        # packing (p*mp + q), so pair p's row of L carries its
+                        # operand values at lanes [p*mp, p*mp + mp)
+                        laneK = jax.lax.broadcasted_iota(jnp.int32, (8, nmr), 1)
+                        rowK = jax.lax.broadcasted_iota(jnp.int32, (8, nmr), 0)
+                        lpk_mask = (laneK // mp) == rowK
+                        ones_lpk = jnp.where(lpk_mask, 1.0, 0.0)
+
+                        def tile_mp(w):
+                            """[8, 128] tile with values at lanes < mp (one lane
+                            half's particle values) -> [8, nmr] period-mp tiling
+                            (value q at every lane p'*mp + q)."""
+                            if nmr <= 128:
+                                wide = w[:, :nmr]
+                            else:
+                                wide = jnp.concatenate(
+                                    [w, jnp.zeros((8, nmr - 128), jnp.float32)],
+                                    axis=1)
+                            out = wide
+                            for p in range(1, n_pair):
+                                out = out + pltpu.roll(wide, shift=p * mp, axis=1)
+                            return out
+
+                        def halves_of(r8):
+                            """row tile [8, 128] -> (A-half, B-half) value tiles,
+                            each with its particle values at lanes < m_mpf and
+                            EXACT zeros on [m_mpf, 128) (tile_mp's period-mp rolls
+                            would otherwise alias junk into neighbouring pair
+                            segments)."""
+                            keep = lane8 < m_mpf
+                            wa = jnp.where(keep, r8, 0.0)
+                            wb = jnp.where(keep, pltpu.roll(r8, shift=64, axis=1),
+                                           0.0)
+                            return wa, wb
+
+                    def stack_rows(key):
+                        """per-scenario scalar -> [8, 128] tile: pair p's row holds
+                        scenario 2p's value at lanes < 64, 2p+1's at lanes >= 64 (a
+                        missing B mirrors its pair's A scenario, like the old
+                        single-group fallback; the values are masked off anyway but
+                        must stay finite)."""
+                        acc = jnp.zeros((8, 128), jnp.float32)
+                        for s in range(2 * n_pair):
+                            val = scal_s[min(s, n_sc - 1)][key]
+                            mask = (row8 == s // 2) & ((lane8 < 64) == (s % 2 == 0))
+                            acc = jnp.where(mask, val, acc)
+                        return acc
+
+                    sin8 = stack_rows("sin_t")
+                    a8 = stack_rows("a")
+                    om8 = stack_rows("om")
+                    th8 = stack_rows("th")
+                    th28 = stack_rows("th2")
+                    om28 = stack_rows("om2")
+                    ppbw28 = stack_rows("prior_pbw2")
+                    imbw28 = stack_rows("inv_mbw2")
+
+                    def to_blocks(rows8_t):
+                        """[8, 128] pair rows -> [nmr, 128]: every row of pair
+                        block p holds pair p's row. Per-pair broadcast + concat
+                        (pure data movement, no select chain over the full tile) —
+                        a NaN'd pair's values never touch other pairs' blocks."""
+                        return jnp.concatenate(
+                            [jnp.broadcast_to(rows8_t[p:p + 1, :], (mp, 128))
+                             for p in range(n_pair)], axis=0)
+
+                    def pair_rows(col_a, col_b):
+                        """per-particle [nmr, 1] A/B columns -> [8, 128] pair rows
+                        (pair p: A values at lanes 0..mp-1, B at 64..64+mp-1).
+                        One whole-column reshape per operand replaces the old
+                        per-pair slice/reshape chain; the reshape moves each pair's
+                        mp values into its own row with no cross-pair arithmetic,
+                        so a diverged pair's NaN stays out of other pairs' rows.
+                        Within a pair the A/B lane sets are disjoint, so the add
+                        only ever combines a value with an exact 0.0."""
+                        zs = jnp.zeros((n_pair, 128 - mp), jnp.float32)
+                        ra = jnp.concatenate(
+                            [col_a[:, 0:1].reshape(n_pair, mp), zs], axis=1)
+                        rb = jnp.concatenate(
+                            [col_b[:, 0:1].reshape(n_pair, mp), zs], axis=1)
+                        rows = ra + pltpu.roll(rb, shift=64, axis=1)
+                        if n_pair < 8:
+                            rows = jnp.concatenate(
+                                [rows, jnp.zeros((8 - n_pair, 128), jnp.float32)],
+                                axis=0)
+                        return rows
+
+                    def brs(v):
+                        """per-pair-block row sum of [nmr, 128] -> [8, 128] row
+                        tile (pair p's sums on row p, per-lane). Sums touch only
+                        the pair's own rows (pure reshape + axis sum), so pairs
+                        stay isolated; within a pair, lanes never mix, so the two
+                        scenarios sharing the lane halves stay isolated too."""
+                        s = jnp.sum(v.reshape(n_pair, mp, 128), axis=1)
+                        if n_pair < 8:
+                            s = jnp.concatenate(
+                                [s, jnp.zeros((8 - n_pair, 128), jnp.float32)],
+                                axis=0)
+                        return s
+
+                    def colbcast(blocks):
+                        """to_blocks(r8) -> column-broadcast tile: value of the ROW
+                        particle (q = r_in_pair) in the scenario selected by the
+                        LANE half, via one diagonal select + one MXU matmul against
+                        h_matN. NaN isolation: ANY NaN in a matmul row operand
+                        poisons every output lane of that row (each contraction
+                        touches every input lane through 0 * NaN terms), so the
+                        operand is sanitized with the sub/compare/select finite
+                        test first and the diverged half's NaN re-injected after
+                        with `blocks * 0.0` — NaN exactly at the diverged half's
+                        lanes, an exact +0.0 everywhere else."""
+                        d = jnp.where(mdiagN,
+                                      jnp.where(blocks - blocks == 0.0, blocks, 0.0),
+                                      0.0)
+                        return jax.lax.dot_general(
+                            d, h_matN, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) + blocks * 0.0
+
+                    # prior centers are the step-start particles (fixed across the
+                    # mpf_steps SVGD iterations)
+                    xsnap = mpfx_ref[:]
+                    c0r8 = pair_rows(xsnap[:, 0:1], xsnap[:, 64:65])
+                    c1r8 = pair_rows(xsnap[:, 1:2], xsnap[:, 65:66])
+                    c0c = colbcast(to_blocks(c0r8))   # q-indexed (column-broadcast)
+                    c1c = colbcast(to_blocks(c1r8))
+                    ppbw2N = to_blocks(ppbw28)
+                    imbw2N = to_blocks(imbw28)
+
+                    def scores_of(x0r, x1r, x0N, x1N):
+                        """Stein drive operands t = score - x/bw^2 in ROW space
+                        [8, 128] (pair rows, A particles at lanes < 64, B at
+                        >= 64) from the row/lane-space particle copies. Shared by
+                        every drive layout below.
+
+                        GMM prior responsibilities and weighted prior means are
+                        transposed: rows = centers q, lanes = current particles.
+                        No max-subtraction: logits = -0.5*d2c*ppbw2 <= 0 with the
+                        self-distance diagonal exactly 0 on every valid row, so
+                        the max is exactly 0.0 and exp(logits - mx) ==
+                        exp(logits) bitwise (reference softmax at mpf.py:31-38
+                        via torch logsumexp is tolerance-matched by tests).
+                        Invalid LANES (pad particles / missing B) produce finite
+                        junk columns masked by gvr8 at the score; invalid center
+                        ROWS are excluded from the sums here."""
+                        d2c = (x0N - c0c) ** 2 + (x1N - c1c) ** 2
+                        pz = jnp.where(valid_rowN,
+                                       jnp.exp(-0.5 * d2c * ppbw2N), 0.0)
+                        psum_r = brs(pz)
+                        pc0r = brs(pz * c0c) / psum_r
+                        pc1r = brs(pz * c1c) / psum_r
+
+                        # likelihood gradient in stacked row layout [8, 128]
+                        length = jnp.where(gvr8, x0r, 1.0)
+                        mass = jnp.where(gvr8, x1r, 1.0)
+                        if mpf_log_space:
+                            length = jnp.exp(length)
+                            mass = jnp.exp(mass)
+                        ilx = 1.0 / length
+                        imx = 1.0 / mass
+                        tdd = -3.0 * g_model * 0.5 * ilx * sin8 \
+                            + 3.0 * imx * ilx * ilx * a8
+                        td_raw = om8 + dt * tdd
+                        td = jnp.clip(td_raw, -_MAX_SPEED, _MAX_SPEED)
+                        thp = th8 + td * dt
+                        gate = jnp.where(
+                            (td_raw > -_MAX_SPEED) & (td_raw < _MAX_SPEED),
+                            1.0, 0.0,
+                        )
+                        dtd_dl = gate * dt * (
+                            3.0 * g_model * 0.5 * ilx * ilx * sin8
+                            - 6.0 * imx * ilx * ilx * ilx * a8
+                        )
+                        dtd_dm = gate * dt * (-3.0 * imx * imx * ilx * ilx * a8)
+                        common = -((thp - th28) * dt + (td - om28)) * inv_os2
+                        gl_l = common * dtd_dl
+                        gl_m = common * dtd_dm
+                        if mpf_log_space:
+                            gl_l = gl_l * length
+                            gl_m = gl_m * mass
+                        gp0 = (pc0r - x0r) * ppbw28
+                        gp1 = (pc1r - x1r) * ppbw28
+                        s0r = jnp.where(gvr8, gl_l + gp0, 0.0)
+                        s1r = jnp.where(gvr8, gl_m + gp1, 0.0)
+
+                        # The repulsion sum folds into the drive sum:
+                        #   phi(l) = sum_q k_ql*(s_q + (x_l - x_q)/bw^2)
+                        #          = sum_q k_ql*(s_q - x_q/bw^2)
+                        #            + (sum_q k_ql)*x_l/bw^2
+                        # with the fold applied in ROW space before any broadcast
+                        # (imbw2 is constant per (pair, lane-half), so it is valid
+                        # in both orientations); x_l rides x0r/x1r directly, so the
+                        # whole update closes in row space with no relayout.
+                        return s0r - x0r * imbw28, s1r - x1r * imbw28
+
+                    def mpf_body(i, carry):
+                        # TRANSPOSED body: the particle state rides the carry in
+                        # ROW layout only ([8, 128]: pair rows, A particles at
+                        # lanes < 64, B at >= 64). Every pairwise matrix is built
+                        # with the SUMMED particle index on the sublane axis, so
+                        # all six per-iteration reductions are per-pair-block row
+                        # sums (brs) instead of lane-half reductions — measured
+                        # 3.8x cheaper per iteration (bench/probes/
+                        # mpf_transpose_probe.py: 449 vs 1688 ns on the
+                        # shape-faithful body; the MPF loop was 65% of the
+                        # group-step). Column-broadcast operands are rebuilt from
+                        # row space with colbcast (MXU matmuls, VPU-free).
+                        x0r, x1r = carry
+                        x0N = to_blocks(x0r)          # lane-indexed particles
+                        x1N = to_blocks(x1r)
+                        x0c = colbcast(x0N)           # row(q)-indexed particles
+                        x1c = colbcast(x1N)
+                        t0r_f, t1r_f = scores_of(x0r, x1r, x0N, x1N)
+                        # RBF Stein update, transposed (rows = summed particles q,
+                        # lanes = updated particles l)
+                        d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
+                        k = jnp.where(valid_rowN,
+                                      jnp.exp(-0.5 * d2 * imbw2N), 0.0)
+                        if mpf_drive_layout == "lanepack":
+                            # r3 layout: ONE [40, nmr] @ [nmr, 128] MXU matmul
+                            # computes both drives (per lane half) AND rows_k,
+                            # replacing the two t0c/t1c colbcast matmuls (4 MXU
+                            # passes) and the three brs reductions with 2 passes.
+                            # L row group g, pair-row p, lane (p', q):
+                            #   g=0/1: t0 of half A/B at q if p'==p else 0
+                            #   g=2/3: t1 of half A/B; g=4: 1.0 (rows_k).
+                            # out rows: drive for pair p with the SUMMED half fixed
+                            # to the group's half — recombined per lane half below.
+                            # NaN isolation: a diverged half's NaNs enter L only in
+                            # its own group's rows (poisoning only that pair's
+                            # already-NaN lanes after the half selects); k's NaN
+                            # LANES would poison every output row at those lanes
+                            # through 0 * NaN contraction terms, so k is sanitized
+                            # for the matmul — the junk drives it produces at the
+                            # diverged lanes are absorbed by the carry's own NaNs
+                            # (x0r/x1r are already NaN there, and NaN + finite stays
+                            # NaN) — see test_sweep_mpf_nan_partner_isolation.
+                            t0a, t0b = halves_of(t0r_f)
+                            t1a, t1b = halves_of(t1r_f)
+                            lmat = jnp.concatenate([
+                                jnp.where(lpk_mask, tile_mp(t0a), 0.0),
+                                jnp.where(lpk_mask, tile_mp(t0b), 0.0),
+                                jnp.where(lpk_mask, tile_mp(t1a), 0.0),
+                                jnp.where(lpk_mask, tile_mp(t1b), 0.0),
+                                ones_lpk,
+                            ], axis=0)
+                            k_mm = jnp.where(k - k == 0.0, k, 0.0)
+                            out5 = jax.lax.dot_general(
+                                lmat, k_mm, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            drive0 = jnp.where(in_a8, out5[0:8], out5[8:16])
+                            drive1 = jnp.where(in_a8, out5[16:24], out5[24:32])
+                            rows_k = out5[32:40]
+                        else:
+                            t0c = colbcast(to_blocks(t0r_f))
+                            t1c = colbcast(to_blocks(t1r_f))
+                            rows_k = brs(k)
+                            drive0 = brs(k * t0c)
+                            drive1 = brs(k * t1c)
+                        phi0 = (drive0 + rows_k * x0r * imbw28) * (1.0 / m_mpf)
+                        phi1 = (drive1 + rows_k * x1r * imbw28) * (1.0 / m_mpf)
+                        return (
+                            x0r + jnp.where(gvr8, mpf_lr * phi0, 0.0),
+                            x1r + jnp.where(gvr8, mpf_lr * phi1, 0.0),
+                        )
+
+                    def mpf_body_symm(i, carry):
+                        # r3 "symm" layout (VERDICT r2 #1): the carry lives in
+                        # COLUMN space ([nmr, 128]: row q = particle q's value,
+                        # constant across each lane half; lane halves = the pair's
+                        # two scenarios) and the row/lane-space copies are derived
+                        # by pure data movement (pair_rows column extraction +
+                        # to_blocks), eliminating ALL FOUR colbcast rebuild matmuls.
+                        # The Stein kernel matrix is symmetric in (q, l) — k_ql
+                        # depends only on the unordered particle pair — so the
+                        # drive sum_q k_ql * t_q equals sum_l k_ql * t_l: a LANE
+                        # contraction of k * to_blocks(t) against the half-block
+                        # identity h_matN. Three [nmr, 128] @ [128, 128] matmuls
+                        # (two drives + rows_k) replace the old four colbcast
+                        # matmuls AND the three Stein-side brs reductions, and the
+                        # products they contract are real math (k * t), not
+                        # broadcast data movement.
+                        # NaN isolation: contraction is over LANES, where 0 * NaN
+                        # in the h_matN zeros would leak a diverged half's NaN into
+                        # its partner's output lanes — so the matmul operands are
+                        # sanitized (finite test) first. The carry add re-poisons
+                        # the diverged half's own region (its x NaNs persist), and
+                        # the gvcN mask keeps junk drives out of invalid rows.
+                        x0c, x1c = carry
+                        x0r = pair_rows(x0c[:, 0:1], x0c[:, 64:65])
+                        x1r = pair_rows(x1c[:, 0:1], x1c[:, 64:65])
+                        x0N = to_blocks(x0r)
+                        x1N = to_blocks(x1r)
+                        t0r_f, t1r_f = scores_of(x0r, x1r, x0N, x1N)
+                        d2 = (x0c - x0N) ** 2 + (x1c - x1N) ** 2
+                        k = jnp.exp(-0.5 * d2 * imbw2N)
+
+                        def san(v):
+                            return jnp.where(v - v == 0.0, v, 0.0)
+
+                        # invalid LANES (pad particles / missing B) must not feed
+                        # the lane contraction; t is already 0 there except for the
+                        # -x/bw^2 fold, so mask k by lane validity instead
+                        k_l = jnp.where(valid_laneN, san(k), 0.0)
+                        prod0 = k_l * san(to_blocks(t0r_f))
+                        prod1 = k_l * san(to_blocks(t1r_f))
+
+                        def lane_sum(v):
+                            return jax.lax.dot_general(
+                                v, h_matN, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+
+                        drive0 = lane_sum(prod0)
+                        drive1 = lane_sum(prod1)
+                        rows_k = lane_sum(k_l)
+                        phi0 = (drive0 + rows_k * x0c * imbw2N) * (1.0 / m_mpf)
+                        phi1 = (drive1 + rows_k * x1c * imbw2N) * (1.0 / m_mpf)
+                        return (
+                            x0c + jnp.where(gvcN, mpf_lr * phi0, 0.0),
+                            x1c + jnp.where(gvcN, mpf_lr * phi1, 0.0),
+                        )
+
+                    # r5 joint-MPF: the fori itself is DEFERRED to step_all,
+                    # which runs ONE loop advancing every chain's carry per
+                    # iteration. With n_chains > 1 the chains' 20-iteration
+                    # serial MPF loops previously ran back-to-back — whole
+                    # step bodies apart, far beyond Mosaic's scheduling
+                    # window — so the dominant serial section (43.8 us of
+                    # the 157.8 us S=16 x CH=4 group-step, BASELINE r5
+                    # attribution) never saw the chain overlap the
+                    # dualchain probe promises. Interleaving at ITERATION
+                    # granularity puts ~450 ns of independent work adjacent
+                    # every iteration. Values are bit-identical (pure
+                    # cross-chain reordering of independent ops).
                     if mpf_drive_layout == "symm":
-                        x0f, x1f = final
+                        # the symm carry IS the paired-lane column layout
+                        # the commit below expects — no final relayout
+                        mpf_body_fn, mpf_carry0 = mpf_body_symm, (c0c, c1c)
                     else:
-                        # commit once: particle lanes (0/1 and 64/65) on
-                        # valid rows take the final carry (converted back
-                        # to the paired-lane column layout via colbcast);
-                        # every other lane/row keeps its step-start value
-                        # exactly as the old masked write did
-                        x0f_r, x1f_r = final
-                        x0f = colbcast(to_blocks(x0f_r))
-                        x1f = colbcast(to_blocks(x1f_r))
-                    mpfx_ref[:] = jnp.where(
-                        valid_rowN & ((laneN == 0) | (laneN == 64)), x0f,
-                        jnp.where(
-                            valid_rowN & ((laneN == 1) | (laneN == 65)),
-                            x1f, xsnap))
+                        mpf_body_fn, mpf_carry0 = mpf_body, (c0r8, c1r8)
 
-                mpf_plan = (mpf_body_fn, mpf_carry0, mpf_commit)
+                    def mpf_commit(final):
+                        if mpf_drive_layout == "symm":
+                            x0f, x1f = final
+                        else:
+                            # commit once: particle lanes (0/1 and 64/65) on
+                            # valid rows take the final carry (converted back
+                            # to the paired-lane column layout via colbcast);
+                            # every other lane/row keeps its step-start value
+                            # exactly as the old masked write did
+                            x0f_r, x1f_r = final
+                            x0f = colbcast(to_blocks(x0f_r))
+                            x1f = colbcast(to_blocks(x1f_r))
+                        mpfx_ref[:] = jnp.where(
+                            valid_rowN & ((laneN == 0) | (laneN == 64)), x0f,
+                            jnp.where(
+                                valid_rowN & ((laneN == 1) | (laneN == 65)),
+                                x1f, xsnap))
 
-            # ---- logs + sim-state commit ----
-            def scatter8(col):
-                """[ns, 1] -> [1, 128] (lane s = col[s])."""
-                mat = jnp.broadcast_to(col, (ns, 128))
-                rs = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 0)
-                return jnp.sum(jnp.where(rs == lane_s, mat, 0.0), axis=0,
-                               keepdims=True)
+                    mpf_plan = (mpf_body_fn, mpf_carry0, mpf_commit)
 
-            cost_row = scatter8(cost_col)
-            if "logs" in skip:
-                log_row = cost_row \
-                    + jnp.sum(bw8[0:1, 0:1]) * 0.0 \
-                    + jnp.sum(bw_mpf_col[0:1, 0:1]) * 0.0
-            else:
-                th_row = scatter8(th2)
-                om_row = scatter8(om2)
-                act_row = scatter8(act_col)
-                bwm_row = scatter8(bw_mpf_col)
-                bws_row = jnp.where(lane1 < n_sc, scatter8(bw8), 0.0)
-                # channel c occupies lanes [c*ns, (c+1)*ns) — for
-                # n_sc <= 8 this is the r1-r3 stride-8 layout verbatim
-                log_row = (
-                    jnp.where(lane1 < ns, cost_row, 0.0)
-                    + jnp.where((lane1 >= ns) & (lane1 < 2 * ns),
-                                pltpu.roll(th_row, shift=ns, axis=1), 0.0)
-                    + jnp.where((lane1 >= 2 * ns) & (lane1 < 3 * ns),
-                                pltpu.roll(om_row, shift=2 * ns, axis=1),
-                                0.0)
-                    + jnp.where((lane1 >= 3 * ns) & (lane1 < 4 * ns),
-                                pltpu.roll(act_row, shift=3 * ns, axis=1),
-                                0.0)
-                    + jnp.where((lane1 >= 4 * ns) & (lane1 < 5 * ns),
-                                pltpu.roll(bws_row, shift=4 * ns, axis=1),
-                                0.0)
-                    + jnp.where((lane1 >= 5 * ns) & (lane1 < 6 * ns),
-                                pltpu.roll(bwm_row, shift=5 * ns, axis=1),
-                                0.0)
+                # ---- logs + sim-state commit ----
+                def scatter8(col):
+                    """[ns, 1] -> [1, 128] (lane s = col[s])."""
+                    mat = jnp.broadcast_to(col, (ns, 128))
+                    rs = jax.lax.broadcasted_iota(jnp.int32, (ns, 128), 0)
+                    return jnp.sum(jnp.where(rs == lane_s, mat, 0.0), axis=0,
+                                   keepdims=True)
+
+                cost_row = scatter8(cost_col)
+                if "logs" in skip:
+                    log_row = cost_row \
+                        + jnp.sum(bw8[0:1, 0:1]) * 0.0 \
+                        + jnp.sum(bw_mpf_col[0:1, 0:1]) * 0.0
+                else:
+                    th_row = scatter8(th2)
+                    om_row = scatter8(om2)
+                    act_row = scatter8(act_col)
+                    bwm_row = scatter8(bw_mpf_col)
+                    bws_row = jnp.where(lane1 < n_sc, scatter8(bw8), 0.0)
+                    # channel c occupies lanes [c*ns, (c+1)*ns) — for
+                    # n_sc <= 8 this is the r1-r3 stride-8 layout verbatim
+                    log_row = (
+                        jnp.where(lane1 < ns, cost_row, 0.0)
+                        + jnp.where((lane1 >= ns) & (lane1 < 2 * ns),
+                                    pltpu.roll(th_row, shift=ns, axis=1), 0.0)
+                        + jnp.where((lane1 >= 2 * ns) & (lane1 < 3 * ns),
+                                    pltpu.roll(om_row, shift=2 * ns, axis=1),
+                                    0.0)
+                        + jnp.where((lane1 >= 3 * ns) & (lane1 < 4 * ns),
+                                    pltpu.roll(act_row, shift=3 * ns, axis=1),
+                                    0.0)
+                        + jnp.where((lane1 >= 4 * ns) & (lane1 < 5 * ns),
+                                    pltpu.roll(bws_row, shift=4 * ns, axis=1),
+                                    0.0)
+                        + jnp.where((lane1 >= 5 * ns) & (lane1 < 6 * ns),
+                                    pltpu.roll(bwm_row, shift=5 * ns, axis=1),
+                                    0.0)
+                    )
+                log_ref[pl.ds(t, 1), :] = log_row
+
+                sim_ref[:] = (
+                    jnp.where(lane_s == 0, th2, 0.0)
+                    + jnp.where(lane_s == 1, om2, 0.0)
+                    + jnp.where(lane_s == 2, bw_mpf_col, 0.0)
                 )
-            log_ref[pl.ds(t, 1), :] = log_row
+                return mpf_plan
 
-            sim_ref[:] = (
-                jnp.where(lane_s == 0, th2, 0.0)
-                + jnp.where(lane_s == 1, om2, 0.0)
-                + jnp.where(lane_s == 2, bw_mpf_col, 0.0)
-            )
-            return mpf_plan
+            return roll_plan, cont
 
         def finalize():
             theta_out_ref[:] = theta_ref[:]
@@ -1246,11 +1263,30 @@ def _pendulum_sweep_kernel(
                              *scr_all[6 * c:6 * c + 6]))
 
     def step_all(t, _):
-        # each chain's step returns its deferred MPF plan (body fn,
-        # initial carry, commit); ONE joint fori advances every chain's
-        # carry per iteration so the chains' dominant serial loops
-        # interleave at iteration granularity (see the MPF section)
-        plans = [st(t, 0) for st, _fin in chains]
+        # r5 joint loops: every chain's hz-step rollout advances in
+        # ONE fori, then each chain's continuation runs (cost -> DISCO
+        # -> Stein -> forward -> sim -> MPF plan), then every chain's
+        # mpf_steps loop advances in ONE fori — the chains' dominant
+        # serial loops interleave at iteration granularity (see the
+        # rollout / MPF sections)
+        parts = [st(t, 0) for st, _fin in chains]
+        live = [(idx, rp) for idx, (rp, _c) in enumerate(parts)
+                if rp is not None]
+        finals = [None] * len(parts)
+        if live:
+            def joint_roll(tt, carries):
+                return tuple(body(tt, c)
+                             for (_i, (body, _c0)), c
+                             in zip(live, carries))
+
+            outs = jax.lax.fori_loop(
+                0, hz, joint_roll,
+                tuple(c0 for _i, (_b, c0) in live),
+                unroll=hz if unroll else 1)
+            for (idx, _rp), o in zip(live, outs):
+                finals[idx] = o
+        plans = [cont(fin)
+                 for (_rp, cont), fin in zip(parts, finals)]
         plans = [pln for pln in plans if pln is not None]
         if plans:
             def joint_mpf(i, carries):
