@@ -327,7 +327,7 @@ def main():
 
     rows = []
     # sweep megakernel at the SHIPPING shape (r5): S=16 scenario tiles
-    # x CH=4 independent chains = 64 solves per program-step; the
+    # x SWEEP_CH jointly-interleaved chains per program-step; the
     # analytic per-step count scales linearly in S and CH (every
     # section's tiles gain the scenario/chain factor)
     SWEEP_S, SWEEP_CH = 16, 2

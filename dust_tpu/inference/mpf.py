@@ -81,17 +81,22 @@ class MPF:
         cov = jnp.diag(bw_vec.astype(jnp.float32) ** 2)
         return GMM.from_cov(x, jnp.ones(n), cov)
 
+    def _grad_lik(self, mstate, x):
+        """Gradient of the observation log-likelihood w.r.t. the
+        particles (shared by the plain, fused and fuse_streams
+        paths)."""
+        def log_lik(t):
+            pred = self.likelihood.sample(mstate.lik, t)
+            return jnp.sum(self.likelihood.log_prob(mstate.lik, pred))
+
+        return jax.grad(log_lik)(x)
+
     def phi(self, mstate: MPFState, bw):
         """Stein direction (`mpf.py:40-57`)."""
         x = mstate.x
         grad_prior = mstate.prior.score(x)  # closed form == jax.grad
 
-        def log_lik(t):
-            pred = self.likelihood.sample(mstate.lik, t)
-            return jnp.sum(self.likelihood.log_prob(mstate.lik, pred))
-
-        grad_lik = jax.grad(log_lik)(x)
-        score = grad_lik + grad_prior
+        score = self._grad_lik(mstate, x) + grad_prior
 
         k, grad_first = rbf_gram_and_grad(x, x, bw)
         if self.reference_compat:
@@ -347,11 +352,17 @@ class FusedMPF(MPF):
         # semantics (every production FusedMPF config uses optax.sgd).
         self._fuse_streams = bool(fuse_streams)
         self._fused_lr = None if fused_lr is None else float(fused_lr)
-        if self._fuse_streams and self._fused_lr is None:
-            raise ValueError(
-                "FusedMPF(fuse_streams=True) applies the SGD update "
-                "inside the fused kernel; pass fused_lr=<sgd lr>"
-            )
+        if self._fuse_streams:
+            if self._fused_lr is None:
+                raise ValueError(
+                    "FusedMPF(fuse_streams=True) applies the SGD update "
+                    "inside the fused kernel; pass fused_lr=<sgd lr>"
+                )
+            # the fused path IS plain SGD at fused_lr — force the
+            # optimizer to match so a passed optax.adam/other cannot be
+            # silently ignored (the FusedPendulumMPF/FusedParticleMPF
+            # discipline)
+            self.optimizer = optax.sgd(self._fused_lr)
         # packed: the MPF state dim is 1-2, so the gram-identity tiles
         # burn three 128-lane MXU dispatches per tile on <=2 useful
         # lanes; the packed layout (_phi_kernel_packed /
@@ -370,6 +381,12 @@ class FusedMPF(MPF):
         # slightly negative everywhere — kept opt-in for completeness.
         self._packed = packed if packed == "auto" else bool(packed)
         self._use_bf16 = bool(use_bf16)
+
+    @staticmethod
+    def _blk_j(m):
+        """r4-measured stream-block auto-scaling (single source for the
+        two-kernel AND fuse_streams paths — see the phi() comment)."""
+        return min(8192, max(1024, -(-m // 1024) * 1024))
 
     def _use_packed(self, m, d):
         # the packed kernels' [score|x|ones] lane layout holds at most
@@ -405,7 +422,7 @@ class FusedMPF(MPF):
         # program. The r4 SYMMETRIC kernel (svgd_phi_pallas_symm,
         # j >= i blocks only) measured NO e2e win over these blocks —
         # see BASELINE.md "r4 Gram-symmetry verdict".
-        blk_j = min(8192, max(1024, -(-m // 1024) * 1024))
+        blk_j = self._blk_j(m)
         if packed:
             grad_prior = gmm_prior_score_pallas_packed(
                 x, mstate.prior.locs, mstate.prior_bw,
@@ -418,12 +435,7 @@ class FusedMPF(MPF):
                 interpret=self._interpret,
             )
 
-        def log_lik(t):
-            pred = self.likelihood.sample(mstate.lik, t)
-            return jnp.sum(self.likelihood.log_prob(mstate.lik, pred))
-
-        grad_lik = jax.grad(log_lik)(x)
-        score = grad_lik + grad_prior
+        score = self._grad_lik(mstate, x) + grad_prior
         if packed:
             return svgd_phi_pallas_packed(
                 x, score, jnp.asarray(bw, jnp.float32),
@@ -457,15 +469,7 @@ class FusedMPF(MPF):
         pbw = mstate.prior_bw
         lr = self._fused_lr
         bw_f = jnp.asarray(bw, jnp.float32)
-        blk_j = min(8192, max(1024, -(-m // 1024) * 1024))
-
-        def glik_at(xv):
-            def log_lik(t):
-                pred = self.likelihood.sample(mstate.lik, t)
-                return jnp.sum(self.likelihood.log_prob(mstate.lik,
-                                                        pred))
-
-            return jax.grad(log_lik)(xv)
+        blk_j = self._blk_j(m)
 
         # iteration 0's prior score comes from the standalone kernel;
         # every later one is produced by the previous fused step
@@ -475,13 +479,15 @@ class FusedMPF(MPF):
 
         def body(carry, _):
             xv, gp = carry
-            score = glik_at(xv) + gp
+            score = self._grad_lik(mstate, xv) + gp
             x_new, gp_new = fused_mpf_stream_step(
                 xv, score, centers, bw_f, pbw, lr, block_j=blk_j,
                 interpret=self._interpret,
             )
-            # (x_new - x)/lr == phi exactly: the same grad-norm trace
-            # MPF.optimize surfaces
+            # (x_new - x)/lr recovers phi APPROXIMATELY (lr*phi is
+            # absorbed into x at f32 precision, so the recovered norm
+            # carries a ~1e-4 relative cancellation floor the
+            # two-kernel path's norm(phi) does not)
             gnorm = jnp.linalg.norm((x_new - xv) * (1.0 / lr))
             return (x_new, gp_new), gnorm
 

@@ -1380,10 +1380,15 @@ def fused_pendulum_sweep_episode(
     if seed_arr.ndim == 1:
         seed_arr = seed_arr.reshape(1, 2)
     if seed_arr.shape[0] < n_chains:
+        # derive ONLY the missing chains from row 0 (+4099*c with c =
+        # the chain index, so the common seed=[2] case is unchanged);
+        # explicitly-provided rows are kept verbatim (previously rows
+        # 1..k-1 of a partial [k, 2] seed were silently discarded)
         base = seed_arr[0]
-        seed_arr = jnp.stack(
+        extra = jnp.stack(
             [base + jnp.asarray([0, 4099 * c], jnp.int32)
-             for c in range(n_chains)])
+             for c in range(seed_arr.shape[0], n_chains)])
+        seed_arr = jnp.concatenate([seed_arr, extra])
     seed_arr = seed_arr[:n_chains]
     scal = jnp.stack([
         jnp.asarray(state0[0], jnp.float32),
